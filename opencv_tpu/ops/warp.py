@@ -1,0 +1,387 @@
+"""Geometric warps: warpAffine / warpPerspective / remap + transform builders.
+
+TPU-native design: the transform matrix is a host value (as in cv2), so ALL
+coordinate fixed-point math — the reference's per-block `adelta`/`X0` Q10
+scheme (imgwarp.cpp:2686, block invoker at :2247) — runs **once on the host
+in numpy**, reproducing the C double/int arithmetic bit-for-bit.  What
+reaches the device is: 4 gather index planes, a Q5 fraction index plane,
+and the 32×32 interpolation weight table.  The device work is batched
+gathers + an int32 (u8) or f32 weighted sum, which XLA vectorizes over
+(N, C); batch is the parallel axis instead of the reference's
+`parallel_for_` row blocks.
+
+Numeric contracts reproduced (SURVEY §8.5):
+- `AB_BITS=10`, `adelta[x] = saturate_cast<int>(M[0]*x*1024)`;
+  `round_delta = 512` (NN) / `16` (bilinear);
+- 32×32 (`INTER_BITS=5`) bilinear tables quantized to Q15 with
+  sum-correction to exactly 32768 (initInterTab2D, imgwarp.cpp:247-257);
+- u8 accumulate int32, `(v + 16384) >> 15`, saturate
+  (FixedPtCast<int,uchar,15>, remapBilinear at imgwarp.cpp:676);
+- border semantics of remapNearest/remapBilinear (imgwarp.cpp:330,820):
+  CONSTANT fills fully-outside windows with the border value and resolves
+  per-tap otherwise; REPLICATE clamps; other modes use borderInterpolate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import constants as K
+from ..core.arrays import to_batched, from_batched
+from ..core.borders import border_interpolate
+from ..core.fixedpoint import saturate_cast
+
+__all__ = [
+    "warpAffine", "warpPerspective", "remap",
+    "invertAffineTransform", "getRotationMatrix2D",
+    "getAffineTransform", "getPerspectiveTransform",
+]
+
+INTER_BITS = 5
+INTER_TAB_SIZE = 1 << INTER_BITS          # 32
+INTER_TAB_SIZE2 = INTER_TAB_SIZE ** 2     # 1024
+REMAP_COEF_BITS = 15
+REMAP_COEF_SCALE = 1 << REMAP_COEF_BITS   # 32768
+AB_BITS = max(10, INTER_BITS)
+AB_SCALE = 1 << AB_BITS                   # 1024
+
+
+# --------------------------------------------------------------------------
+# transform builders (host, double precision — matches the reference)
+# --------------------------------------------------------------------------
+
+def invertAffineTransform(M):
+    """`cv::invertAffineTransform` (imgwarp.cpp)."""
+    M = np.asarray(M, np.float64).reshape(2, 3)
+    D = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
+    D = 1.0 / D if D != 0 else 0.0
+    A11 = M[1, 1] * D
+    A22 = M[0, 0] * D
+    A12 = -M[0, 1] * D
+    A21 = -M[1, 0] * D
+    b1 = -A11 * M[0, 2] - A12 * M[1, 2]
+    b2 = -A21 * M[0, 2] - A22 * M[1, 2]
+    return np.array([[A11, A12, b1], [A21, A22, b2]], np.float64)
+
+
+def getRotationMatrix2D(center, angle, scale):
+    angle = angle * math.pi / 180.0
+    a = scale * math.cos(angle)
+    b = scale * math.sin(angle)
+    cx, cy = float(center[0]), float(center[1])
+    return np.array([
+        [a, b, (1 - a) * cx - b * cy],
+        [-b, a, b * cx + (1 - a) * cy],
+    ], np.float64)
+
+
+def getAffineTransform(src, dst):
+    src = np.asarray(src, np.float64).reshape(3, 2)
+    dst = np.asarray(dst, np.float64).reshape(3, 2)
+    A = np.zeros((6, 6))
+    b = np.zeros(6)
+    for i in range(3):
+        A[i * 2, 0:2] = src[i]
+        A[i * 2, 2] = 1
+        A[i * 2 + 1, 3:5] = src[i]
+        A[i * 2 + 1, 5] = 1
+        b[i * 2] = dst[i, 0]
+        b[i * 2 + 1] = dst[i, 1]
+    x = np.linalg.solve(A, b)
+    return x.reshape(2, 3)
+
+
+def getPerspectiveTransform(src, dst, solveMethod: int = K.DECOMP_LU):
+    src = np.asarray(src, np.float64).reshape(4, 2)
+    dst = np.asarray(dst, np.float64).reshape(4, 2)
+    A = np.zeros((8, 8))
+    b = np.zeros(8)
+    for i in range(4):
+        A[i, 0:2] = src[i]
+        A[i, 2] = 1
+        A[i, 6] = -src[i, 0] * dst[i, 0]
+        A[i, 7] = -src[i, 1] * dst[i, 0]
+        A[i + 4, 3:5] = src[i]
+        A[i + 4, 5] = 1
+        A[i + 4, 6] = -src[i, 0] * dst[i, 1]
+        A[i + 4, 7] = -src[i, 1] * dst[i, 1]
+        b[i] = dst[i, 0]
+        b[i + 4] = dst[i, 1]
+    x = np.linalg.solve(A, b)
+    return np.append(x, 1.0).reshape(3, 3)
+
+
+# --------------------------------------------------------------------------
+# interpolation tables (initInterTab2D, imgwarp.cpp:216)
+# --------------------------------------------------------------------------
+
+_TAB_CACHE = {}
+
+
+def _inter_tab(ksize: int):
+    """(1024, k*k) float32 and sum-corrected Q15 int32 tables."""
+    if ksize in _TAB_CACHE:
+        return _TAB_CACHE[ksize]
+    from .resize import _interpolate_cubic, _interpolate_lanczos4
+    scale = np.float32(1.0) / INTER_TAB_SIZE
+    xs = (np.arange(INTER_TAB_SIZE, dtype=np.float32) * scale)
+    if ksize == 2:
+        tab1 = np.stack([np.float32(1.0) - xs, xs], axis=1)
+    elif ksize == 4:
+        tab1 = _interpolate_cubic(xs)
+    else:
+        # warp lanczos: x < FLT_EPSILON shortcut (imgwarp.cpp:162)
+        tab1 = _interpolate_lanczos4(xs)
+        tab1[0] = 0.0
+        tab1[0, 3] = 1.0
+    ftab = np.empty((INTER_TAB_SIZE2, ksize * ksize), np.float32)
+    itab = np.empty((INTER_TAB_SIZE2, ksize * ksize), np.int32)
+    for i in range(INTER_TAB_SIZE):
+        for j in range(INTER_TAB_SIZE):
+            v = np.outer(tab1[i], tab1[j]).astype(np.float32)  # vy * vx
+            idx = i * INTER_TAB_SIZE + j
+            ftab[idx] = v.ravel()
+            iv = np.clip(np.rint(v.astype(np.float64) * REMAP_COEF_SCALE),
+                         -32768, 32767).astype(np.int32).reshape(ksize, ksize)
+            isum = int(iv.sum())
+            if isum != REMAP_COEF_SCALE:
+                diff = isum - REMAP_COEF_SCALE
+                k2 = ksize // 2
+                Mk1 = Mk2 = mk1 = mk2 = k2
+                for k1 in range(k2, k2 + 2):
+                    for kk2 in range(k2, k2 + 2):
+                        if iv[k1, kk2] < iv[mk1, mk2]:
+                            mk1, mk2 = k1, kk2
+                        elif iv[k1, kk2] > iv[Mk1, Mk2]:
+                            Mk1, Mk2 = k1, kk2
+                if diff < 0:
+                    iv[Mk1, Mk2] -= diff
+                else:
+                    iv[mk1, mk2] -= diff
+            itab[idx] = iv.ravel()
+    _TAB_CACHE[ksize] = (ftab, itab)
+    return ftab, itab
+
+
+# --------------------------------------------------------------------------
+# core: gather-based remap given host-side integer coords
+# --------------------------------------------------------------------------
+
+def _resolve_tap(coord, length, border_type):
+    """Vectorized borderInterpolate: returns (index ≥ 0, use_cval mask)."""
+    bt = border_type & ~K.BORDER_ISOLATED
+    inside = (coord >= 0) & (coord < length)
+    if bt == K.BORDER_REPLICATE:
+        return np.clip(coord, 0, length - 1), np.zeros_like(inside)
+    if bt == K.BORDER_CONSTANT or bt == K.BORDER_TRANSPARENT:
+        return np.clip(coord, 0, length - 1), ~inside
+    out = coord.copy()
+    bad = ~inside
+    if bad.any():
+        vals = np.unique(out[bad])
+        lut = {int(v): border_interpolate(int(v), length, bt) for v in vals}
+        rep = np.array([lut[int(v)] for v in out[bad]])
+        out[bad] = rep
+    return np.clip(out, 0, length - 1), np.zeros_like(inside)
+
+
+def _remap_fixed(x, sx, sy, fxy, interpolation, border_type, border_value):
+    """remap core with host integer coords.
+
+    x: (N,H,W,C); sx/sy: (dh,dw) int arrays (top-left tap); fxy: (dh,dw)
+    Q5 fraction index or None for NN.
+    """
+    N, H, W, C = x.shape
+    dh, dw = sx.shape
+    is_u8 = x.dtype == jnp.uint8
+    bval = np.zeros(4, np.float64)
+    bv = np.asarray(border_value, np.float64).reshape(-1) if border_value is not None else np.zeros(1)
+    bval[:min(4, bv.size)] = bv[:4]
+    if np.dtype(x.dtype).kind in "ui":
+        info = np.iinfo(x.dtype)
+        cval = np.clip(np.rint(bval), info.min, info.max)
+    else:
+        cval = bval
+    cval_dev = jnp.asarray(cval[[k & 3 for k in range(C)]],
+                           jnp.int32 if is_u8 else jnp.float32)
+
+    flat = x.reshape(N, H * W, C)
+
+    if fxy is None:  # nearest
+        xi, xmask = _resolve_tap(sx, W, border_type)
+        yi, ymask = _resolve_tap(sy, H, border_type)
+        use_c = xmask | ymask
+        idx = (yi * W + xi).astype(np.int32)
+        g = jnp.take(flat, jnp.asarray(idx.ravel()), axis=1)
+        g = g.reshape(N, dh, dw, C)
+        if use_c.any():
+            m = jnp.asarray(use_c[None, :, :, None])
+            g = jnp.where(m, cval_dev.astype(x.dtype).reshape(1, 1, 1, C), g)
+        return g
+
+    ftab, itab = _inter_tab(2)
+    acc_dtype = jnp.int32 if is_u8 else jnp.float32
+    wtab = jnp.asarray(itab if is_u8 else ftab).astype(acc_dtype)
+    wsel = wtab[jnp.asarray(fxy.astype(np.int32).ravel())]  # (dh*dw, 4)
+
+    # fully-outside windows under BORDER_CONSTANT → cval
+    # (remapBilinear, imgwarp.cpp:823-827)
+    fully_out = ((sx >= W) | (sx + 1 < 0) | (sy >= H) | (sy + 1 < 0))
+
+    acc = None
+    for t, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        xi, xmask = _resolve_tap(sx + dx, W, border_type)
+        yi, ymask = _resolve_tap(sy + dy, H, border_type)
+        use_c = xmask | ymask
+        idx = (yi * W + xi).astype(np.int32)
+        g = jnp.take(flat, jnp.asarray(idx.ravel()), axis=1).astype(acc_dtype)
+        if use_c.any():
+            m = jnp.asarray(use_c.ravel()[None, :, None])
+            g = jnp.where(m, cval_dev.reshape(1, 1, C), g)
+        term = g * wsel[None, :, t:t + 1]
+        acc = term if acc is None else acc + term
+
+    if is_u8:
+        out = (acc + (1 << (REMAP_COEF_BITS - 1))) >> REMAP_COEF_BITS
+        out = jnp.clip(out, 0, 255).astype(jnp.uint8)
+    else:
+        out = saturate_cast(acc, x.dtype)
+    out = out.reshape(N, dh, dw, C)
+    bt = border_type & ~K.BORDER_ISOLATED
+    if bt in (K.BORDER_CONSTANT,) and fully_out.any():
+        m = jnp.asarray(fully_out[None, :, :, None])
+        out = jnp.where(m, cval_dev.astype(x.dtype).reshape(1, 1, 1, C), out)
+    return out
+
+
+# --------------------------------------------------------------------------
+# public warps
+# --------------------------------------------------------------------------
+
+def _sat_i32(a):
+    return np.clip(np.rint(a), -2147483648, 2147483647).astype(np.int64)
+
+
+def _sat_i16(a):
+    return np.clip(a, -32768, 32767).astype(np.int64)
+
+
+def warpAffine(src, M, dsize, flags: int = K.INTER_LINEAR,
+               borderMode: int = K.BORDER_CONSTANT, borderValue=0):
+    """`cv::warpAffine` (imgwarp.cpp:2788). M is a host 2x3 array."""
+    x, meta = to_batched(src)
+    N, H, W, C = x.shape
+    dw, dh = int(dsize[0]), int(dsize[1])
+    interp = flags & K.INTER_MAX
+    M = np.asarray(M, np.float64).reshape(2, 3)
+    if not (flags & K.WARP_INVERSE_MAP):
+        M = invertAffineTransform(M)
+    m = M.ravel()
+
+    xs = np.arange(dw, dtype=np.float64)
+    ys = np.arange(dh, dtype=np.float64)
+    adelta = _sat_i32(m[0] * xs * AB_SCALE)
+    bdelta = _sat_i32(m[3] * xs * AB_SCALE)
+    rd = AB_SCALE // 2 if interp == K.INTER_NEAREST else AB_SCALE // INTER_TAB_SIZE // 2
+    X0 = _sat_i32((m[1] * ys + m[2]) * AB_SCALE) + rd
+    Y0 = _sat_i32((m[4] * ys + m[5]) * AB_SCALE) + rd
+
+    if interp == K.INTER_NEAREST:
+        X = (X0[:, None] + adelta[None, :]) >> AB_BITS
+        Y = (Y0[:, None] + bdelta[None, :]) >> AB_BITS
+        sx = _sat_i16(X)
+        sy = _sat_i16(Y)
+        y = _remap_fixed(x, sx, sy, None, interp, borderMode, borderValue)
+    else:
+        X = (X0[:, None] + adelta[None, :]) >> (AB_BITS - INTER_BITS)
+        Y = (Y0[:, None] + bdelta[None, :]) >> (AB_BITS - INTER_BITS)
+        sx = _sat_i16(X >> INTER_BITS)
+        sy = _sat_i16(Y >> INTER_BITS)
+        fxy = (Y & (INTER_TAB_SIZE - 1)) * INTER_TAB_SIZE + (X & (INTER_TAB_SIZE - 1))
+        y = _remap_fixed(x, sx, sy, fxy, interp, borderMode, borderValue)
+    return from_batched(y, meta)
+
+
+def warpPerspective(src, M, dsize, flags: int = K.INTER_LINEAR,
+                    borderMode: int = K.BORDER_CONSTANT, borderValue=0):
+    """`cv::warpPerspective` (imgwarp.cpp:3370). M is a host 3x3 array."""
+    x, meta = to_batched(src)
+    N, H, W, C = x.shape
+    dw, dh = int(dsize[0]), int(dsize[1])
+    interp = flags & K.INTER_MAX
+    M = np.asarray(M, np.float64).reshape(3, 3)
+    if not (flags & K.WARP_INVERSE_MAP):
+        M = np.linalg.inv(M)
+    m = M.ravel()
+
+    xs = np.arange(dw, dtype=np.float64)[None, :]
+    ys = np.arange(dh, dtype=np.float64)[:, None]
+    Wd = m[6] * xs + m[7] * ys + m[8]
+    X0 = m[0] * xs + m[1] * ys + m[2]
+    Y0 = m[3] * xs + m[4] * ys + m[5]
+    if interp == K.INTER_NEAREST:
+        Wi = np.where(Wd != 0, np.divide(1.0, Wd, where=Wd != 0), 0.0)
+        fX = np.clip(X0 * Wi, -2147483648.0, 2147483647.0)
+        fY = np.clip(Y0 * Wi, -2147483648.0, 2147483647.0)
+        X = _sat_i32(fX)
+        Y = _sat_i32(fY)
+        sx = _sat_i16(X)
+        sy = _sat_i16(Y)
+        y = _remap_fixed(x, sx, sy, None, interp, borderMode, borderValue)
+    else:
+        Wi = np.where(Wd != 0, np.divide(float(INTER_TAB_SIZE), Wd, where=Wd != 0), 0.0)
+        fX = np.clip(X0 * Wi, -2147483648.0, 2147483647.0)
+        fY = np.clip(Y0 * Wi, -2147483648.0, 2147483647.0)
+        X = _sat_i32(fX)
+        Y = _sat_i32(fY)
+        sx = _sat_i16(X >> INTER_BITS)
+        sy = _sat_i16(Y >> INTER_BITS)
+        fxy = (Y & (INTER_TAB_SIZE - 1)) * INTER_TAB_SIZE + (X & (INTER_TAB_SIZE - 1))
+        y = _remap_fixed(x, sx, sy, fxy, interp, borderMode, borderValue)
+    return from_batched(y, meta)
+
+
+def remap(src, map1, map2=None, interpolation: int = K.INTER_LINEAR,
+          borderMode: int = K.BORDER_CONSTANT, borderValue=0):
+    """`cv::remap` with host numpy maps (float32 x/y maps or fixed CV_16SC2
+    (+CV_16UC1) pairs, imgwarp.cpp:1713)."""
+    x, meta = to_batched(src)
+    N, H, W, C = x.shape
+    m1 = np.asarray(map1)
+    interp = interpolation
+
+    if m1.dtype == np.int16:  # fixed-point maps CV_16SC2
+        sx = m1[..., 0].astype(np.int64)
+        sy = m1[..., 1].astype(np.int64)
+        if interp == K.INTER_NEAREST:
+            y = _remap_fixed(x, sx, sy, None, interp, borderMode, borderValue)
+            return from_batched(y, meta)
+        fxy = (np.zeros_like(sx) if map2 is None
+               else np.asarray(map2).astype(np.int64) & (INTER_TAB_SIZE2 - 1))
+        y = _remap_fixed(x, sx, sy, fxy, interp, borderMode, borderValue)
+        return from_batched(y, meta)
+
+    if map2 is not None and np.asarray(map2).ndim == m1.ndim and m1.ndim == 2:
+        mapx = m1.astype(np.float64)
+        mapy = np.asarray(map2).astype(np.float64)
+    else:
+        mapx = m1[..., 0].astype(np.float64)
+        mapy = m1[..., 1].astype(np.float64)
+
+    if interp == K.INTER_NEAREST:
+        sx = _sat_i32(np.float32(mapx.astype(np.float32)))
+        sy = _sat_i32(mapy.astype(np.float32))
+        y = _remap_fixed(x, sx, sy, None, interp, borderMode, borderValue)
+        return from_batched(y, meta)
+
+    # float maps → Q5 fixed (cvRound(x*32), imgwarp.cpp:1787+)
+    X = _sat_i32(mapx * INTER_TAB_SIZE)
+    Y = _sat_i32(mapy * INTER_TAB_SIZE)
+    sx = _sat_i16(X >> INTER_BITS)
+    sy = _sat_i16(Y >> INTER_BITS)
+    fxy = (Y & (INTER_TAB_SIZE - 1)) * INTER_TAB_SIZE + (X & (INTER_TAB_SIZE - 1))
+    y = _remap_fixed(x, sx, sy, fxy, interp, borderMode, borderValue)
+    return from_batched(y, meta)

@@ -1,0 +1,87 @@
+"""cvtColor vs cv2 — bit-exact on integer paths (the reference has CRC-level
+bit-exact tests for these, imgproc/test/test_color.cpp:2823)."""
+
+import numpy as np
+import pytest
+
+from common import cv2, rand_img, assert_exact, assert_near
+
+import opencv_tpu as tcv
+
+INT_CODES_3CH = [
+    "COLOR_BGR2GRAY", "COLOR_RGB2GRAY",
+    "COLOR_BGR2RGB",
+    "COLOR_BGR2BGRA", "COLOR_BGR2RGBA",
+    "COLOR_BGR2YCrCb", "COLOR_RGB2YCrCb",
+    "COLOR_YCrCb2BGR", "COLOR_YCrCb2RGB",
+    "COLOR_BGR2YUV", "COLOR_RGB2YUV",
+    "COLOR_YUV2BGR", "COLOR_YUV2RGB",
+    "COLOR_BGR2XYZ", "COLOR_RGB2XYZ",
+    "COLOR_XYZ2BGR", "COLOR_XYZ2RGB",
+]
+
+INT_CODES_4CH = [
+    "COLOR_BGRA2BGR", "COLOR_RGBA2BGR", "COLOR_BGRA2RGBA",
+    "COLOR_BGRA2GRAY", "COLOR_RGBA2GRAY",
+]
+
+GRAY_CODES = ["COLOR_GRAY2BGR", "COLOR_GRAY2BGRA"]
+
+
+@pytest.mark.parametrize("code", INT_CODES_3CH)
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_cvtcolor_int_3ch(code, dtype):
+    rng = np.random.default_rng(0)
+    img = rand_img(rng, 263, 255, 3, dtype)
+    ref = cv2.cvtColor(img, getattr(cv2, code))
+    ours = tcv.cvtColor(img, getattr(tcv, code))
+    assert_exact(ours, ref, code)
+
+
+@pytest.mark.parametrize("code", INT_CODES_4CH)
+def test_cvtcolor_int_4ch(code):
+    rng = np.random.default_rng(1)
+    img = rand_img(rng, 65, 77, 4, np.uint8)
+    ref = cv2.cvtColor(img, getattr(cv2, code))
+    ours = tcv.cvtColor(img, getattr(tcv, code))
+    assert_exact(ours, ref, code)
+
+
+@pytest.mark.parametrize("code", GRAY_CODES)
+def test_cvtcolor_gray(code):
+    rng = np.random.default_rng(2)
+    img = rand_img(rng, 65, 77, 1, np.uint8)
+    ref = cv2.cvtColor(img, getattr(cv2, code))
+    ours = tcv.cvtColor(img, getattr(tcv, code))
+    assert_exact(ours, ref, code)
+
+
+@pytest.mark.parametrize("code", ["COLOR_BGR2GRAY", "COLOR_BGR2YCrCb",
+                                  "COLOR_YCrCb2BGR", "COLOR_BGR2XYZ",
+                                  "COLOR_BGR2YUV", "COLOR_YUV2BGR"])
+def test_cvtcolor_float(code):
+    rng = np.random.default_rng(3)
+    img = rng.random((64, 48, 3), dtype=np.float32)
+    ref = cv2.cvtColor(img, getattr(cv2, code))
+    ours = np.asarray(tcv.cvtColor(img, getattr(tcv, code)))
+    assert_near(ours, ref, atol=1e-5, msg=code)
+
+
+def test_cvtcolor_batched():
+    rng = np.random.default_rng(4)
+    batch = rng.integers(0, 256, size=(3, 32, 40, 3), dtype=np.uint8)
+    out = np.asarray(tcv.cvtColor(batch, tcv.COLOR_BGR2GRAY))
+    assert out.shape == (3, 32, 40, 1)
+    for i in range(3):
+        ref = cv2.cvtColor(batch[i], cv2.COLOR_BGR2GRAY)
+        assert_exact(out[i, :, :, 0], ref)
+
+
+def test_cvtcolor_jit():
+    import jax
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(2, 16, 16, 3), dtype=np.uint8)
+    fn = jax.jit(lambda x: tcv.cvtColor(x, tcv.COLOR_BGR2GRAY))
+    out = np.asarray(fn(img))
+    ref = cv2.cvtColor(img[0], cv2.COLOR_BGR2GRAY)
+    assert_exact(out[0, :, :, 0], ref)

@@ -1,0 +1,93 @@
+"""warpAffine / warpPerspective / remap vs cv2.
+
+The reference's strict suite demands **exact** warpAffine 8U output
+(test_imgwarp_strict.cpp:1089-1091); perspective/remap get eps 1.
+"""
+
+import numpy as np
+import pytest
+
+from common import cv2, rand_img, assert_exact, assert_near
+
+import opencv_tpu as tcv
+
+BORDERS = [tcv.BORDER_CONSTANT, tcv.BORDER_REPLICATE, tcv.BORDER_REFLECT,
+           tcv.BORDER_REFLECT_101, tcv.BORDER_WRAP]
+
+
+def _M_rot():
+    return cv2.getRotationMatrix2D((31.5, 23.4), 30.0, 0.8)
+
+
+@pytest.mark.parametrize("border", BORDERS)
+@pytest.mark.parametrize("interp", [tcv.INTER_NEAREST, tcv.INTER_LINEAR])
+def test_warp_affine_u8(border, interp):
+    rng = np.random.default_rng(0)
+    img = rand_img(rng, 48, 64, 3)
+    M = _M_rot()
+    ref = cv2.warpAffine(img, M, (70, 50), flags=interp, borderMode=border,
+                         borderValue=(11, 22, 33, 44))
+    ours = np.asarray(tcv.warpAffine(img, M, (70, 50), flags=interp,
+                                     borderMode=border, borderValue=(11, 22, 33, 44)))
+    assert_exact(ours, ref, f"affine b={border} i={interp}")
+
+
+def test_warp_affine_inverse_flag():
+    rng = np.random.default_rng(1)
+    img = rand_img(rng, 40, 40, 1)
+    M = _M_rot()
+    ref = cv2.warpAffine(img, M, (40, 40), flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP)
+    ours = np.asarray(tcv.warpAffine(img, M, (40, 40),
+                                     flags=tcv.INTER_LINEAR | tcv.WARP_INVERSE_MAP))
+    assert_exact(ours, ref)
+
+
+def test_warp_affine_f32():
+    rng = np.random.default_rng(2)
+    img = rng.random((40, 52, 3), dtype=np.float32)
+    M = _M_rot()
+    ref = cv2.warpAffine(img, M, (60, 44))
+    ours = np.asarray(tcv.warpAffine(img, M, (60, 44)))
+    assert_near(ours, ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("border", [tcv.BORDER_CONSTANT, tcv.BORDER_REPLICATE])
+@pytest.mark.parametrize("interp", [tcv.INTER_NEAREST, tcv.INTER_LINEAR])
+def test_warp_perspective_u8(border, interp):
+    rng = np.random.default_rng(3)
+    img = rand_img(rng, 48, 64, 3)
+    src = np.float32([[0, 0], [63, 0], [63, 47], [0, 47]])
+    dst = np.float32([[3, 2], [60, 5], [58, 44], [1, 40]])
+    M = cv2.getPerspectiveTransform(src, dst)
+    ref = cv2.warpPerspective(img, M, (64, 48), flags=interp, borderMode=border)
+    ours = np.asarray(tcv.warpPerspective(img, M, (64, 48), flags=interp,
+                                          borderMode=border))
+    assert_near(ours, ref, atol=1, msg=f"persp b={border} i={interp}")
+
+
+def test_remap_float_maps_u8():
+    rng = np.random.default_rng(4)
+    img = rand_img(rng, 40, 50, 3)
+    ys, xs = np.mgrid[0:44, 0:55].astype(np.float32)
+    mapx = (xs * 0.9 + 2.3 + 3 * np.sin(ys * 0.2)).astype(np.float32)
+    mapy = (ys * 0.85 + 1.1 + 2 * np.cos(xs * 0.3)).astype(np.float32)
+    for interp in (cv2.INTER_NEAREST, cv2.INTER_LINEAR):
+        ref = cv2.remap(img, mapx, mapy, interp)
+        ours = np.asarray(tcv.remap(img, mapx, mapy, interp))
+        assert_exact(ours, ref, f"remap i={interp}")
+
+
+def test_transform_builders():
+    src = np.float32([[0, 0], [10, 0], [0, 10]])
+    dst = np.float32([[1, 2], [11, 3], [2, 13]])
+    assert_near(tcv.getAffineTransform(src, dst),
+                cv2.getAffineTransform(src, dst), atol=1e-10)
+    s4 = np.float32([[0, 0], [10, 0], [10, 10], [0, 10]])
+    d4 = np.float32([[1, 1], [9, 2], [11, 9], [0, 8]])
+    assert_near(tcv.getPerspectiveTransform(s4, d4),
+                cv2.getPerspectiveTransform(s4, d4), atol=1e-8)
+    assert_near(tcv.getRotationMatrix2D((5, 5), 33, 1.2),
+                cv2.getRotationMatrix2D((5, 5), 33, 1.2), atol=1e-10)
+    M = tcv.getRotationMatrix2D((5, 5), 33, 1.2)
+    assert_near(tcv.invertAffineTransform(M),
+                cv2.invertAffineTransform(M), atol=1e-10)
