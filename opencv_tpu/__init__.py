@@ -41,6 +41,23 @@ from .ops.warp import (
     getAffineTransform,
     getPerspectiveTransform,
 )
+from .ops.deriv import (
+    getDerivKernels,
+    Sobel,
+    Scharr,
+    Laplacian,
+    spatialGradient,
+)
+from .ops.morph import (
+    erode,
+    dilate,
+    morphologyEx,
+    getStructuringElement,
+    morphologyDefaultBorderValue,
+)
+from .ops.pyramids import pyrDown, pyrUp, buildPyramid
+from .ops.thresh import threshold, adaptiveThreshold
+from .ops.integral import integral, integral2, integral3
 from .core.borders import copy_make_border as copyMakeBorder
 from .core.borders import border_interpolate as borderInterpolate
 

@@ -1,1 +1,11 @@
-from . import color, filter, resize, warp  # noqa: F401
+from . import (  # noqa: F401
+    color,
+    deriv,
+    filter,
+    integral,
+    morph,
+    pyramids,
+    resize,
+    thresh,
+    warp,
+)

@@ -290,7 +290,15 @@ def sepFilter2D(src, ddepth, kernelX, kernelY, anchor=(-1, -1), delta=0.0,
 
     if (x.dtype == jnp.uint8 and out_dtype in (jnp.dtype(jnp.uint8), jnp.dtype(jnp.int16))
             and delta == int(delta)):
-        # bit-exact path validity check mirrors filter.dispatch.cpp:332-362
+        # integer kernels (Sobel/Scharr/derivs): exact int32 MAC, no shift
+        kxi = np.rint(kx).astype(np.int64)
+        kyi = np.rint(ky).astype(np.int64)
+        if np.all(kxi == kx) and np.all(kyi == ky):
+            acc = _sep_correlate_int(x, kxi, kyi, borderType)
+            y = saturate_cast(acc + int(delta), out_dtype)
+            return from_batched(y, meta)
+        # fractional kernels: bit-exact Q8 scheme mirroring
+        # filter.dispatch.cpp:332-362 (validity check incl.)
         bits = 8
         kxq = np.rint(kx * (1 << bits)).astype(np.int64)
         kyq = np.rint(ky * (1 << bits)).astype(np.int64)

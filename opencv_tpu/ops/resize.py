@@ -85,8 +85,15 @@ def _interpolate_lanczos4(x32):
 
 
 def _coords_linear(dst_n: int, src_n: int, scale: float, area_mode: bool,
-                   inv_scale: float):
-    """sx / fx tables for ksize=2 modes, with linear edge resets."""
+                   inv_scale: float, edge_reset: bool = True):
+    """sx / fx tables for ksize=2 modes.
+
+    ``edge_reset`` applies the reference's X-direction border resets
+    (resize.cpp:4112-4124).  The Y direction has NO such resets
+    (resize.cpp:4155-4167) — out-of-range rows are clipped at fetch time
+    (resizeGeneric_Invoker `clip(sy...)`), which changes the fixed-point
+    rounding on edge rows; replicate exactly.
+    """
     dxs = np.arange(dst_n)
     if not area_mode:
         fxd = ((dxs + 0.5) * scale - 0.5).astype(np.float32)
@@ -96,12 +103,13 @@ def _coords_linear(dst_n: int, src_n: int, scale: float, area_mode: bool,
         sx = np.floor(dxs * scale).astype(np.int64)
         fx = ((dxs + 1) - (sx + 1) * inv_scale).astype(np.float32)
         fx = np.where(fx <= 0, np.float32(0), fx - np.floor(fx))
-    neg = sx < 0
-    fx[neg] = 0.0
-    sx[neg] = 0
-    hi = sx >= src_n - 1
-    fx[hi] = 0.0
-    sx[hi] = src_n - 1
+    if edge_reset:
+        neg = sx < 0
+        fx[neg] = 0.0
+        sx[neg] = 0
+        hi = sx >= src_n - 1
+        fx[hi] = 0.0
+        sx[hi] = src_n - 1
     return sx, fx
 
 
@@ -169,7 +177,7 @@ def _resize_linear_u8(x, dw, dh, area_mode=False):
     """Bit-exact u8 INTER_LINEAR (Q11 + the >>4 SSE-compat vertical)."""
     N, H, W, C = x.shape
     sx, fx = _coords_linear(dw, W, W / dw, area_mode, dw / W)
-    sy, fy = _coords_linear(dh, H, H / dh, area_mode, dh / H)
+    sy, fy = _coords_linear(dh, H, H / dh, area_mode, dh / H, edge_reset=False)
     ax0 = _q11(np.float32(1.0) - fx)
     ax1 = _q11(fx)
     by0 = _q11(np.float32(1.0) - fy)
@@ -191,7 +199,7 @@ def _resize_linear_u8(x, dw, dh, area_mode=False):
 def _resize_linear_float(x, dw, dh, out_dtype, area_mode=False):
     N, H, W, C = x.shape
     sx, fx = _coords_linear(dw, W, W / dw, area_mode, dw / W)
-    sy, fy = _coords_linear(dh, H, H / dh, area_mode, dh / H)
+    sy, fy = _coords_linear(dh, H, H / dh, area_mode, dh / H, edge_reset=False)
     xf = x.astype(jnp.float32)
     s0 = _gather_w(xf, sx)
     s1 = _gather_w(xf, sx + 1)

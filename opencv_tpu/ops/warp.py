@@ -10,13 +10,17 @@ gathers + an int32 (u8) or f32 weighted sum, which XLA vectorizes over
 (N, C); batch is the parallel axis instead of the reference's
 `parallel_for_` row blocks.
 
-Numeric contracts reproduced (SURVEY §8.5):
-- `AB_BITS=10`, `adelta[x] = saturate_cast<int>(M[0]*x*1024)`;
-  `round_delta = 512` (NN) / `16` (bilinear);
-- 32×32 (`INTER_BITS=5`) bilinear tables quantized to Q15 with
-  sum-correction to exactly 32768 (initInterTab2D, imgwarp.cpp:247-257);
-- u8 accumulate int32, `(v + 16384) >> 15`, saturate
-  (FixedPtCast<int,uchar,15>, remapBilinear at imgwarp.cpp:676);
+Numeric contracts reproduced:
+- NN: `AB_BITS=10` integer grid, `adelta[x] = saturate_cast<int>(M[0]*x*
+  1024)`, `round_delta = 512` (imgwarp.cpp:2686, blockline NN);
+- LINEAR: the 4.x Q5/Q15 table scheme was replaced in the reference line
+  by an exact floating-point bilinear (verified: cv2 5.0 output ==
+  double-precision bilinear with round-half-even for both warpAffine and
+  remap).  We compute source coordinates on the host in double and
+  interpolate on device in float32 (documented tolerance: ±1 on ties);
+- fixed-point CV_16SC2(+CV_16UC1) remap maps keep the classic Q15 table
+  accumulate `(v + 16384) >> 15` (initInterTab2D sum-corrected tables,
+  imgwarp.cpp:247-257 — including its flat-memory correction quirk);
 - border semantics of remapNearest/remapBilinear (imgwarp.cpp:330,820):
   CONSTANT fills fully-outside windows with the border value and resolves
   per-tap otherwise; REPLICATE clamps; other modes use borderInterpolate.
@@ -148,19 +152,29 @@ def _inter_tab(ksize: int):
                          -32768, 32767).astype(np.int32).reshape(ksize, ksize)
             isum = int(iv.sum())
             if isum != REMAP_COEF_SCALE:
+                # Faithful to initInterTab2D's correction, INCLUDING its
+                # flat-memory quirk: for ksize=2 the search window
+                # (k1,k2 ∈ [k2c, k2c+2)) indexes past the 2x2 block —
+                # C++ reads zeros from the not-yet-filled next block and
+                # writes there are overwritten by the next block's fill.
                 diff = isum - REMAP_COEF_SCALE
-                k2 = ksize // 2
-                Mk1 = Mk2 = mk1 = mk2 = k2
-                for k1 in range(k2, k2 + 2):
-                    for kk2 in range(k2, k2 + 2):
-                        if iv[k1, kk2] < iv[mk1, mk2]:
-                            mk1, mk2 = k1, kk2
-                        elif iv[k1, kk2] > iv[Mk1, Mk2]:
-                            Mk1, Mk2 = k1, kk2
+                k2c = ksize // 2
+                kk = ksize * ksize
+                flat = np.zeros((k2c + 1) * ksize + k2c + 2, np.int64)
+                flat[:kk] = iv.ravel()
+                Mo = mo = k2c * ksize + k2c
+                for k1 in range(k2c, k2c + 2):
+                    for kx in range(k2c, k2c + 2):
+                        o = k1 * ksize + kx
+                        if flat[o] < flat[mo]:
+                            mo = o
+                        elif flat[o] > flat[Mo]:
+                            Mo = o
                 if diff < 0:
-                    iv[Mk1, Mk2] -= diff
+                    flat[Mo] -= diff
                 else:
-                    iv[mk1, mk2] -= diff
+                    flat[mo] -= diff
+                iv = flat[:kk].reshape(ksize, ksize).astype(np.int32)
             itab[idx] = iv.ravel()
     _TAB_CACHE[ksize] = (ftab, itab)
     return ftab, itab
@@ -257,6 +271,60 @@ def _remap_fixed(x, sx, sy, fxy, interpolation, border_type, border_value):
     return out
 
 
+def _remap_linear_float(x, mapx, mapy, border_type, border_value):
+    """Bilinear remap with host float64 coordinate maps.
+
+    Gathers 4 taps (host-resolved borders) and blends in float32 on the
+    VPU; fractions are shipped as float32 device constants.
+    """
+    N, H, W, C = x.shape
+    dh, dw = mapx.shape
+    x0 = np.floor(mapx).astype(np.int64)
+    y0 = np.floor(mapy).astype(np.int64)
+    ax = (mapx - x0)
+    ay = (mapy - y0)
+
+    bval = np.zeros(4, np.float64)
+    bv = (np.asarray(border_value, np.float64).reshape(-1)
+          if border_value is not None else np.zeros(1))
+    bval[:min(4, bv.size)] = bv[:4]
+    if np.dtype(x.dtype).kind in "ui":
+        info = np.iinfo(x.dtype)
+        cvals = np.clip(np.rint(bval), info.min, info.max)
+    else:
+        cvals = bval
+    cval_dev = jnp.asarray(cvals[[k & 3 for k in range(C)]], jnp.float32)
+
+    flat = x.reshape(N, H * W, C)
+    fully_out = (x0 >= W) | (x0 + 1 < 0) | (y0 >= H) | (y0 + 1 < 0)
+
+    axd = jnp.asarray(ax.ravel()[None, :, None], jnp.float32)
+    ayd = jnp.asarray(ay.ravel()[None, :, None], jnp.float32)
+    wts = [(1 - axd) * (1 - ayd), axd * (1 - ayd),
+           (1 - axd) * ayd, axd * ayd]
+
+    acc = None
+    for t, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        xi, xmask = _resolve_tap(x0 + dx, W, border_type)
+        yi, ymask = _resolve_tap(y0 + dy, H, border_type)
+        use_c = xmask | ymask
+        idx = (yi * W + xi).astype(np.int32)
+        g = jnp.take(flat, jnp.asarray(idx.ravel()), axis=1).astype(jnp.float32)
+        if use_c.any():
+            m = jnp.asarray(use_c.ravel()[None, :, None])
+            g = jnp.where(m, cval_dev.reshape(1, 1, C), g)
+        term = g * wts[t]
+        acc = term if acc is None else acc + term
+
+    out = saturate_cast(acc, x.dtype)
+    out = out.reshape(N, dh, dw, C)
+    bt = border_type & ~K.BORDER_ISOLATED
+    if bt == K.BORDER_CONSTANT and fully_out.any():
+        m = jnp.asarray(fully_out[None, :, :, None])
+        out = jnp.where(m, cval_dev.astype(x.dtype).reshape(1, 1, 1, C), out)
+    return out
+
+
 # --------------------------------------------------------------------------
 # public warps
 # --------------------------------------------------------------------------
@@ -296,12 +364,12 @@ def warpAffine(src, M, dsize, flags: int = K.INTER_LINEAR,
         sy = _sat_i16(Y)
         y = _remap_fixed(x, sx, sy, None, interp, borderMode, borderValue)
     else:
-        X = (X0[:, None] + adelta[None, :]) >> (AB_BITS - INTER_BITS)
-        Y = (Y0[:, None] + bdelta[None, :]) >> (AB_BITS - INTER_BITS)
-        sx = _sat_i16(X >> INTER_BITS)
-        sy = _sat_i16(Y >> INTER_BITS)
-        fxy = (Y & (INTER_TAB_SIZE - 1)) * INTER_TAB_SIZE + (X & (INTER_TAB_SIZE - 1))
-        y = _remap_fixed(x, sx, sy, fxy, interp, borderMode, borderValue)
+        xg = np.arange(dw, dtype=np.float64)[None, :]
+        yg = np.arange(dh, dtype=np.float64)[:, None]
+        mapx = m[0] * xg + m[1] * yg + m[2]
+        mapy = m[3] * xg + m[4] * yg + m[5]
+        y = _remap_linear_float(x, mapx + 0 * yg, mapy + 0 * xg,
+                                borderMode, borderValue)
     return from_batched(y, meta)
 
 
@@ -332,15 +400,10 @@ def warpPerspective(src, M, dsize, flags: int = K.INTER_LINEAR,
         sy = _sat_i16(Y)
         y = _remap_fixed(x, sx, sy, None, interp, borderMode, borderValue)
     else:
-        Wi = np.where(Wd != 0, np.divide(float(INTER_TAB_SIZE), Wd, where=Wd != 0), 0.0)
-        fX = np.clip(X0 * Wi, -2147483648.0, 2147483647.0)
-        fY = np.clip(Y0 * Wi, -2147483648.0, 2147483647.0)
-        X = _sat_i32(fX)
-        Y = _sat_i32(fY)
-        sx = _sat_i16(X >> INTER_BITS)
-        sy = _sat_i16(Y >> INTER_BITS)
-        fxy = (Y & (INTER_TAB_SIZE - 1)) * INTER_TAB_SIZE + (X & (INTER_TAB_SIZE - 1))
-        y = _remap_fixed(x, sx, sy, fxy, interp, borderMode, borderValue)
+        Wi = np.where(Wd != 0, np.divide(1.0, Wd, where=Wd != 0), 0.0)
+        mapx = X0 * Wi
+        mapy = Y0 * Wi
+        y = _remap_linear_float(x, mapx, mapy, borderMode, borderValue)
     return from_batched(y, meta)
 
 
@@ -372,16 +435,10 @@ def remap(src, map1, map2=None, interpolation: int = K.INTER_LINEAR,
         mapy = m1[..., 1].astype(np.float64)
 
     if interp == K.INTER_NEAREST:
-        sx = _sat_i32(np.float32(mapx.astype(np.float32)))
+        sx = _sat_i32(mapx.astype(np.float32))
         sy = _sat_i32(mapy.astype(np.float32))
         y = _remap_fixed(x, sx, sy, None, interp, borderMode, borderValue)
         return from_batched(y, meta)
 
-    # float maps → Q5 fixed (cvRound(x*32), imgwarp.cpp:1787+)
-    X = _sat_i32(mapx * INTER_TAB_SIZE)
-    Y = _sat_i32(mapy * INTER_TAB_SIZE)
-    sx = _sat_i16(X >> INTER_BITS)
-    sy = _sat_i16(Y >> INTER_BITS)
-    fxy = (Y & (INTER_TAB_SIZE - 1)) * INTER_TAB_SIZE + (X & (INTER_TAB_SIZE - 1))
-    y = _remap_fixed(x, sx, sy, fxy, interp, borderMode, borderValue)
+    y = _remap_linear_float(x, mapx, mapy, borderMode, borderValue)
     return from_batched(y, meta)
