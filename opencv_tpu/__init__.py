@@ -58,6 +58,37 @@ from .ops.morph import (
 from .ops.pyramids import pyrDown, pyrUp, buildPyramid
 from .ops.thresh import threshold, adaptiveThreshold
 from .ops.integral import integral, integral2, integral3
+from .ops.corners import (
+    cornerHarris,
+    cornerMinEigenVal,
+    cornerEigenValsAndVecs,
+    goodFeaturesToTrack,
+)
+from .ops.canny import Canny
+from .ops.templmatch import matchTemplate
+from .ops.hist import (
+    calcHist,
+    equalizeHist,
+    compareHist,
+    calcBackProject,
+    createCLAHE,
+)
+from .ops.smooth import medianBlur, bilateralFilter, stackBlur
+from .ops.core_ops import (
+    add, subtract, multiply, divide, absdiff, scaleAdd, addWeighted,
+    bitwise_and, bitwise_or, bitwise_xor, bitwise_not,
+    compare, inRange, LUT, convertScaleAbs, normalize,
+    split, merge, flip, rotate, transpose,
+    minMaxLoc, mean, meanStdDev, norm, countNonZero, sumElems,
+    magnitude, phase, cartToPolar, polarToCart,
+)
+from .ops import core_ops as _core_ops
+min = _core_ops.min  # noqa: A001 — cv2-compatible names
+max = _core_ops.max  # noqa: A001
+exp = _core_ops.exp
+log = _core_ops.log
+sqrt = _core_ops.sqrt
+pow = _core_ops.pow  # noqa: A001
 from .core.borders import copy_make_border as copyMakeBorder
 from .core.borders import border_interpolate as borderInterpolate
 

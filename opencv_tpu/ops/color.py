@@ -318,6 +318,222 @@ def _xyz2rgb(x):
     return y[..., ::-1]
 
 
+
+
+# ----------------------------------------------------------- HSV / HLS
+
+# hue division tables, Q12 (color_hsv.simd.hpp:63-77)
+_HSV_SHIFT = 12
+_SDIV_TABLE = np.zeros(256, np.int64)
+_HDIV_TABLE180 = np.zeros(256, np.int64)
+_HDIV_TABLE256 = np.zeros(256, np.int64)
+for _i in range(1, 256):
+    _SDIV_TABLE[_i] = int(np.rint((255 << _HSV_SHIFT) / (1.0 * _i)))
+    _HDIV_TABLE180[_i] = int(np.rint((180 << _HSV_SHIFT) / (6.0 * _i)))
+    _HDIV_TABLE256[_i] = int(np.rint((256 << _HSV_SHIFT) / (6.0 * _i)))
+
+# sector → (b, g, r) tab indices (HSV2RGB_native, color_hsv.simd.hpp:440)
+_SECTOR_DATA = np.array([[1, 3, 0], [1, 0, 2], [3, 0, 1],
+                         [0, 2, 1], [0, 1, 3], [2, 1, 0]], np.int32)
+
+
+def _rgb2hsv(x, bidx, hrange):
+    if _is_int(x):
+        xi = x.astype(jnp.int32)
+        b = xi[..., bidx]
+        g = xi[..., 1]
+        r = xi[..., 2 - bidx]
+        v = jnp.maximum(jnp.maximum(b, g), r)
+        vmin = jnp.minimum(jnp.minimum(b, g), r)
+        diff = v - vmin
+        sdiv = jnp.asarray(_SDIV_TABLE, jnp.int32)[v]
+        hdiv = jnp.asarray(_HDIV_TABLE180 if hrange == 180 else _HDIV_TABLE256,
+                           jnp.int32)[diff]
+        s = (diff * sdiv + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
+        h0 = jnp.where(v == r, g - b,
+                       jnp.where(v == g, b - r + 2 * diff, r - g + 4 * diff))
+        h = (h0 * hdiv + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
+        h = jnp.where(h < 0, h + hrange, h)
+        out = jnp.stack([h, s, v], axis=-1)
+        return saturate_cast(out, x.dtype)
+    b = x[..., bidx]
+    g = x[..., 1]
+    r = x[..., 2 - bidx]
+    v = jnp.maximum(jnp.maximum(b, g), r)
+    vmin = jnp.minimum(jnp.minimum(b, g), r)
+    diff = v - vmin
+    eps = jnp.float32(np.finfo(np.float32).eps)
+    s = diff / (jnp.abs(v) + eps)
+    d60 = jnp.float32(60.0) / (diff + eps)
+    h = jnp.where(v == r, (g - b) * d60,
+                  jnp.where(v == g, (b - r) * d60 + 120.0,
+                            (r - g) * d60 + 240.0))
+    h = jnp.where(h < 0, h + 360.0, h)
+    hscale = jnp.float32(hrange / 360.0)
+    return jnp.stack([h * hscale, s, v], axis=-1)
+
+
+def _hsv2rgb_native(h, s, v, hscale):
+    """HSV2RGB_native (color_hsv.simd.hpp:430): float sector math."""
+    hh = h * jnp.float32(hscale)
+    sector = jnp.floor(hh)
+    frac = hh - sector
+    sec = sector.astype(jnp.int32) % 6
+    sec = jnp.where(sec < 0, sec + 6, sec)
+    tab0 = v
+    tab1 = v * (1.0 - s)
+    tab2 = v * (1.0 - s * frac)
+    tab3 = v * (1.0 - s * (1.0 - frac))
+    tabs = jnp.stack([tab0, tab1, tab2, tab3], axis=-1)
+    sd = jnp.asarray(_SECTOR_DATA)
+    bi = sd[sec, 0]
+    gi = sd[sec, 1]
+    ri = sd[sec, 2]
+    b = jnp.take_along_axis(tabs, bi[..., None], axis=-1)[..., 0]
+    g = jnp.take_along_axis(tabs, gi[..., None], axis=-1)[..., 0]
+    r = jnp.take_along_axis(tabs, ri[..., None], axis=-1)[..., 0]
+    gray = s == 0
+    return (jnp.where(gray, v, b), jnp.where(gray, v, g),
+            jnp.where(gray, v, r))
+
+
+def _hsv2rgb(x, bidx, hrange):
+    if _is_int(x):
+        xf = x.astype(jnp.float32)
+        h = xf[..., 0]
+        s = xf[..., 1] * jnp.float32(1.0 / 255.0)
+        v = xf[..., 2] * jnp.float32(1.0 / 255.0)
+        b, g, r = _hsv2rgb_native(h, s, v, 6.0 / hrange)
+        chans = [0, 0, 0]
+        chans[bidx] = b
+        chans[1] = g
+        chans[2 - bidx] = r
+        out = jnp.stack(chans, axis=-1) * jnp.float32(255.0)
+        return saturate_cast(out, x.dtype)
+    h = x[..., 0]
+    s = x[..., 1]
+    v = x[..., 2]
+    b, g, r = _hsv2rgb_native(h, s, v, 6.0 / hrange)
+    chans = [0, 0, 0]
+    chans[bidx] = b
+    chans[1] = g
+    chans[2 - bidx] = r
+    return jnp.stack(chans, axis=-1)
+
+
+def _rgb2hls_f(b, g, r, hscale):
+    vmax = jnp.maximum(jnp.maximum(b, g), r)
+    vmin = jnp.minimum(jnp.minimum(b, g), r)
+    diff = vmax - vmin
+    l = (vmax + vmin) * jnp.float32(0.5)
+    eps = np.finfo(np.float32).eps
+    safe_diff = jnp.where(diff > eps, diff, 1.0)
+    s = jnp.where(l < 0.5, diff / (vmax + vmin),
+                  diff / (2.0 - vmax - vmin))
+    d60 = jnp.float32(60.0) / safe_diff
+    h = jnp.where(vmax == r, (g - b) * d60,
+                  jnp.where(vmax == g, (b - r) * d60 + 120.0,
+                            (r - g) * d60 + 240.0))
+    h = jnp.where(h < 0, h + 360.0, h)
+    h = jnp.where(diff > eps, h, 0.0)
+    s = jnp.where(diff > eps, s, 0.0)
+    return h * jnp.float32(hscale), l, s
+
+
+def _rgb2hls(x, bidx, hrange):
+    if _is_int(x):
+        xf = x.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        b = xf[..., bidx]
+        g = xf[..., 1]
+        r = xf[..., 2 - bidx]
+        h, l, s = _rgb2hls_f(b, g, r, hrange / 360.0)
+        out = jnp.stack([h, l * 255.0, s * 255.0], axis=-1)
+        return saturate_cast(out, x.dtype)
+    b = x[..., bidx]
+    g = x[..., 1]
+    r = x[..., 2 - bidx]
+    h, l, s = _rgb2hls_f(b, g, r, hrange / 360.0)
+    return jnp.stack([h, l, s], axis=-1)
+
+
+def _hls2rgb_native(h, l, s, hscale):
+    p2 = jnp.where(l <= 0.5, l * (1.0 + s), l + s - l * s)
+    p1 = 2.0 * l - p2
+    hh = h * jnp.float32(hscale)
+    sector = jnp.floor(hh)
+    frac = hh - sector
+    sec = sector.astype(jnp.int32) % 6
+    sec = jnp.where(sec < 0, sec + 6, sec)
+    tab0 = p2
+    tab1 = p1
+    tab2 = p1 + (p2 - p1) * (1.0 - frac)
+    tab3 = p1 + (p2 - p1) * frac
+    tabs = jnp.stack([tab0, tab1, tab2, tab3], axis=-1)
+    sd = jnp.asarray(_SECTOR_DATA)
+    b = jnp.take_along_axis(tabs, sd[sec, 0][..., None], axis=-1)[..., 0]
+    g = jnp.take_along_axis(tabs, sd[sec, 1][..., None], axis=-1)[..., 0]
+    r = jnp.take_along_axis(tabs, sd[sec, 2][..., None], axis=-1)[..., 0]
+    gray = s == 0
+    return (jnp.where(gray, l, b), jnp.where(gray, l, g),
+            jnp.where(gray, l, r))
+
+
+def _hls2rgb(x, bidx, hrange):
+    if _is_int(x):
+        xf = x.astype(jnp.float32)
+        h = xf[..., 0]
+        l = xf[..., 1] * jnp.float32(1.0 / 255.0)
+        s = xf[..., 2] * jnp.float32(1.0 / 255.0)
+        b, g, r = _hls2rgb_native(h, l, s, 6.0 / hrange)
+        chans = [0, 0, 0]
+        chans[bidx] = b
+        chans[1] = g
+        chans[2 - bidx] = r
+        out = jnp.stack(chans, axis=-1) * jnp.float32(255.0)
+        return saturate_cast(out, x.dtype)
+    h = x[..., 0]
+    l = x[..., 1]
+    s = x[..., 2]
+    b, g, r = _hls2rgb_native(h, l, s, 6.0 / hrange)
+    chans = [0, 0, 0]
+    chans[bidx] = b
+    chans[1] = g
+    chans[2 - bidx] = r
+    return jnp.stack(chans, axis=-1)
+
+
+def _hrange_f(x, full):
+    if _is_int(x):
+        return 256 if full else 180
+    return 360
+
+
+def _hrange_inv(x, full):
+    # inverse u8 conversions treat full-range hue as 255 (color.cpp
+    # dispatch: h_range = fullRange ? 255 : 180)
+    if _is_int(x):
+        return 255 if full else 180
+    return 360
+
+
+for _code, _bidx, _full, _fn in [
+    (K.COLOR_BGR2HSV, 0, False, _rgb2hsv), (K.COLOR_RGB2HSV, 2, False, _rgb2hsv),
+    (K.COLOR_BGR2HSV_FULL, 0, True, _rgb2hsv), (K.COLOR_RGB2HSV_FULL, 2, True, _rgb2hsv),
+    (K.COLOR_HSV2BGR, 0, False, _hsv2rgb), (K.COLOR_HSV2RGB, 2, False, _hsv2rgb),
+    (K.COLOR_HSV2BGR_FULL, 0, "inv", _hsv2rgb), (K.COLOR_HSV2RGB_FULL, 2, "inv", _hsv2rgb),
+    (K.COLOR_BGR2HLS, 0, False, _rgb2hls), (K.COLOR_RGB2HLS, 2, False, _rgb2hls),
+    (K.COLOR_BGR2HLS_FULL, 0, True, _rgb2hls), (K.COLOR_RGB2HLS_FULL, 2, True, _rgb2hls),
+    (K.COLOR_HLS2BGR, 0, False, _hls2rgb), (K.COLOR_HLS2RGB, 2, False, _hls2rgb),
+    (K.COLOR_HLS2BGR_FULL, 0, "inv", _hls2rgb), (K.COLOR_HLS2RGB_FULL, 2, "inv", _hls2rgb),
+]:
+    def _mk(bidx=_bidx, full=_full, fn=_fn):
+        def conv(x):
+            if full == "inv":
+                return fn(x, bidx, _hrange_inv(x, True))
+            return fn(x, bidx, _hrange_f(x, full))
+        return conv
+    _REGISTRY[_code] = _mk()
+
 # --------------------------------------------------------------- public
 
 def cvtColor(src, code: int, dstCn: int = 0):

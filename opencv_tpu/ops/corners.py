@@ -1,0 +1,180 @@
+"""Corner detectors: cornerHarris / cornerMinEigenVal /
+cornerEigenValsAndVecs / goodFeaturesToTrack (imgproc/src/corner.cpp,
+featureselect.cpp).
+
+TPU-native design: the covariance pipeline (Sobel dx,dy → 3 per-pixel
+products → unnormalized box sum → per-pixel response) is pure fused VPU
+work over the NHWC batch.  goodFeaturesToTrack's data-dependent output is
+split TPU-first: response + 3×3-dilate NMS + validity mask run on device
+(`good_features_response`), and the tiny greedy min-distance tail runs on
+host — mirroring how the reference itself splits parallel scoring from the
+sequential grid filter (featureselect.cpp:185-240).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import constants as K
+from ..core.arrays import to_batched, from_batched
+from .deriv import Sobel
+from .filter import boxFilter
+from .morph import dilate
+
+__all__ = ["cornerHarris", "cornerMinEigenVal", "cornerEigenValsAndVecs",
+           "goodFeaturesToTrack", "good_features_response"]
+
+
+def _corner_cov(x, blockSize: int, ksize: int, borderType: int):
+    """Sobel-derivative covariance triplet (corner.cpp cornerEigenValsVecs).
+
+    Returns (a, b, c) = box-summed (dx², dx·dy, dy²) · scale², f32 NHWC.
+    """
+    aperture = ksize if ksize > 0 else 3
+    scale = float(1 << (aperture - 1)) * blockSize
+    if x.dtype == jnp.uint8:
+        scale *= 255.0
+    scale = 1.0 / scale
+
+    src = from_batched(x, "nhwc")
+    dx, _ = to_batched(Sobel(src, K.CV_32F, 1, 0, ksize=ksize, scale=scale,
+                             borderType=borderType))
+    dy, _ = to_batched(Sobel(src, K.CV_32F, 0, 1, ksize=ksize, scale=scale,
+                             borderType=borderType))
+    covs = []
+    for prod in (dx * dx, dx * dy, dy * dy):
+        s, _ = to_batched(boxFilter(from_batched(prod, "nhwc"), -1,
+                                    (blockSize, blockSize), normalize=False,
+                                    borderType=borderType))
+        covs.append(s)
+    return covs
+
+
+def cornerHarris(src, blockSize: int, ksize: int, k: float,
+                 borderType: int = K.BORDER_DEFAULT):
+    """Harris response `det(M) − k·trace(M)²` (corner.cpp:104-123)."""
+    x, meta = to_batched(src)
+    a, b, c = _corner_cov(x, blockSize, ksize, borderType)
+    kf = jnp.float32(k)
+    r = a * c - b * b - kf * (a + c) * (a + c)
+    return from_batched(r, meta)
+
+
+def cornerMinEigenVal(src, blockSize: int, ksize: int = 3,
+                      borderType: int = K.BORDER_DEFAULT):
+    """Smaller eigenvalue of M (corner.cpp:52-72)."""
+    x, meta = to_batched(src)
+    a, b, c = _corner_cov(x, blockSize, ksize, borderType)
+    a = a * 0.5
+    c = c * 0.5
+    r = (a + c) - jnp.sqrt((a - c) * (a - c) + b * b)
+    return from_batched(r, meta)
+
+
+def cornerEigenValsAndVecs(src, blockSize: int, ksize: int,
+                           borderType: int = K.BORDER_DEFAULT):
+    """(λ1, λ2, x1, y1, x2, y2) 6-channel output (corner.cpp calcEigenValsVecs)."""
+    x, meta = to_batched(src)
+    a, b, c = _corner_cov(x, blockSize, ksize, borderType)
+    u = (a + c) * 0.5
+    v = jnp.sqrt(((a - c) * 0.5) ** 2 + b * b)
+    l1 = u + v
+    l2 = u - v
+    # eigenvectors of [[a, b], [b, c]] for λ: (b, λ - a) normalized
+    def evec(lam):
+        vx = b
+        vy = lam - a
+        n = jnp.sqrt(vx * vx + vy * vy)
+        bad = n < 1e-12
+        nx = jnp.where(bad, 1.0, vx / jnp.where(bad, 1.0, n))
+        ny = jnp.where(bad, 0.0, vy / jnp.where(bad, 1.0, n))
+        return nx, ny
+
+    x1, y1 = evec(l1)
+    x2, y2 = evec(l2)
+    out = jnp.concatenate([l1, l2, x1, y1, x2, y2], axis=-1)
+    return from_batched(out, meta)
+
+
+def good_features_response(src, maxCorners: int, qualityLevel: float,
+                           blockSize: int = 3, gradientSize: int = 3,
+                           useHarrisDetector: bool = False, k: float = 0.04,
+                           mask=None):
+    """Device part of goodFeaturesToTrack: returns (eig, nms_mask) where
+    nms_mask marks strict 3×3 local maxima above qualityLevel·max
+    (featureselect.cpp:366-440), excluding the 1-px image border."""
+    x, meta = to_batched(src)
+    if useHarrisDetector:
+        eig, _ = to_batched(cornerHarris(from_batched(x, "nhwc"), blockSize,
+                                         gradientSize, k))
+    else:
+        eig, _ = to_batched(cornerMinEigenVal(from_batched(x, "nhwc"),
+                                              blockSize, gradientSize))
+    if mask is not None:
+        m, _ = to_batched(mask)
+        eig = jnp.where(m != 0, eig, jnp.float32(-np.inf))
+    maxv = jnp.max(eig, axis=(1, 2, 3), keepdims=True)
+    thr = maxv * jnp.float32(qualityLevel)
+    eig = jnp.where(eig > thr, eig, 0.0)  # THRESH_TOZERO
+    dil, _ = to_batched(dilate(from_batched(eig, "nhwc")))
+    sel = (eig != 0) & (eig == dil)
+    # exclude 1-px border (reference loops 1..rows-2)
+    N, H, W, C = eig.shape
+    border = np.zeros((1, H, W, 1), bool)
+    border[:, 1:H - 1, 1:W - 1, :] = True
+    sel = sel & jnp.asarray(border)
+    return eig, sel
+
+
+def goodFeaturesToTrack(image, maxCorners: int, qualityLevel: float,
+                        minDistance: float, mask=None, blockSize: int = 3,
+                        gradientSize: int = 3, useHarrisDetector: bool = False,
+                        k: float = 0.04):
+    """cv2-compatible GFTT. Returns an (N, 1, 2) float32 numpy array (the
+    greedy min-distance grid filter is a host tail, like the reference's
+    sequential pass)."""
+    eig, sel = good_features_response(image, maxCorners, qualityLevel,
+                                      blockSize, gradientSize,
+                                      useHarrisDetector, k, mask)
+    eig_np = np.asarray(eig)[0, :, :, 0]
+    sel_np = np.asarray(sel)[0, :, :, 0]
+    ys, xs = np.nonzero(sel_np)
+    vals = eig_np[ys, xs]
+    order = np.argsort(-vals, kind="stable")
+    ys, xs = ys[order], xs[order]
+
+    H, W = eig_np.shape
+    if minDistance >= 1:
+        cell = int(minDistance)
+        gw = (W + cell - 1) // cell
+        gh = (H + cell - 1) // cell
+        grid = [[[] for _ in range(gw)] for _ in range(gh)]
+        md2 = minDistance * minDistance
+        out = []
+        for y, x in zip(ys.tolist(), xs.tolist()):
+            gx, gy = x // cell, y // cell
+            ok = True
+            for yy in range(max(gy - 1, 0), min(gy + 2, gh)):
+                for xx in range(max(gx - 1, 0), min(gx + 2, gw)):
+                    for (py, px) in grid[yy][xx]:
+                        if (px - x) ** 2 + (py - y) ** 2 < md2:
+                            ok = False
+                            break
+                    if not ok:
+                        break
+                if not ok:
+                    break
+            if ok:
+                grid[gy][gx].append((y, x))
+                out.append((x, y))
+                if maxCorners > 0 and len(out) >= maxCorners:
+                    break
+    else:
+        out = list(zip(xs.tolist(), ys.tolist()))
+        if maxCorners > 0:
+            out = out[:maxCorners]
+
+    if not out:
+        return None
+    return np.asarray(out, np.float32).reshape(-1, 1, 2)

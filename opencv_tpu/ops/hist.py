@@ -1,0 +1,276 @@
+"""Histograms: calcHist / equalizeHist / compareHist / calcBackProject /
+CLAHE (imgproc/src/histogram.cpp, clahe.cpp).
+
+TPU-native: histograms are one-hot scatter-adds (`jnp.bincount` /
+segment sums) which XLA lowers to efficient sorted-segment reductions;
+equalizeHist is a LUT built from a cumsum (histogram.cpp:3436 exact
+semantics); CLAHE becomes a tiled histogram + clip + per-tile LUT and a
+bilinear LUT interpolation gather — all batched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import constants as K
+from ..core.arrays import to_batched, from_batched
+
+__all__ = ["calcHist", "equalizeHist", "compareHist", "calcBackProject",
+           "createCLAHE", "CLAHE"]
+
+
+def _bin_index(x, hist_size: int, lo: float, hi: float):
+    xf = x.astype(jnp.float32)
+    scale = hist_size / (hi - lo)
+    idx = jnp.floor((xf - lo) * scale).astype(jnp.int32)
+    valid = (xf >= lo) & (xf < hi)
+    return idx, valid
+
+
+def calcHist(images, channels, mask, histSize, ranges, accumulate=False):
+    """cv2-compatible calcHist for 1-D and 2-D histograms (uniform bins).
+
+    Returns float32 array of shape (histSize[0], 1) or (h0, h1).
+    """
+    imgs = [to_batched(im)[0] for im in images]
+
+    def chan(ci):
+        # channels index across the concatenated image list, cv2-style
+        for im in imgs:
+            if ci < im.shape[-1]:
+                return im[..., ci]
+            ci -= im.shape[-1]
+        raise ValueError("channel index out of range")
+
+    if mask is not None:
+        m, _ = to_batched(mask)
+        mvalid = (m[..., 0] != 0)
+    else:
+        mvalid = None
+
+    if len(channels) == 1:
+        n = int(histSize[0])
+        lo, hi = float(ranges[0]), float(ranges[1])
+        idx, valid = _bin_index(chan(channels[0]), n, lo, hi)
+        if mvalid is not None:
+            valid = valid & mvalid
+        idx = jnp.where(valid, idx, n)  # overflow bin, dropped
+        h = jnp.bincount(idx.reshape(-1), length=n + 1)[:n]
+        return h.astype(jnp.float32)  # (n,) — cv2 5.x returns 1-D
+
+    if len(channels) == 2:
+        n0, n1 = int(histSize[0]), int(histSize[1])
+        lo0, hi0, lo1, hi1 = [float(r) for r in ranges[:4]]
+        i0, v0 = _bin_index(chan(channels[0]), n0, lo0, hi0)
+        i1, v1 = _bin_index(chan(channels[1]), n1, lo1, hi1)
+        valid = v0 & v1
+        if mvalid is not None:
+            valid = valid & mvalid
+        flat = jnp.where(valid, i0 * n1 + i1, n0 * n1)
+        h = jnp.bincount(flat.reshape(-1), length=n0 * n1 + 1)[:n0 * n1]
+        return h.astype(jnp.float32).reshape(n0, n1)
+
+    raise NotImplementedError("calcHist: >2 channels not yet implemented")
+
+
+def _equalize_lut(hist, total):
+    """LUT per histogram.cpp:3436: scale = 255/(total - hist[i0]),
+    lut[i0] = 0, lut[i] = saturate(rint(cumsum·scale))."""
+    nz = hist > 0
+    i0 = jnp.argmax(nz)
+    h0 = hist[i0]
+    scale = 255.0 / jnp.maximum((total - h0).astype(jnp.float32), 1.0)
+    idx = jnp.arange(256)
+    masked = jnp.where(idx > i0, hist, 0)
+    csum = jnp.cumsum(masked)
+    lut = jnp.clip(jnp.rint(csum.astype(jnp.float32) * scale), 0, 255)
+    lut = jnp.where(idx <= i0, jnp.where(idx == i0, 0.0, 0.0), lut)
+    # degenerate single-bin image → constant i0
+    lut = jnp.where(h0 == total, i0.astype(jnp.float32), lut)
+    return lut.astype(jnp.uint8)
+
+
+def equalizeHist(src):
+    """`cv::equalizeHist` (histogram.cpp:3436), per image in the batch."""
+    x, meta = to_batched(src)
+    N, H, W, C = x.shape
+    assert C == 1, "equalizeHist requires single-channel input"
+    total = H * W
+
+    def one(img):
+        hist = jnp.bincount(img.reshape(-1).astype(jnp.int32), length=256)
+        lut = _equalize_lut(hist, total)
+        return lut[img.astype(jnp.int32)]
+
+    y = jnp.stack([one(x[i]) for i in range(N)]) if N > 1 else one(x[0])[None]
+    return from_batched(y, meta)
+
+
+def compareHist(h1, h2, method: int):
+    """`cv::compareHist` (histogram.cpp)."""
+    a = jnp.asarray(h1, jnp.float32).reshape(-1)
+    b = jnp.asarray(h2, jnp.float32).reshape(-1)
+    if method == K.HISTCMP_CORREL:
+        am = a - jnp.mean(a)
+        bm = b - jnp.mean(b)
+        num = jnp.sum(am * bm)
+        den = jnp.sqrt(jnp.sum(am * am) * jnp.sum(bm * bm))
+        return float(jnp.where(jnp.abs(den) > np.finfo(np.float64).eps,
+                               num / den, 1.0))
+    if method == K.HISTCMP_CHISQR:
+        d = a - b
+        return float(jnp.sum(jnp.where(jnp.abs(a) > 2.2e-16, d * d / a, 0.0)))
+    if method == K.HISTCMP_CHISQR_ALT:
+        d = a - b
+        s = a + b
+        return float(2 * jnp.sum(jnp.where(jnp.abs(s) > 2.2e-16, d * d / s, 0.0)))
+    if method == K.HISTCMP_INTERSECT:
+        return float(jnp.sum(jnp.minimum(a, b)))
+    if method == K.HISTCMP_BHATTACHARYYA:
+        s1 = jnp.sum(a)
+        s2 = jnp.sum(b)
+        num = jnp.sum(jnp.sqrt(a * b))
+        den = jnp.sqrt(s1 * s2)
+        v = jnp.sqrt(jnp.maximum(1.0 - num / jnp.maximum(den, 1e-30), 0.0))
+        return float(v)
+    if method == K.HISTCMP_KL_DIV:
+        return float(jnp.sum(jnp.where(
+            a > 2.2e-16,
+            a * jnp.log(a / jnp.where(b > 2.2e-16, b, 2.2e-16)),
+            0.0)))
+    raise ValueError(f"unknown compareHist method {method}")
+
+
+def calcBackProject(images, channels, hist, ranges, scale: float = 1.0):
+    """`cv::calcBackProject` for 1-D/2-D histograms."""
+    x, meta = to_batched(images[0])
+    h = jnp.asarray(hist, jnp.float32)
+    if h.ndim == 2 and h.shape[1] == 1:
+        h = h[:, 0]
+    if h.ndim == 1 and len(channels) == 1:
+        n = h.shape[0]
+        lo, hi = float(ranges[0]), float(ranges[1])
+        idx, valid = _bin_index(x[..., channels[0]], n, lo, hi)
+        vals = h[jnp.clip(idx, 0, n - 1)] * scale
+        out = jnp.where(valid, vals, 0.0)
+    elif len(channels) == 2:
+        n0, n1 = h.shape
+        lo0, hi0, lo1, hi1 = [float(r) for r in ranges[:4]]
+        i0, v0 = _bin_index(x[..., channels[0]], n0, lo0, hi0)
+        i1, v1 = _bin_index(x[..., channels[1]], n1, lo1, hi1)
+        vals = h[jnp.clip(i0, 0, n0 - 1), jnp.clip(i1, 0, n1 - 1)] * scale
+        out = jnp.where(v0 & v1, vals, 0.0)
+    else:
+        raise NotImplementedError
+    if x.dtype == jnp.uint8:
+        out = jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)
+    return from_batched(out[..., None], meta)
+
+
+class CLAHE:
+    """Contrast-limited adaptive histogram equalization (clahe.cpp).
+
+    Device pipeline: tile histograms → clip + redistribute → per-tile
+    CDF LUTs → bilinear interpolation between the 4 surrounding tile LUTs.
+    """
+
+    def __init__(self, clipLimit=40.0, tileGridSize=(8, 8)):
+        self.clip_limit = clipLimit
+        self.tiles = tuple(tileGridSize)
+
+    def setClipLimit(self, v):
+        self.clip_limit = v
+
+    def setTilesGridSize(self, t):
+        self.tiles = tuple(t)
+
+    def getClipLimit(self):
+        return self.clip_limit
+
+    def getTilesGridSize(self):
+        return self.tiles
+
+    def apply(self, src):
+        x, meta = to_batched(src)
+        N, H, W, C = x.shape
+        assert C == 1 and x.dtype == jnp.uint8
+        tx, ty = self.tiles
+        # reference pads the image to a multiple of the grid with
+        # BORDER_REFLECT_101 (clahe.cpp CLAHE_Impl::apply)
+        ph = (ty - H % ty) % ty
+        pw = (tx - W % tx) % tx
+        from ..core.borders import pad_nhwc
+        xp = pad_nhwc(x, 0, ph, 0, pw, K.BORDER_REFLECT_101)
+        Hp, Wp = H + ph, W + pw
+        th, tw = Hp // ty, Wp // tx
+        tile_area = th * tw
+
+        if self.clip_limit > 0:
+            clip = max(int(self.clip_limit * tile_area / 256), 1)
+        else:
+            clip = 0
+
+        tiles = xp.reshape(N, ty, th, tx, tw, 1).transpose(0, 1, 3, 2, 4, 5)
+        tiles = tiles.reshape(N, ty * tx, th * tw)
+        oneh = jax.nn.one_hot(tiles.astype(jnp.int32), 256, dtype=jnp.float32)
+        hist = oneh.sum(axis=2)  # (N, tiles, 256)
+
+        if clip > 0:
+            # exact integer redistribution (clahe.cpp calcLut):
+            # hist = min(hist, clip) + total_clipped/256, then the residual
+            # goes to bins 0, step, 2*step, ... with step = 256/residual
+            clipped = jnp.minimum(hist, clip)
+            total_clipped = (hist - clipped).sum(axis=2, keepdims=True)
+            redist = jnp.floor(total_clipped / 256.0)
+            residual = total_clipped - redist * 256.0
+            step = jnp.maximum(jnp.floor(256.0 / jnp.maximum(residual, 1.0)),
+                               1.0)
+            idx = jnp.arange(256, dtype=jnp.float32)[None, None, :]
+            gets_residual = (jnp.floor(idx / step) * step == idx) \
+                & (idx < residual * step)
+            hist = clipped + redist + jnp.where(
+                (residual > 0) & gets_residual, 1.0, 0.0)
+
+        lut_scale = 255.0 / tile_area
+        cdf = jnp.cumsum(hist, axis=2)
+        luts = jnp.clip(jnp.rint(cdf * lut_scale), 0, 255)  # (N, T, 256)
+
+        # bilinear interpolation of tile LUTs per pixel
+        ys = jnp.arange(Hp, dtype=jnp.float32)
+        xs = jnp.arange(Wp, dtype=jnp.float32)
+        tyf = (ys + 0.5) / th - 0.5
+        txf = (xs + 0.5) / tw - 0.5
+        ty0 = jnp.clip(jnp.floor(tyf).astype(jnp.int32), 0, ty - 1)
+        tx0 = jnp.clip(jnp.floor(txf).astype(jnp.int32), 0, tx - 1)
+        ty1 = jnp.clip(ty0 + 1, 0, ty - 1)
+        tx1 = jnp.clip(tx0 + 1, 0, tx - 1)
+        fy = jnp.clip(tyf - jnp.floor(tyf), 0.0, 1.0)
+        fx = jnp.clip(txf - jnp.floor(txf), 0.0, 1.0)
+        fy = jnp.where(tyf < 0, 0.0, jnp.where(tyf > ty - 1, 1.0, fy))
+        fx = jnp.where(txf < 0, 0.0, jnp.where(txf > tx - 1, 1.0, fx))
+
+        pix = xp[..., 0].astype(jnp.int32)  # (N, Hp, Wp)
+
+        nidx = jnp.arange(N)[:, None, None]
+
+        def lut_at(tyi, txi):
+            tid = (tyi[:, None] * tx + txi[None, :])[None]  # (1, Hp, Wp)
+            return luts[nidx, tid, pix]                     # (N, Hp, Wp)
+
+        v00 = lut_at(ty0, tx0)
+        v01 = lut_at(ty0, tx1)
+        v10 = lut_at(ty1, tx0)
+        v11 = lut_at(ty1, tx1)
+        fyb = fy[None, :, None]
+        fxb = fx[None, None, :]
+        out = (v00 * (1 - fyb) * (1 - fxb) + v01 * (1 - fyb) * fxb
+               + v10 * fyb * (1 - fxb) + v11 * fyb * fxb)
+        out = jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)
+        out = out[:, :H, :W, None]
+        return from_batched(out, meta)
+
+
+def createCLAHE(clipLimit=40.0, tileGridSize=(8, 8)):
+    return CLAHE(clipLimit, tileGridSize)

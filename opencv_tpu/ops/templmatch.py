@@ -1,0 +1,103 @@
+"""matchTemplate — all 6 TM_* modes (imgproc/src/templmatch.cpp).
+
+TPU-native design: the reference uses blocked FFT correlation
+(`crossCorr`, templmatch.cpp:566) because CPU direct convolution is slow;
+on TPU the cross-correlation IS a conv — `lax.conv_general_dilated` with
+the template as the kernel runs on the MXU, and the normalization terms
+come from integral-image window sums (cumsum) fused around it
+(`common_matchTemplate` math, templmatch.cpp:906).
+
+float32 accumulation throughout (the reference mixes f32 FFT + f64
+integrals); documented tolerance ~1e-4 relative on NORMED outputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from .. import constants as K
+from ..core.arrays import to_batched, from_batched
+
+__all__ = ["matchTemplate"]
+
+
+def _window_sums(x, th, tw):
+    """Sliding-window sums of x and x² over th×tw windows (valid), summed
+    over channels: returns (wsum, wsum2), shape (N, H-th+1, W-tw+1, 1)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.cumsum(jnp.cumsum(xf, axis=1), axis=2)
+    s = jnp.pad(s, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    s2 = jnp.cumsum(jnp.cumsum(xf * xf, axis=1), axis=2)
+    s2 = jnp.pad(s2, ((0, 0), (1, 0), (1, 0), (0, 0)))
+
+    def win(S):
+        H = x.shape[1] - th + 1
+        W = x.shape[2] - tw + 1
+        return (S[:, th:th + H, tw:tw + W, :] - S[:, th:th + H, 0:W, :]
+                - S[:, 0:H, tw:tw + W, :] + S[:, 0:H, 0:W, :])
+
+    return (win(s).sum(axis=-1, keepdims=True),
+            win(s2).sum(axis=-1, keepdims=True))
+
+
+def _cross_corr(x, t):
+    """Valid cross-correlation summed over channels: (N, H-th+1, W-tw+1, 1)."""
+    C = x.shape[3]
+    k = t.astype(jnp.float32)[:, :, :, None]  # (th, tw, C, 1) HWIO
+    return lax.conv_general_dilated(
+        x.astype(jnp.float32), k, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def matchTemplate(image, templ, method: int, mask=None):
+    """cv2-compatible matchTemplate; result is (H-th+1)×(W-tw+1) float32."""
+    if mask is not None:
+        raise NotImplementedError("masked matchTemplate not yet implemented")
+    x, meta = to_batched(image)
+    t, _ = to_batched(templ)
+    t3 = t[0]  # (th, tw, C)
+    th, tw, C = t3.shape
+    area = float(th * tw * C)
+
+    corr = _cross_corr(x, t3)
+
+    if method == K.TM_CCORR:
+        out = corr
+    elif method == K.TM_CCORR_NORMED:
+        wsum, wsum2 = _window_sums(x, th, tw)
+        tnorm2 = jnp.sum(t3.astype(jnp.float32) ** 2)
+        den = jnp.sqrt(jnp.maximum(tnorm2 * wsum2, 0.0))
+        out = jnp.where(den > 0, corr / den, 1.0)
+    elif method == K.TM_SQDIFF:
+        wsum, wsum2 = _window_sums(x, th, tw)
+        tnorm2 = jnp.sum(t3.astype(jnp.float32) ** 2)
+        out = jnp.maximum(wsum2 - 2.0 * corr + tnorm2, 0.0)
+    elif method == K.TM_SQDIFF_NORMED:
+        wsum, wsum2 = _window_sums(x, th, tw)
+        tnorm2 = jnp.sum(t3.astype(jnp.float32) ** 2)
+        num = jnp.maximum(wsum2 - 2.0 * corr + tnorm2, 0.0)
+        den = jnp.sqrt(jnp.maximum(tnorm2 * wsum2, 0.0))
+        out = jnp.where(den > 0, num / den, 1.0)
+    elif method in (K.TM_CCOEFF, K.TM_CCOEFF_NORMED):
+        wsum, wsum2 = _window_sums(x, th, tw)
+        tf = t3.astype(jnp.float32)
+        tmean = jnp.mean(tf)
+        num = corr - wsum * tmean
+        if method == K.TM_CCOEFF:
+            out = num
+        else:
+            tvar = jnp.sum((tf - tmean) ** 2)
+            wvar = jnp.maximum(wsum2 - wsum * wsum / area, 0.0)
+            den = jnp.sqrt(jnp.maximum(tvar * wvar, 0.0))
+            # flat-patch guards (templmatch.cpp:1005-1016)
+            out = jnp.where(den > jnp.abs(num) * 1e-7, num / den,
+                            jnp.where(jnp.abs(num) < 1e-7, 0.0,
+                                      jnp.sign(num)))
+    else:
+        raise ValueError(f"unknown matchTemplate method {method}")
+
+    return from_batched(out, meta)

@@ -1,0 +1,226 @@
+"""Corners/GFTT, Canny, matchTemplate, histograms, median/bilateral vs cv2."""
+
+import numpy as np
+import pytest
+
+from common import cv2, rand_img, assert_exact, assert_near
+
+import opencv_tpu as tcv
+
+
+def _smooth_img(rng, h, w):
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    return cv2.GaussianBlur(img, (5, 5), 1.5)
+
+
+# ------------------------------------------------------------------ corners
+
+def test_corner_harris():
+    rng = np.random.default_rng(0)
+    img = _smooth_img(rng, 64, 64)
+    ref = cv2.cornerHarris(img, 2, 3, 0.04)
+    ours = np.asarray(tcv.cornerHarris(img, 2, 3, 0.04))
+    assert_near(ours, ref, atol=1e-6)
+
+
+def test_corner_min_eigen_val():
+    rng = np.random.default_rng(1)
+    img = _smooth_img(rng, 48, 52)
+    ref = cv2.cornerMinEigenVal(img, 3, 3)
+    ours = np.asarray(tcv.cornerMinEigenVal(img, 3, 3))
+    assert_near(ours, ref, atol=1e-6)
+
+
+def test_corner_eigen_vals_vecs():
+    rng = np.random.default_rng(2)
+    img = _smooth_img(rng, 32, 32)
+    ref = cv2.cornerEigenValsAndVecs(img, 3, 3)
+    ours = np.asarray(tcv.cornerEigenValsAndVecs(img, 3, 3))
+    # eigenvalues must match; eigenvector signs may flip
+    assert_near(ours[..., :2], ref[..., :2], atol=1e-5)
+
+
+def test_gftt():
+    rng = np.random.default_rng(3)
+    img = _smooth_img(rng, 96, 128)
+    ref = cv2.goodFeaturesToTrack(img, 40, 0.05, 10)
+    ours = tcv.goodFeaturesToTrack(img, 40, 0.05, 10)
+    refset = {tuple(p) for p in ref.reshape(-1, 2).astype(int).tolist()}
+    ourset = {tuple(p) for p in ours.reshape(-1, 2).astype(int).tolist()}
+    inter = len(refset & ourset)
+    # tie order in the reference sort is unspecified (SURVEY §8.8) —
+    # demand high overlap rather than equality
+    assert inter >= 0.85 * max(len(refset), len(ourset)), \
+        f"{inter}/{len(refset)} vs {len(ourset)}"
+
+
+def test_gftt_harris():
+    rng = np.random.default_rng(4)
+    img = _smooth_img(rng, 64, 96)
+    ref = cv2.goodFeaturesToTrack(img, 20, 0.05, 8, useHarrisDetector=True, k=0.04)
+    ours = tcv.goodFeaturesToTrack(img, 20, 0.05, 8, useHarrisDetector=True, k=0.04)
+    refset = {tuple(p) for p in ref.reshape(-1, 2).astype(int).tolist()}
+    ourset = {tuple(p) for p in ours.reshape(-1, 2).astype(int).tolist()}
+    assert len(refset & ourset) >= 0.8 * max(len(refset), len(ourset))
+
+
+# -------------------------------------------------------------------- canny
+
+@pytest.mark.parametrize("l2", [False, True])
+@pytest.mark.parametrize("thresh", [(50, 150), (100, 200)])
+def test_canny(l2, thresh):
+    rng = np.random.default_rng(5)
+    img = _smooth_img(rng, 64, 80)
+    ref = cv2.Canny(img, *thresh, L2gradient=l2)
+    ours = np.asarray(tcv.Canny(img, *thresh, L2gradient=l2))
+    diff = np.count_nonzero(ref != ours)
+    assert diff <= ref.size * 0.002, f"{diff} px differ of {ref.size}"
+
+
+def test_canny_aperture5():
+    rng = np.random.default_rng(6)
+    img = _smooth_img(rng, 48, 48)
+    ref = cv2.Canny(img, 200, 400, apertureSize=5)
+    ours = np.asarray(tcv.Canny(img, 200, 400, apertureSize=5))
+    diff = np.count_nonzero(ref != ours)
+    assert diff <= ref.size * 0.002, f"{diff} px differ"
+
+
+# ----------------------------------------------------------- matchTemplate
+
+@pytest.mark.parametrize("method", [cv2.TM_SQDIFF, cv2.TM_SQDIFF_NORMED,
+                                    cv2.TM_CCORR, cv2.TM_CCORR_NORMED,
+                                    cv2.TM_CCOEFF, cv2.TM_CCOEFF_NORMED])
+def test_match_template_u8(method):
+    rng = np.random.default_rng(7)
+    img = rand_img(rng, 64, 80, 1)
+    templ = img[20:36, 30:50].copy()
+    ref = cv2.matchTemplate(img, templ, method)
+    ours = np.asarray(tcv.matchTemplate(img, templ, method))
+    rel = np.abs(ref).max() + 1e-5
+    assert_near(ours / rel, ref / rel, atol=1e-4, msg=f"method {method}")
+    # argmax/argmin position must agree
+    if method in (cv2.TM_SQDIFF, cv2.TM_SQDIFF_NORMED):
+        assert np.unravel_index(ours.argmin(), ours.shape) == \
+            np.unravel_index(ref.argmin(), ref.shape)
+    else:
+        assert np.unravel_index(ours.argmax(), ours.shape) == \
+            np.unravel_index(ref.argmax(), ref.shape)
+
+
+def test_match_template_color():
+    rng = np.random.default_rng(8)
+    img = rand_img(rng, 48, 64, 3)
+    templ = img[10:26, 20:36].copy()
+    ref = cv2.matchTemplate(img, templ, cv2.TM_CCOEFF_NORMED)
+    ours = np.asarray(tcv.matchTemplate(img, templ, tcv.TM_CCOEFF_NORMED))
+    assert_near(ours, ref, atol=8e-3)
+
+
+# --------------------------------------------------------------- histograms
+
+def test_calc_hist_1d():
+    rng = np.random.default_rng(9)
+    img = rand_img(rng, 40, 40, 1)
+    ref = cv2.calcHist([img], [0], None, [256], [0, 256])
+    ours = np.asarray(tcv.calcHist([img], [0], None, [256], [0, 256]))
+    assert_near(ours.reshape(ref.shape), ref, atol=0)
+
+
+def test_calc_hist_bins_mask():
+    rng = np.random.default_rng(10)
+    img = rand_img(rng, 40, 40, 1)
+    mask = (rng.random((40, 40)) > 0.5).astype(np.uint8) * 255
+    ref = cv2.calcHist([img], [0], mask, [32], [0, 256])
+    ours = np.asarray(tcv.calcHist([img], [0], mask, [32], [0, 256]))
+    assert_near(ours.reshape(ref.shape), ref, atol=0)
+
+
+def test_calc_hist_2d():
+    rng = np.random.default_rng(11)
+    img = rand_img(rng, 40, 40, 3)
+    hsv = cv2.cvtColor(img, cv2.COLOR_BGR2YCrCb)
+    ref = cv2.calcHist([hsv], [0, 1], None, [30, 32], [0, 256, 0, 256])
+    ours = np.asarray(tcv.calcHist([hsv], [0, 1], None, [30, 32],
+                                   [0, 256, 0, 256]))
+    assert_near(ours, ref, atol=0)
+
+
+def test_equalize_hist():
+    rng = np.random.default_rng(12)
+    img = np.clip(rng.normal(120, 30, (48, 56)), 0, 255).astype(np.uint8)
+    ref = cv2.equalizeHist(img)
+    ours = np.asarray(tcv.equalizeHist(img))
+    assert_exact(ours, ref)
+
+
+@pytest.mark.parametrize("method", [cv2.HISTCMP_CORREL, cv2.HISTCMP_CHISQR,
+                                    cv2.HISTCMP_INTERSECT,
+                                    cv2.HISTCMP_BHATTACHARYYA,
+                                    cv2.HISTCMP_CHISQR_ALT,
+                                    cv2.HISTCMP_KL_DIV])
+def test_compare_hist(method):
+    rng = np.random.default_rng(13)
+    a = rand_img(rng, 32, 32, 1)
+    b = rand_img(rng, 32, 32, 1)
+    h1 = cv2.calcHist([a], [0], None, [64], [0, 256])
+    h2 = cv2.calcHist([b], [0], None, [64], [0, 256])
+    ref = cv2.compareHist(h1, h2, method)
+    ours = tcv.compareHist(h1, h2, method)
+    assert abs(ours - ref) <= max(1e-4, abs(ref) * 1e-4), f"m{method}: {ours} vs {ref}"
+
+
+def test_calc_back_project():
+    rng = np.random.default_rng(14)
+    img = rand_img(rng, 32, 32, 1)
+    h = cv2.calcHist([img], [0], None, [32], [0, 256])
+    ref = cv2.calcBackProject([img], [0], h, [0, 256], 1.0)
+    ours = np.asarray(tcv.calcBackProject([img], [0], h, [0, 256], 1.0))
+    assert_exact(ours, ref)
+
+
+def test_clahe():
+    rng = np.random.default_rng(15)
+    img = np.clip(rng.normal(120, 40, (64, 64)), 0, 255).astype(np.uint8)
+    ref = cv2.createCLAHE(2.0, (8, 8)).apply(img)
+    ours = np.asarray(tcv.createCLAHE(2.0, (8, 8)).apply(img))
+    # redistribution detail differs (documented); demand closeness
+    assert_near(ours, ref, atol=4)
+
+
+# ------------------------------------------------------------- median/bilat
+
+@pytest.mark.parametrize("ksize", [3, 5, 7])
+def test_median_blur(ksize):
+    rng = np.random.default_rng(16)
+    img = rand_img(rng, 40, 44, 3)
+    ref = cv2.medianBlur(img, ksize)
+    ours = np.asarray(tcv.medianBlur(img, ksize))
+    assert_exact(ours, ref, f"median k{ksize}")
+
+
+@pytest.mark.parametrize("d,sc,ss", [(5, 50, 50), (9, 75, 75), (0, 40, 3)])
+def test_bilateral_u8(d, sc, ss):
+    rng = np.random.default_rng(17)
+    img = _smooth_img(rng, 40, 40)
+    ref = cv2.bilateralFilter(img, d, sc, ss)
+    ours = np.asarray(tcv.bilateralFilter(img, d, sc, ss))
+    assert_near(ours, ref, atol=1, msg=f"bilateral {d}")
+
+
+def test_bilateral_color():
+    rng = np.random.default_rng(18)
+    img = rand_img(rng, 32, 32, 3)
+    img = cv2.GaussianBlur(img, (3, 3), 1)
+    ref = cv2.bilateralFilter(img, 5, 50, 50)
+    ours = np.asarray(tcv.bilateralFilter(img, 5, 50, 50))
+    assert_near(ours, ref, atol=1)
+
+
+def test_stack_blur():
+    rng = np.random.default_rng(19)
+    img = rand_img(rng, 40, 40, 1)
+    ref = cv2.stackBlur(img, (5, 5))
+    ours = np.asarray(tcv.stackBlur(img, (5, 5)))
+    # triangle weights in float vs the reference's per-axis mul/shr tables
+    assert_near(ours, ref, atol=2)

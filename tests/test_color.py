@@ -85,3 +85,46 @@ def test_cvtcolor_jit():
     out = np.asarray(fn(img))
     ref = cv2.cvtColor(img[0], cv2.COLOR_BGR2GRAY)
     assert_exact(out[0, :, :, 0], ref)
+
+
+HSV_CODES = ["COLOR_BGR2HSV", "COLOR_RGB2HSV", "COLOR_BGR2HSV_FULL",
+             "COLOR_BGR2HLS", "COLOR_RGB2HLS", "COLOR_BGR2HLS_FULL"]
+HSV_INV = ["COLOR_HSV2BGR", "COLOR_HSV2RGB", "COLOR_HSV2BGR_FULL",
+           "COLOR_HLS2BGR", "COLOR_HLS2RGB", "COLOR_HLS2RGB_FULL"]
+
+
+@pytest.mark.parametrize("code", HSV_CODES)
+def test_hsv_hls_u8(code):
+    rng = np.random.default_rng(20)
+    img = rand_img(rng, 64, 64, 3)
+    ref = cv2.cvtColor(img, getattr(cv2, code))
+    ours = np.asarray(tcv.cvtColor(img, getattr(tcv, code)))
+    if "HSV" in code:
+        assert_exact(ours, ref, code)
+    else:
+        # HLS saturation goes through float division: rare +-1 ties
+        assert_near(ours, ref, atol=1, msg=code)
+
+
+@pytest.mark.parametrize("code", HSV_INV)
+def test_hsv_hls_inverse_u8(code):
+    rng = np.random.default_rng(21)
+    img = rand_img(rng, 64, 64, 3)
+    ref = cv2.cvtColor(img, getattr(cv2, code))
+    ours = np.asarray(tcv.cvtColor(img, getattr(tcv, code)))
+    assert_near(ours, ref, atol=1, msg=code)
+
+
+@pytest.mark.parametrize("code", ["COLOR_BGR2HSV", "COLOR_HSV2BGR",
+                                  "COLOR_BGR2HLS", "COLOR_HLS2BGR"])
+def test_hsv_hls_f32(code):
+    rng = np.random.default_rng(22)
+    if "2BGR" in code:
+        img = np.stack([rng.random((32, 32), np.float32) * 360,
+                        rng.random((32, 32), np.float32),
+                        rng.random((32, 32), np.float32)], axis=-1)
+    else:
+        img = rng.random((32, 32, 3), dtype=np.float32)
+    ref = cv2.cvtColor(img, getattr(cv2, code))
+    ours = np.asarray(tcv.cvtColor(img, getattr(tcv, code)))
+    assert_near(ours, ref, atol=2e-3, msg=code)
