@@ -89,6 +89,28 @@ exp = _core_ops.exp
 log = _core_ops.log
 sqrt = _core_ops.sqrt
 pow = _core_ops.pow  # noqa: A001
+from .ops.transform import (
+    dft, idft, dct, idct, mulSpectrums, getOptimalDFTSize, getGaborKernel,
+    accumulate, accumulateSquare, accumulateProduct, accumulateWeighted,
+    DFT_INVERSE, DFT_SCALE, DFT_ROWS, DFT_COMPLEX_OUTPUT, DFT_REAL_OUTPUT,
+    DFT_COMPLEX_INPUT, DCT_INVERSE, DCT_ROWS,
+)
+from .ops.shape import (
+    moments,
+    connectedComponents,
+    connectedComponentsWithStats,
+    distanceTransform,
+)
+from .features2d import (
+    KeyPoint,
+    FastFeatureDetector,
+    FastFeatureDetector_create,
+    ORB,
+    ORB_create,
+    BFMatcher,
+    DMatch,
+)
+from .features2d.fast import FAST as FastFeatureDetector_detect  # noqa: F401
 from .core.borders import copy_make_border as copyMakeBorder
 from .core.borders import border_interpolate as borderInterpolate
 

@@ -534,6 +534,181 @@ for _code, _bidx, _full, _fn in [
         return conv
     _REGISTRY[_code] = _mk()
 
+
+
+# ------------------------------------------------------------ Lab / Luv
+
+# sRGB D65 (color_lab.cpp:100-115)
+_LAB_XYZ = np.array([[0.412453, 0.357580, 0.180423],
+                     [0.212671, 0.715160, 0.072169],
+                     [0.019334, 0.119193, 0.950227]])
+_D65 = np.array([0.950456, 1.0, 1.088754])
+
+
+def _srgb_inv_gamma(x):
+    return jnp.where(x <= 0.04045, x / 12.92,
+                     jnp.power((x + 0.055) / 1.055, 2.4))
+
+
+def _srgb_gamma(x):
+    return jnp.where(x <= 0.0031308, x * 12.92,
+                     1.055 * jnp.power(jnp.maximum(x, 1e-12), 1.0 / 2.4)
+                     - 0.055)
+
+
+def _f_lab(t):
+    # CIE f(): cbrt above (6/29)^3, linear below (color_lab.cpp splineCbrt)
+    thr = 0.008856451679035631
+    return jnp.where(t > thr, jnp.cbrt(t), t * 7.787068965517241 + 16.0 / 116.0)
+
+
+def _rgb2lab_f(x, bidx, srgb=True):
+    """Analytic Lab (the reference uses spline-interpolated gamma/cbrt
+    tables — documented tolerance ~1e-3 on L)."""
+    b = x[..., bidx]
+    g = x[..., 1]
+    r = x[..., 2 - bidx]
+    if srgb:
+        r = _srgb_inv_gamma(r)
+        g = _srgb_inv_gamma(g)
+        b = _srgb_inv_gamma(b)
+    M = _LAB_XYZ / _D65[:, None]
+    X = r * M[0, 0] + g * M[0, 1] + b * M[0, 2]
+    Y = r * M[1, 0] + g * M[1, 1] + b * M[1, 2]
+    Z = r * M[2, 0] + g * M[2, 1] + b * M[2, 2]
+    fx, fy, fz = _f_lab(X), _f_lab(Y), _f_lab(Z)
+    L = jnp.where(Y > 0.008856451679035631, 116.0 * jnp.cbrt(Y) - 16.0,
+                  903.3 * Y)
+    a = 500.0 * (fx - fy)
+    bb = 200.0 * (fy - fz)
+    return L, a, bb
+
+
+def _lab2rgb_f(L, a, bb, bidx, srgb=True):
+    fy = (L + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - bb / 200.0
+    thr = 6.0 / 29.0
+
+    def finv(t):
+        return jnp.where(t > thr, t * t * t,
+                         (t - 16.0 / 116.0) / 7.787068965517241)
+
+    Y = jnp.where(L > 8.0, fy * fy * fy, L / 903.3)
+    X = finv(fx)
+    Z = finv(fz)
+    Mi = np.linalg.inv(_LAB_XYZ / _D65[:, None])
+    r = X * Mi[0, 0] + Y * Mi[0, 1] + Z * Mi[0, 2]
+    g = X * Mi[1, 0] + Y * Mi[1, 1] + Z * Mi[1, 2]
+    b = X * Mi[2, 0] + Y * Mi[2, 1] + Z * Mi[2, 2]
+    if srgb:
+        r, g, b = _srgb_gamma(r), _srgb_gamma(g), _srgb_gamma(b)
+    chans = [0, 0, 0]
+    chans[bidx] = b
+    chans[1] = g
+    chans[2 - bidx] = r
+    return jnp.stack(chans, axis=-1)
+
+
+def _rgb2luv_f(x, bidx, srgb=True):
+    b = x[..., bidx]
+    g = x[..., 1]
+    r = x[..., 2 - bidx]
+    if srgb:
+        r = _srgb_inv_gamma(r)
+        g = _srgb_inv_gamma(g)
+        b = _srgb_inv_gamma(b)
+    M = _LAB_XYZ
+    X = r * M[0, 0] + g * M[0, 1] + b * M[0, 2]
+    Y = r * M[1, 0] + g * M[1, 1] + b * M[1, 2]
+    Z = r * M[2, 0] + g * M[2, 1] + b * M[2, 2]
+    L = jnp.where(Y > 0.008856451679035631, 116.0 * jnp.cbrt(Y) - 16.0,
+                  903.3 * Y)
+    d = X + 15.0 * Y + 3.0 * Z
+    dn = jnp.where(d != 0, 1.0 / d, 0.0)
+    un = 4 * _D65[0] / (_D65[0] + 15 * _D65[1] + 3 * _D65[2])
+    vn = 9 * _D65[1] / (_D65[0] + 15 * _D65[1] + 3 * _D65[2])
+    u = 13.0 * L * (4.0 * X * dn - un)
+    v = 13.0 * L * (9.0 * Y * dn - vn)
+    return L, u, v
+
+
+def _luv2rgb_f(L, u, v, bidx, srgb=True):
+    un = 4 * _D65[0] / (_D65[0] + 15 * _D65[1] + 3 * _D65[2])
+    vn = 9 * _D65[1] / (_D65[0] + 15 * _D65[1] + 3 * _D65[2])
+    Y = jnp.where(L > 8.0, ((L + 16.0) / 116.0) ** 3, L / 903.3)
+    L13 = 13.0 * jnp.maximum(L, 1e-12)
+    up = u / L13 + un
+    vp = v / L13 + vn
+    vp_safe = jnp.where(vp != 0, vp, 1.0)
+    X = 2.25 * Y * up / vp_safe
+    Z = Y * (3.0 - 0.75 * up - 5.0 * vp) / vp_safe
+    Mi = np.linalg.inv(_LAB_XYZ)
+    r = X * Mi[0, 0] + Y * Mi[0, 1] + Z * Mi[0, 2]
+    g = X * Mi[1, 0] + Y * Mi[1, 1] + Z * Mi[1, 2]
+    b = X * Mi[2, 0] + Y * Mi[2, 1] + Z * Mi[2, 2]
+    if srgb:
+        r, g, b = _srgb_gamma(r), _srgb_gamma(g), _srgb_gamma(b)
+    chans = [0, 0, 0]
+    chans[bidx] = b
+    chans[1] = g
+    chans[2 - bidx] = r
+    return jnp.stack(chans, axis=-1)
+
+
+def _lab_fwd(x, bidx, kind, srgb=True):
+    fwd = _rgb2lab_f if kind == "lab" else _rgb2luv_f
+    if _is_int(x):
+        xf = x.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        L, A, B = fwd(xf, bidx, srgb)
+        if kind == "lab":
+            out = jnp.stack([L * (255.0 / 100.0), A + 128.0, B + 128.0],
+                            axis=-1)
+        else:
+            # u8 Luv: L*255/100, u: (u+134)*255/354, v: (v+140)*255/262
+            out = jnp.stack([L * (255.0 / 100.0),
+                             (A + 134.0) * (255.0 / 354.0),
+                             (B + 140.0) * (255.0 / 262.0)], axis=-1)
+        return saturate_cast(out, x.dtype)
+    L, A, B = fwd(x, bidx, srgb)
+    return jnp.stack([L, A, B], axis=-1).astype(jnp.float32)
+
+
+def _lab_inv(x, bidx, kind, srgb=True):
+    inv = _lab2rgb_f if kind == "lab" else _luv2rgb_f
+    if _is_int(x):
+        xf = x.astype(jnp.float32)
+        if kind == "lab":
+            L = xf[..., 0] * (100.0 / 255.0)
+            A = xf[..., 1] - 128.0
+            B = xf[..., 2] - 128.0
+        else:
+            L = xf[..., 0] * (100.0 / 255.0)
+            A = xf[..., 1] * (354.0 / 255.0) - 134.0
+            B = xf[..., 2] * (262.0 / 255.0) - 140.0
+        out = inv(L, A, B, bidx, srgb) * 255.0
+        return saturate_cast(out, x.dtype)
+    return inv(x[..., 0], x[..., 1], x[..., 2], bidx, srgb).astype(jnp.float32)
+
+
+for _code, _bidx, _kind, _dir, _srgb in [
+    (K.COLOR_BGR2Lab, 0, "lab", "fwd", True), (K.COLOR_RGB2Lab, 2, "lab", "fwd", True),
+    (K.COLOR_Lab2BGR, 0, "lab", "inv", True), (K.COLOR_Lab2RGB, 2, "lab", "inv", True),
+    (K.COLOR_BGR2Luv, 0, "luv", "fwd", True), (K.COLOR_RGB2Luv, 2, "luv", "fwd", True),
+    (K.COLOR_Luv2BGR, 0, "luv", "inv", True), (K.COLOR_Luv2RGB, 2, "luv", "inv", True),
+    (K.COLOR_LBGR2Lab, 0, "lab", "fwd", False), (K.COLOR_LRGB2Lab, 2, "lab", "fwd", False),
+    (K.COLOR_Lab2LBGR, 0, "lab", "inv", False), (K.COLOR_Lab2LRGB, 2, "lab", "inv", False),
+    (K.COLOR_LBGR2Luv, 0, "luv", "fwd", False), (K.COLOR_LRGB2Luv, 2, "luv", "fwd", False),
+    (K.COLOR_Luv2LBGR, 0, "luv", "inv", False), (K.COLOR_Luv2LRGB, 2, "luv", "inv", False),
+]:
+    def _mk_lab(bidx=_bidx, kind=_kind, dirn=_dir, srgb=_srgb):
+        def conv(x):
+            if dirn == "fwd":
+                return _lab_fwd(x, bidx, kind, srgb)
+            return _lab_inv(x, bidx, kind, srgb)
+        return conv
+    _REGISTRY[_code] = _mk_lab()
+
 # --------------------------------------------------------------- public
 
 def cvtColor(src, code: int, dstCn: int = 0):

@@ -1,0 +1,228 @@
+"""moments / connectedComponents / distanceTransform
+(imgproc/src/moments.cpp, connectedcomponents.cpp, distransform.cpp).
+
+TPU-native designs:
+- moments: per-row power sums reduce on device (f32, exact for row
+  extents), combined across rows on host in float64 — full f64 accuracy
+  without f64 on device.
+- connectedComponents: the reference's BBDT/Spaghetti decision forests
+  are branchy scalar code; the TPU formulation is iterative min-label
+  propagation (`lax.while_loop` to fixpoint) — SURVEY §7 hard part #4 —
+  followed by a host compaction pass for cv2's compact label ids.
+- distanceTransform: chamfer masks relax to the same fixed point as the
+  reference's two-pass scan, so we run min-plus relaxation under a
+  while_loop with the reference's exact mask weights (a=0.955, b=1.3693
+  for L2/3×3 etc., distransform.cpp DIST constants).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import constants as K
+from ..core.arrays import to_batched, from_batched
+
+__all__ = ["moments", "connectedComponents", "connectedComponentsWithStats",
+           "distanceTransform"]
+
+
+def moments(array, binaryImage: bool = False):
+    """`cv::moments` for dense single-channel images — returns the cv2
+    dict of spatial (m*), central (mu*) and normalized (nu*) moments."""
+    x, _ = to_batched(array)
+    assert x.shape[0] == 1 and x.shape[-1] == 1
+    img = x[0, :, :, 0]
+    if binaryImage:
+        img = (img != 0).astype(jnp.float32)
+    H, W = img.shape
+
+    xs = jnp.arange(W, dtype=jnp.float32)
+    f = img.astype(jnp.float32)
+    # per-row power sums (device): S_p[y] = Σ_x x^p I(x, y)
+    S0 = jnp.sum(f, axis=1)
+    S1 = jnp.sum(f * xs, axis=1)
+    S2 = jnp.sum(f * xs * xs, axis=1)
+    S3 = jnp.sum(f * xs * xs * xs, axis=1)
+    S = np.asarray(jnp.stack([S0, S1, S2, S3]), np.float64)  # (4, H)
+
+    ys = np.arange(H, dtype=np.float64)
+    m = {}
+    for q in range(4):
+        for p in range(4):
+            if p + q > 3:
+                continue
+            m[f"m{p}{q}"] = float(np.sum((ys ** q) * S[p]))
+
+    m00 = m["m00"]
+    if m00 != 0:
+        cx = m["m10"] / m00
+        cy = m["m01"] / m00
+    else:
+        cx = cy = 0.0
+    # central moments (moments.cpp completeMomentState)
+    mu = {}
+    mu["mu20"] = m["m20"] - m["m10"] * cx
+    mu["mu11"] = m["m11"] - m["m10"] * cy
+    mu["mu02"] = m["m02"] - m["m01"] * cy
+    mu["mu30"] = m["m30"] - cx * (3 * mu["mu20"] + cx * m["m10"])
+    mu["mu21"] = m["m21"] - cx * (2 * mu["mu11"] + cx * m["m01"]) - cy * mu["mu20"]
+    mu["mu12"] = m["m12"] - cy * (2 * mu["mu11"] + cy * m["m10"]) - cx * mu["mu02"]
+    mu["mu03"] = m["m03"] - cy * (3 * mu["mu02"] + cy * m["m01"])
+    m.update(mu)
+    inv_sqrt_m00 = m00 ** -0.5 if m00 > 0 else 0.0
+    s2 = inv_sqrt_m00 ** 2 / max(m00, 1e-300) if m00 > 0 else 0.0
+    # nu_pq = mu_pq / m00^((p+q)/2 + 1)
+    for name in ["mu20", "mu11", "mu02"]:
+        m["nu" + name[2:]] = m[name] / (m00 * m00) if m00 != 0 else 0.0
+    for name in ["mu30", "mu21", "mu12", "mu03"]:
+        m["nu" + name[2:]] = (m[name] / (m00 * m00 * (m00 ** 0.5))
+                              if m00 > 0 else 0.0)
+    return m
+
+
+def _propagate_labels(fg, conn: int):
+    """Min-label flood to fixpoint. fg: (H, W) bool."""
+    H, W = fg.shape
+    idx = (jnp.arange(H * W, dtype=jnp.int32).reshape(H, W) + 1)
+    big = jnp.int32(H * W + 2)
+    lab = jnp.where(fg, idx, big)
+
+    if conn == 8:
+        offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1),
+                (1, 0), (1, 1)]
+    else:
+        offs = [(-1, 0), (0, -1), (0, 1), (1, 0)]
+
+    def nb_min(l):
+        p = jnp.pad(l, 1, constant_values=big)
+        best = l
+        for (dy, dx) in offs:
+            best = jnp.minimum(best, p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W])
+        return jnp.where(fg, best, big)
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        l, _ = state
+        nl = nb_min(l)
+        return nl, jnp.any(nl != l)
+
+    lab, _ = lax.while_loop(cond, body, (lab, jnp.asarray(True)))
+    return jnp.where(fg, lab, 0)
+
+
+def connectedComponents(image, connectivity: int = 8, ltype: int = 4):
+    """`cv::connectedComponents` — labels 0 (bg) and 1..N, assigned in
+    raster order of each component's first pixel (matches the reference's
+    label order)."""
+    x, _ = to_batched(image)
+    fg = x[0, :, :, 0] != 0
+    raw = np.asarray(_propagate_labels(fg, connectivity))
+    H, W = raw.shape
+    # compact label ids match the reference's scan order: the 8-conn BBDT
+    # labels per 2×2 block in block-raster order; 4-conn SAUF is
+    # pixel-raster order
+    ys, xs = np.mgrid[0:H, 0:W]
+    if connectivity == 8:
+        scan_key = (ys // 2) * ((W + 1) // 2 + 1) + (xs // 2)
+    else:
+        scan_key = ys * W + xs
+    flat = raw.ravel()
+    keys = scan_key.ravel()
+    nz = flat != 0
+    out = np.zeros(flat.shape, np.int32)
+    if nz.any():
+        order = np.lexsort((keys[nz],))
+        labs = flat[nz][order]
+        uniq, first = np.unique(labs, return_index=True)
+        comp_order = np.argsort(first)  # by earliest scan key
+        lut = np.zeros(int(flat.max()) + 1, np.int32)
+        for i, o in enumerate(comp_order):
+            lut[int(uniq[o])] = i + 1
+        out = lut[flat]
+        n = len(uniq)
+    else:
+        n = 0
+    return n + 1, out.reshape(H, W).astype(np.int32)
+
+
+def connectedComponentsWithStats(image, connectivity: int = 8, ltype: int = 4):
+    n, labels = connectedComponents(image, connectivity, ltype)
+    stats = np.zeros((n, 5), np.int32)
+    centroids = np.zeros((n, 2), np.float64)
+    H, W = labels.shape
+    ys, xs = np.mgrid[0:H, 0:W]
+    for i in range(n):
+        m = labels == i
+        if not m.any():
+            continue
+        yy, xx = ys[m], xs[m]
+        stats[i] = [xx.min(), yy.min(), xx.max() - xx.min() + 1,
+                    yy.max() - yy.min() + 1, m.sum()]
+        centroids[i] = [xx.mean(), yy.mean()]
+    return n, labels, stats, centroids
+
+
+# chamfer mask weights (distransform.cpp initTopBottom/getDistanceTransformMask)
+_DIST_WEIGHTS = {
+    (K.DIST_L1, 3): (1.0, 2.0),
+    (K.DIST_C, 3): (1.0, 1.0),
+    (K.DIST_L2, 3): (0.955, 1.3693),
+    (K.DIST_L1, 5): (1.0, 2.0, 3.0),
+    (K.DIST_C, 5): (1.0, 1.0, 2.0),
+    (K.DIST_L2, 5): (1.0, 1.4, 2.1969),
+}
+
+
+def distanceTransform(src, distanceType: int, maskSize: int,
+                      dstType: int = K.CV_32F):
+    """`cv::distanceTransform` — chamfer masks 3/5 via min-plus relaxation
+    to fixpoint (identical fixed point to the reference's two-pass scan)."""
+    x, meta = to_batched(src)
+    fg = x[..., 0:1] != 0
+    N, H, W, C = fg.shape
+    if maskSize == K.DIST_MASK_PRECISE or distanceType not in (
+            K.DIST_L1, K.DIST_L2, K.DIST_C):
+        maskSize = 5
+        distanceType = K.DIST_L2
+    w = _DIST_WEIGHTS[(distanceType, maskSize)]
+
+    INF = jnp.float32(1e9)
+    d0 = jnp.where(fg, INF, 0.0)
+
+    if maskSize == 3:
+        offs = [(-1, 0, w[0]), (1, 0, w[0]), (0, -1, w[0]), (0, 1, w[0]),
+                (-1, -1, w[1]), (-1, 1, w[1]), (1, -1, w[1]), (1, 1, w[1])]
+    else:
+        offs = [(-1, 0, w[0]), (1, 0, w[0]), (0, -1, w[0]), (0, 1, w[0]),
+                (-1, -1, w[1]), (-1, 1, w[1]), (1, -1, w[1]), (1, 1, w[1]),
+                (-2, -1, w[2]), (-2, 1, w[2]), (2, -1, w[2]), (2, 1, w[2]),
+                (-1, -2, w[2]), (-1, 2, w[2]), (1, -2, w[2]), (1, 2, w[2])]
+
+    pad_r = 2 if maskSize == 5 else 1
+
+    def relax(d):
+        p = jnp.pad(d, ((0, 0), (pad_r, pad_r), (pad_r, pad_r), (0, 0)),
+                    constant_values=INF)
+        best = d
+        for (dy, dx, ww) in offs:
+            nb = p[:, pad_r + dy:pad_r + dy + H, pad_r + dx:pad_r + dx + W, :]
+            best = jnp.minimum(best, nb + jnp.float32(ww))
+        return best
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        d, _ = state
+        nd = relax(d)
+        return nd, jnp.any(nd != d)
+
+    d, _ = lax.while_loop(cond, body, (d0, jnp.asarray(True)))
+    return from_batched(d.astype(jnp.float32), meta)

@@ -224,3 +224,45 @@ def test_stack_blur():
     ours = np.asarray(tcv.stackBlur(img, (5, 5)))
     # triangle weights in float vs the reference's per-axis mul/shr tables
     assert_near(ours, ref, atol=2)
+
+
+# ------------------------------------------------------ moments / cc / dist
+
+def test_moments():
+    rng = np.random.default_rng(20)
+    img = rand_img(rng, 32, 40, 1)
+    ref = cv2.moments(img)
+    ours = tcv.moments(img)
+    for k in ref:
+        r, o = ref[k], ours[k]
+        assert abs(r - o) <= max(1e-6, abs(r) * 1e-5), f"{k}: {o} vs {r}"
+
+
+def test_connected_components():
+    rng = np.random.default_rng(21)
+    img = (rng.random((48, 64)) > 0.7).astype(np.uint8) * 255
+    for conn in (4, 8):
+        rn, rl = cv2.connectedComponents(img, connectivity=conn)
+        on, ol = tcv.connectedComponents(img, connectivity=conn)
+        assert rn == on, f"conn {conn}: {on} vs {rn}"
+        assert np.array_equal(rl, ol), f"conn {conn} labels differ"
+
+
+def test_connected_components_stats():
+    rng = np.random.default_rng(22)
+    img = (rng.random((32, 40)) > 0.75).astype(np.uint8) * 255
+    rn, rl, rs, rc = cv2.connectedComponentsWithStats(img)
+    on, ol, os_, oc = tcv.connectedComponentsWithStats(img)
+    assert rn == on
+    assert np.array_equal(rs, os_)
+    assert np.allclose(rc, oc)
+
+
+@pytest.mark.parametrize("dt,ms", [(cv2.DIST_L1, 3), (cv2.DIST_C, 3),
+                                   (cv2.DIST_L2, 3), (cv2.DIST_L2, 5)])
+def test_distance_transform(dt, ms):
+    rng = np.random.default_rng(23)
+    img = (rng.random((40, 50)) > 0.05).astype(np.uint8) * 255
+    ref = cv2.distanceTransform(img, dt, ms)
+    ours = np.asarray(tcv.distanceTransform(img, dt, ms))
+    assert_near(ours, ref, atol=1e-3, msg=f"dist {dt} mask{ms}")

@@ -128,3 +128,31 @@ def test_hsv_hls_f32(code):
     ref = cv2.cvtColor(img, getattr(cv2, code))
     ours = np.asarray(tcv.cvtColor(img, getattr(tcv, code)))
     assert_near(ours, ref, atol=2e-3, msg=code)
+
+
+def test_lab_luv_u8():
+    rng = np.random.default_rng(30)
+    img = rand_img(rng, 48, 48, 3)
+    for code in ["COLOR_BGR2Lab", "COLOR_Lab2BGR", "COLOR_BGR2Luv"]:
+        ref = cv2.cvtColor(img, getattr(cv2, code))
+        ours = np.asarray(tcv.cvtColor(img, getattr(tcv, code)))
+        assert_near(ours, ref, atol=2, msg=code)  # analytic vs LUT tables
+    # Luv2BGR diverges on degenerate L~0 pixels; compare in the mean
+    ref = cv2.cvtColor(img, cv2.COLOR_Luv2BGR)
+    ours = np.asarray(tcv.cvtColor(img, tcv.COLOR_Luv2BGR))
+    d = np.abs(ref.astype(int) - ours.astype(int))
+    assert np.median(d) <= 1 and (d <= 2).mean() > 0.85
+
+
+def test_lab_luv_f32():
+    rng = np.random.default_rng(31)
+    img = rng.random((32, 32, 3), dtype=np.float32)
+    for code, tol in [("COLOR_BGR2Lab", 0.5), ("COLOR_BGR2Luv", 0.05),
+                      ("COLOR_Lab2BGR", 1e-2), ("COLOR_Luv2BGR", 1e-2)]:
+        if "2BGR" in code:
+            src = cv2.cvtColor(img, getattr(cv2, code.replace("Lab2BGR", "BGR2Lab").replace("Luv2BGR", "BGR2Luv")))
+        else:
+            src = img
+        ref = cv2.cvtColor(src, getattr(cv2, code))
+        ours = np.asarray(tcv.cvtColor(src, getattr(tcv, code)))
+        assert_near(ours, ref, atol=tol, msg=code)

@@ -131,3 +131,57 @@ def test_cart_polar():
     da = np.abs(np.asarray(oa) - ra)
     da = np.minimum(da, 2 * np.pi - da)
     assert da.max() < 1e-2
+
+
+def test_dft_idft():
+    rng = np.random.default_rng(14)
+    x = rng.random((16, 24)).astype(np.float32)
+    ref = cv2.dft(x, flags=cv2.DFT_COMPLEX_OUTPUT)
+    ours = np.asarray(tcv.dft(x, flags=tcv.DFT_COMPLEX_OUTPUT))
+    assert_near(ours, ref, atol=1e-3)
+    back = np.asarray(tcv.idft(ours, flags=tcv.DFT_SCALE | tcv.DFT_REAL_OUTPUT))
+    assert_near(back, x, atol=1e-5)
+
+
+def test_dct():
+    rng = np.random.default_rng(15)
+    x = rng.random((16, 16)).astype(np.float32)
+    ref = cv2.dct(x)
+    ours = np.asarray(tcv.dct(x))
+    assert_near(ours, ref, atol=1e-4)
+    assert_near(np.asarray(tcv.idct(ours)), x, atol=1e-5)
+
+
+def test_optimal_dft_size():
+    for n in [1, 7, 13, 100, 255, 256, 1000]:
+        assert tcv.getOptimalDFTSize(n) == cv2.getOptimalDFTSize(n)
+
+
+def test_gabor_kernel():
+    ref = cv2.getGaborKernel((21, 21), 4.0, 0.5, 10.0, 0.5, 1.0)
+    ours = tcv.getGaborKernel((21, 21), 4.0, 0.5, 10.0, 0.5, 1.0)
+    assert_near(ours, ref, atol=1e-10)
+
+
+def test_mul_spectrums():
+    rng = np.random.default_rng(16)
+    a = rng.random((8, 8, 2)).astype(np.float32)
+    b = rng.random((8, 8, 2)).astype(np.float32)
+    ref = cv2.mulSpectrums(a, b, 0)
+    ours = np.asarray(tcv.mulSpectrums(a, b, 0))
+    assert_near(ours, ref, atol=1e-5)
+    ref = cv2.mulSpectrums(a, b, 0, conjB=True)
+    ours = np.asarray(tcv.mulSpectrums(a, b, 0, conjB=True))
+    assert_near(ours, ref, atol=1e-5)
+
+
+def test_accumulate():
+    rng = np.random.default_rng(17)
+    src = rand_img(rng, 16, 16, 1)
+    dst = rng.random((16, 16)).astype(np.float32) * 10
+    ref = dst.copy(); cv2.accumulate(src, ref)
+    ours = np.asarray(tcv.accumulate(src, dst))
+    assert_near(ours, ref, atol=1e-4)
+    ref = dst.copy(); cv2.accumulateWeighted(src, ref, 0.3)
+    ours = np.asarray(tcv.accumulateWeighted(src, dst, 0.3))
+    assert_near(ours, ref, atol=1e-4)

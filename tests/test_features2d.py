@@ -1,0 +1,96 @@
+"""FAST / ORB / BFMatcher vs cv2 (model: the reference's descriptor
+regression suite allows small distances and set-comparison for ties)."""
+
+import numpy as np
+import pytest
+
+from common import cv2, assert_exact
+
+import opencv_tpu as tcv
+from opencv_tpu.features2d import FAST
+
+
+def _img(seed=0, h=240, w=320):
+    rng = np.random.default_rng(seed)
+    return cv2.GaussianBlur(rng.integers(0, 256, (h, w), np.uint8), (3, 3), 1.0)
+
+
+def test_fast_positions_and_scores():
+    img = _img(0, 120, 160)
+    ref = cv2.FastFeatureDetector_create(threshold=20).detect(img)
+    ours = FAST(img, 20, True)
+    rset = {(int(k.pt[0]), int(k.pt[1])) for k in ref}
+    oset = {(int(k.pt[0]), int(k.pt[1])) for k in ours}
+    assert rset == oset
+    rresp = {(int(k.pt[0]), int(k.pt[1])): k.response for k in ref}
+    for k in ours:
+        assert k.response == rresp[(int(k.pt[0]), int(k.pt[1]))]
+
+
+def test_fast_no_nms_positions():
+    img = _img(1, 80, 100)
+    ref = cv2.FastFeatureDetector_create(threshold=25,
+                                         nonmaxSuppression=False).detect(img)
+    ours = FAST(img, 25, False)
+    rset = {(int(k.pt[0]), int(k.pt[1])) for k in ref}
+    oset = {(int(k.pt[0]), int(k.pt[1])) for k in ours}
+    assert rset == oset
+
+
+def test_orb_detect_and_compute():
+    img = _img(2)
+    rk, rd = cv2.ORB_create(nfeatures=200).detectAndCompute(img, None)
+    ok, od = tcv.ORB_create(nfeatures=200).detectAndCompute(img, None)
+    rset = {(round(k.pt[0]), round(k.pt[1]), k.octave) for k in rk}
+    oset = {(round(k.pt[0]), round(k.pt[1]), k.octave) for k in ok}
+    inter = len(rset & oset)
+    assert inter >= 0.97 * max(len(rset), len(oset)), \
+        f"kp overlap {inter}/{max(len(rset), len(oset))}"
+    # descriptor distance for common keypoints must be tiny
+    rmap = {(round(k.pt[0]), round(k.pt[1]), k.octave): i for i, k in enumerate(rk)}
+    omap = {(round(k.pt[0]), round(k.pt[1]), k.octave): i for i, k in enumerate(ok)}
+    common = list(rset & oset)
+    d = [int(np.unpackbits(np.bitwise_xor(rd[rmap[c]], od[omap[c]])).sum())
+         for c in common]
+    d = np.asarray(d)
+    assert np.mean(d) < 4.0, f"mean desc hamming {np.mean(d)}"
+    assert np.median(d) <= 1.0
+
+
+def test_orb_angles():
+    img = _img(3, 160, 200)
+    rk = cv2.ORB_create(nfeatures=100).detect(img, None)
+    ok = tcv.ORB_create(nfeatures=100).detect(img, None)
+    rmap = {(round(k.pt[0]), round(k.pt[1]), k.octave): k.angle for k in rk}
+    for k in ok:
+        key = (round(k.pt[0]), round(k.pt[1]), k.octave)
+        if key in rmap:
+            d = abs(k.angle - rmap[key])
+            d = min(d, 360 - d)
+            assert d < 0.01, f"angle {k.angle} vs {rmap[key]}"
+
+
+def test_bf_matcher_hamming():
+    img1 = _img(4)
+    M = cv2.getRotationMatrix2D((160, 120), 5, 1.0)
+    img2 = cv2.warpAffine(img1, M, (320, 240))
+    orb = cv2.ORB_create(nfeatures=150)
+    k1, d1 = orb.detectAndCompute(img1, None)
+    k2, d2 = orb.detectAndCompute(img2, None)
+    ref = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True).match(d1, d2)
+    ours = tcv.BFMatcher(tcv.NORM_HAMMING, crossCheck=True).match(d1, d2)
+    rpairs = {(m.queryIdx, m.trainIdx) for m in ref}
+    opairs = {(m.queryIdx, m.trainIdx) for m in ours}
+    inter = len(rpairs & opairs)
+    assert inter >= 0.95 * len(rpairs), f"{inter}/{len(rpairs)}"
+
+
+def test_bf_matcher_l2_knn():
+    rng = np.random.default_rng(5)
+    d1 = rng.random((40, 64)).astype(np.float32)
+    d2 = rng.random((60, 64)).astype(np.float32)
+    ref = cv2.BFMatcher(cv2.NORM_L2).knnMatch(d1, d2, k=2)
+    ours = tcv.BFMatcher(tcv.NORM_L2).knnMatch(d1, d2, k=2)
+    for r, o in zip(ref, ours):
+        assert r[0].trainIdx == o[0].trainIdx
+        assert abs(r[0].distance - o[0].distance) < 1e-4
