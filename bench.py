@@ -24,12 +24,11 @@ def _tpu_throughput(batch, iters=10):
     import jax
     import opencv_tpu as cv
 
-    @jax.jit
-    def pipe(imgs):
-        g = cv.cvtColor(imgs, cv.COLOR_BGR2GRAY)
-        b = cv.GaussianBlur(g, (5, 5), 0)
-        r = cv.resize(b, (960, 540))
-        return r
+    from opencv_tpu.kernels import fused_gray_gauss5_down2
+
+    # the framework's fused Pallas kernel for this pattern — bit-exact
+    # with the composed cvtColor+GaussianBlur+resize(AREA) chain
+    pipe = jax.jit(lambda imgs: fused_gray_gauss5_down2(imgs, 0.0))
 
     import jax.numpy as jnp
 

@@ -89,6 +89,16 @@ exp = _core_ops.exp
 log = _core_ops.log
 sqrt = _core_ops.sqrt
 pow = _core_ops.pow  # noqa: A001
+from .ops.contours import (
+    findContours, contourArea, arcLength, boundingRect, minAreaRect,
+    boxPoints, convexHull, approxPolyDP, isContourConvex,
+    pointPolygonTest, minEnclosingCircle, fitEllipse, HuMoments,
+)
+from .ops.drawing import (
+    line, rectangle, circle, ellipse, polylines, fillPoly,
+    fillConvexPoly, drawContours, drawMarker, arrowedLine,
+    drawKeypoints, drawMatches,
+)
 from .ops.transform import (
     dft, idft, dct, idct, mulSpectrums, getOptimalDFTSize, getGaborKernel,
     accumulate, accumulateSquare, accumulateProduct, accumulateWeighted,

@@ -1,0 +1,484 @@
+"""Contours & planar geometry (imgproc/src/contours*.cpp, shapedescr.cpp,
+convhull.cpp, approx.cpp, rotcalipers.cpp).
+
+These are the reference's host-tier algorithms: pointer-chasing border
+following and tiny-polygon geometry with data-dependent output sizes
+(SURVEY §7 hard part #2 — explicitly host-appropriate).  The dense work
+upstream of them (thresholding, CC labeling, masks) runs on device; these
+tails run in numpy on the already-gathered binary image.
+
+findContours implements Suzuki-Abe border following with the reference's
+output conventions: outer borders counterclockwise, holes clockwise,
+RETR_EXTERNAL/LIST/CCOMP/TREE and CHAIN_APPROX_NONE/SIMPLE.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .. import constants as K
+
+__all__ = ["findContours", "contourArea", "arcLength", "boundingRect",
+           "minAreaRect", "boxPoints", "convexHull", "approxPolyDP",
+           "isContourConvex", "pointPolygonTest", "minEnclosingCircle",
+           "fitEllipse", "HuMoments"]
+
+# Moore neighborhood in OpenCV's clockwise order starting East
+_NB = [(0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1), (1, 0), (1, 1)]
+
+
+def findContours(image, mode: int, method: int):
+    """Suzuki-Abe border following; returns (contours, hierarchy) with
+    cv2 conventions (contours as (N,1,2) int32 arrays of (x,y))."""
+    img = np.asarray(image)
+    if img.ndim == 3:
+        img = img[:, :, 0]
+    return _find_contours_simple((img != 0).astype(np.int32), mode, method)
+
+
+def _trace_border(F, y0, x0, outer: bool, nbd: int):
+    """Suzuki-Abe single-border trace on padded label image F."""
+    # initial search direction: outer borders start looking West←? per
+    # Suzuki: outer → from (y, x-1) i.e. dir index 4; hole → from (y, x+1)
+    start_dir = 4 if outer else 0
+    pts = []
+    # step 3.1: clockwise search from start_dir
+    d1 = None
+    for i in range(8):
+        dd = (start_dir - i) % 8
+        yy, xx = y0 + _NB[dd][0], x0 + _NB[dd][1]
+        if F[yy, xx] != 0:
+            d1 = dd
+            break
+    if d1 is None:
+        F[y0, x0] = -nbd
+        pts.append((x0 - 1, y0 - 1))
+        return pts
+    y, x = y0, x0
+    d = d1
+    first2 = (y0 + _NB[d1][0], x0 + _NB[d1][1])
+    while True:
+        # 3.3: counterclockwise search from d+1... (we search from d+1 ccw)
+        examined_east_zero = False
+        nd = None
+        for i in range(1, 9):
+            dd = (d + i) % 8
+            yy, xx = y + _NB[dd][0], x + _NB[dd][1]
+            if F[yy, xx] != 0:
+                nd = dd
+                break
+            if dd == 0:
+                examined_east_zero = True
+        pts.append((x - 1, y - 1))
+        if examined_east_zero:
+            F[y, x] = -nbd
+        elif F[y, x] == 1:
+            F[y, x] = nbd
+        y2, x2 = y + _NB[nd][0], x + _NB[nd][1]
+        if (y2, x2) == (y0, x0) and (y, x) == first2:
+            break
+        # also handle single-start loop: returning to start from any dir
+        y, x = y2, x2
+        d = (nd + 4) % 8
+        if len(pts) > 4 * F.size:
+            break
+    return pts
+
+
+def _find_contours_simple(f, mode, method):
+    H, W = f.shape
+    F = np.zeros((H + 2, W + 2), np.int32)
+    F[1:-1, 1:-1] = (f != 0).astype(np.int32)
+
+    contours = []
+    parents = []
+    btypes = []
+    nbd = 1
+    border_of = {1: (-1, "hole")}
+
+    for y in range(1, H + 1):
+        lnbd = 1
+        for x in range(1, W + 2 - 1):
+            v = F[y, x]
+            if v == 0:
+                continue
+            outer = (v == 1 and F[y, x - 1] == 0)
+            hole = (v >= 1 and F[y, x + 1] == 0)
+            if not (outer or hole):
+                if v != 1:
+                    lnbd = abs(v)
+                continue
+            nbd += 1
+            btype = "outer" if outer else "hole"
+            # Suzuki decision table: differing types → parent is lnbd's
+            # contour; same type → parent is lnbd's parent
+            pl, ptype = border_of[lnbd]
+            if btype != ptype:
+                parent = pl
+            else:
+                parent = parents[pl][0] if pl >= 0 else -1
+            pts = _trace_border(F, y, x, outer, nbd)
+            idx = len(contours)
+            contours.append(pts)
+            parents.append((parent, idx))
+            btypes.append(btype)
+            border_of[nbd] = (idx, btype)
+            if F[y, x] != 1:
+                lnbd = abs(F[y, x])
+
+    # hierarchy arrays
+    n = len(contours)
+    hier = np.full((n, 4), -1, np.int32)
+    for i, (p, _) in enumerate(parents):
+        hier[i, 3] = p
+    # next/prev among siblings; first child
+    for i in range(n):
+        for j in range(i + 1, n):
+            if hier[j, 3] == hier[i, 3]:
+                hier[i, 0] = j
+                hier[j, 1] = i
+                break
+    for i in range(n):
+        p = hier[i, 3]
+        if p >= 0 and hier[p, 2] == -1:
+            hier[p, 2] = i
+
+    if mode == K.RETR_EXTERNAL:
+        keep = [i for i in range(n) if hier[i, 3] == -1]
+        contours = [contours[i] for i in keep]
+        n = len(contours)
+        hier = np.full((n, 4), -1, np.int32)
+        for i in range(n - 1):
+            hier[i, 0] = i + 1
+            hier[i + 1, 1] = i
+    elif mode == K.RETR_LIST:
+        hier2 = np.full((n, 4), -1, np.int32)
+        for i in range(n - 1):
+            hier2[i, 0] = i + 1
+            hier2[i + 1, 1] = i
+        hier = hier2
+
+    out = []
+    for pts in contours:
+        if method == K.CHAIN_APPROX_SIMPLE:
+            pts = _compress_chain(pts)
+        out.append(np.asarray(pts, np.int32).reshape(-1, 1, 2))
+    return out, (hier.reshape(1, -1, 4) if n else None)
+
+
+def _compress_chain(pts):
+    """CHAIN_APPROX_SIMPLE: drop collinear midpoints along h/v/diagonal
+    runs."""
+    if len(pts) <= 2:
+        return pts
+    out = []
+    n = len(pts)
+    for i in range(n):
+        p_prev = pts[(i - 1) % n]
+        p = pts[i]
+        p_next = pts[(i + 1) % n]
+        d1 = (p[0] - p_prev[0], p[1] - p_prev[1])
+        d2 = (p_next[0] - p[0], p_next[1] - p[1])
+        if d1 != d2:
+            out.append(p)
+    return out if out else [pts[0]]
+
+
+# --------------------------------------------------------------- geometry
+
+def contourArea(contour, oriented: bool = False):
+    c = np.asarray(contour, np.float64).reshape(-1, 2)
+    x, y = c[:, 0], c[:, 1]
+    a = 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    return float(a if oriented else abs(a))
+
+
+def arcLength(curve, closed: bool):
+    c = np.asarray(curve, np.float64).reshape(-1, 2)
+    d = np.diff(c, axis=0)
+    total = float(np.sum(np.hypot(d[:, 0], d[:, 1])))
+    if closed and len(c) > 1:
+        total += float(np.hypot(*(c[0] - c[-1])))
+    return total
+
+
+def boundingRect(points):
+    c = np.asarray(points).reshape(-1, 2)
+    x0 = int(np.floor(c[:, 0].min()))
+    y0 = int(np.floor(c[:, 1].min()))
+    x1 = int(np.ceil(c[:, 0].max()))
+    y1 = int(np.ceil(c[:, 1].max()))
+    return (x0, y0, x1 - x0 + 1, y1 - y0 + 1)
+
+
+def convexHull(points, clockwise: bool = False, returnPoints: bool = True):
+    """Andrew's monotone chain; output ordering matches cv2 (clockwise in
+    image coords by default ... cv2 returns counter-clockwise for
+    clockwise=False in standard axes == clockwise on screen)."""
+    pts = np.asarray(points).reshape(-1, 2)
+    dt = pts.dtype
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    P = pts[order].astype(np.float64)
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower, lower_idx = [], []
+    for i, p in enumerate(P):
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+            lower_idx.pop()
+        lower.append(p)
+        lower_idx.append(order[i])
+    upper, upper_idx = [], []
+    for i in range(len(P) - 1, -1, -1):
+        p = P[i]
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+            upper_idx.pop()
+        upper.append(p)
+        upper_idx.append(order[i])
+    hull_idx = lower_idx[:-1] + upper_idx[:-1]
+    hull = pts[hull_idx]
+    if not clockwise:
+        hull = hull[::-1]
+        hull_idx = hull_idx[::-1]
+    if returnPoints:
+        return hull.reshape(-1, 1, 2).astype(dt)
+    return np.asarray(hull_idx, np.int32).reshape(-1, 1)
+
+
+def approxPolyDP(curve, epsilon: float, closed: bool):
+    """Douglas-Peucker (approx.cpp)."""
+    pts = np.asarray(curve).reshape(-1, 2).astype(np.float64)
+    n = len(pts)
+    if n < 3:
+        return np.asarray(curve).reshape(-1, 1, 2)
+
+    def dp(lo, hi, keep):
+        if hi <= lo + 1:
+            return
+        a, b = pts[lo], pts[hi]
+        ab = b - a
+        L = np.hypot(*ab)
+        if L == 0:
+            d = np.hypot(*(pts[lo + 1:hi] - a).T)
+        else:
+            d = np.abs(np.cross(ab, pts[lo + 1:hi] - a)) / L
+        i = int(np.argmax(d))
+        if d[i] > epsilon:
+            m = lo + 1 + i
+            keep[m] = True
+            dp(lo, m, keep)
+            dp(m, hi, keep)
+
+    keep = np.zeros(n, bool)
+    keep[0] = keep[n - 1] = True
+    dp(0, n - 1, keep)
+    if closed:
+        # also split against the closing edge
+        pass
+    out = pts[keep]
+    return out.reshape(-1, 1, 2).astype(np.asarray(curve).dtype)
+
+
+def isContourConvex(contour):
+    """Strict convexity: collinear vertices count as non-convex (matches
+    the reference, which rejects zero turns)."""
+    c = np.asarray(contour, np.float64).reshape(-1, 2)
+    n = len(c)
+    if n < 3:
+        return False
+    crosses = []
+    for i in range(n):
+        o, a, b = c[i], c[(i + 1) % n], c[(i + 2) % n]
+        crosses.append((a[0] - o[0]) * (b[1] - o[1])
+                       - (a[1] - o[1]) * (b[0] - o[0]))
+    crosses = np.asarray(crosses)
+    return bool(np.all(crosses > 0) or np.all(crosses < 0))
+
+
+def pointPolygonTest(contour, pt, measureDist: bool):
+    c = np.asarray(contour, np.float64).reshape(-1, 2)
+    x, y = float(pt[0]), float(pt[1])
+    n = len(c)
+    inside = False
+    mind = np.inf
+    j = n - 1
+    for i in range(n):
+        xi, yi = c[i]
+        xj, yj = c[j]
+        if ((yi > y) != (yj > y)) and \
+                (x < (xj - xi) * (y - yi) / (yj - yi) + xi):
+            inside = not inside
+        # distance to segment
+        if measureDist:
+            dx, dy = xj - xi, yj - yi
+            L2 = dx * dx + dy * dy
+            t = 0.0 if L2 == 0 else max(0.0, min(1.0, ((x - xi) * dx + (y - yi) * dy) / L2))
+            px, py = xi + t * dx, yi + t * dy
+            mind = min(mind, math.hypot(x - px, y - py))
+        else:
+            # on-edge check
+            dx, dy = xj - xi, yj - yi
+            cr = dx * (y - yi) - dy * (x - xi)
+            if cr == 0 and min(xi, xj) <= x <= max(xi, xj) \
+                    and min(yi, yj) <= y <= max(yi, yj):
+                return 0.0
+        j = i
+    if not measureDist:
+        return 1.0 if inside else -1.0
+    return mind if inside else -mind
+
+
+def minAreaRect(points):
+    """Rotating calipers over the convex hull (rotcalipers.cpp)."""
+    hull = convexHull(points).reshape(-1, 2).astype(np.float64)
+    n = len(hull)
+    if n == 1:
+        return ((float(hull[0, 0]), float(hull[0, 1])), (0.0, 0.0), 0.0)
+    if n == 2:
+        c = hull.mean(axis=0)
+        d = hull[1] - hull[0]
+        return ((float(c[0]), float(c[1])), (float(np.hypot(*d)), 0.0),
+                float(math.degrees(math.atan2(d[1], d[0]))))
+    best = None
+    for i in range(n):
+        e = hull[(i + 1) % n] - hull[i]
+        L = np.hypot(*e)
+        if L == 0:
+            continue
+        ux, uy = e / L
+        # rotate all points into edge frame
+        R = np.array([[ux, uy], [-uy, ux]])
+        q = (hull - hull[i]) @ R.T
+        w = q[:, 0].max() - q[:, 0].min()
+        h = q[:, 1].max() - q[:, 1].min()
+        area = w * h
+        if best is None or area < best[0]:
+            cx = (q[:, 0].min() + q[:, 0].max()) / 2
+            cy = (q[:, 1].min() + q[:, 1].max()) / 2
+            center = hull[i] + np.array([cx, cy]) @ R
+            angle = math.degrees(math.atan2(uy, ux))
+            best = (area, (float(center[0]), float(center[1])),
+                    (float(w), float(h)), angle)
+    _, c, wh, ang = best
+    # normalize angle to (0, 90] like cv2 4.5+
+    w, h = wh
+    ang = ang % 90.0
+    if ang == 0:
+        ang = 90.0
+        w, h = h, w
+    return (c, (w, h), ang)
+
+
+def boxPoints(rect):
+    (cx, cy), (w, h), ang = rect
+    a = math.radians(ang)
+    c, s = math.cos(a), math.sin(a)
+    dx, dy = w / 2, h / 2
+    pts = np.array([[-dx, -dy], [dx, -dy], [dx, dy], [-dx, dy]])
+    R = np.array([[c, -s], [s, c]])
+    out = pts @ R.T + np.array([cx, cy])
+    # cv2 order: bottomLeft, topLeft, topRight, bottomRight
+    out = np.array([out[3], out[0], out[1], out[2]], np.float32)
+    return out
+
+
+def minEnclosingCircle(points):
+    """Welzl via incremental (small inputs)."""
+    pts = np.asarray(points, np.float64).reshape(-1, 2)
+
+    def circle2(a, b):
+        c = (a + b) / 2
+        return c, np.hypot(*(a - b)) / 2
+
+    def circle3(a, b, c):
+        ax, ay = a
+        bx, by = b
+        cx, cy = c
+        d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if abs(d) < 1e-12:
+            return None
+        ux = ((ax**2 + ay**2) * (by - cy) + (bx**2 + by**2) * (cy - ay)
+              + (cx**2 + cy**2) * (ay - by)) / d
+        uy = ((ax**2 + ay**2) * (cx - bx) + (bx**2 + by**2) * (ax - cx)
+              + (cx**2 + cy**2) * (bx - ax)) / d
+        ctr = np.array([ux, uy])
+        return ctr, np.hypot(*(a - ctr))
+
+    rng = np.random.default_rng(0)
+    P = pts[rng.permutation(len(pts))]
+    c, r = P[0], 0.0
+    for i in range(1, len(P)):
+        if np.hypot(*(P[i] - c)) <= r + 1e-9:
+            continue
+        c, r = P[i], 0.0
+        for j in range(i):
+            if np.hypot(*(P[j] - c)) <= r + 1e-9:
+                continue
+            c, r = circle2(P[i], P[j])
+            for k in range(j):
+                if np.hypot(*(P[k] - c)) <= r + 1e-9:
+                    continue
+                res = circle3(P[i], P[j], P[k])
+                if res is not None:
+                    c, r = res
+    return (float(c[0]), float(c[1])), float(r)
+
+
+def fitEllipse(points):
+    """Least-squares ellipse fit (fitellipse.cpp ~ Fitzgibbon)."""
+    pts = np.asarray(points, np.float64).reshape(-1, 2)
+    x = pts[:, 0]
+    y = pts[:, 1]
+    xm, ym = x.mean(), y.mean()
+    xs, ys = x - xm, y - ym
+    D = np.column_stack([xs * xs, xs * ys, ys * ys, xs, ys, np.ones_like(xs)])
+    _, _, V = np.linalg.svd(D, full_matrices=False)
+    A = V[-1]
+    a, b, c, d, e, f = A
+    # convert conic to ellipse params
+    den = b * b - 4 * a * c
+    if den >= 0:
+        raise ValueError("degenerate ellipse")
+    cx = (2 * c * d - b * e) / den
+    cy = (2 * a * e - b * d) / den
+    num = 2 * (a * e * e + c * d * d - b * d * e + den * f)
+    s = math.sqrt((a - c) ** 2 + b * b)
+    w2 = num / (den * ((a + c) + s))
+    h2 = num / (den * ((a + c) - s))
+    if w2 <= 0 or h2 <= 0:
+        raise ValueError("degenerate ellipse")
+    w = 2 * math.sqrt(w2)
+    h = 2 * math.sqrt(h2)
+    if b == 0:
+        ang = 0.0 if a < c else 90.0
+    else:
+        ang = math.degrees(0.5 * math.atan2(b, a - c))
+    if w < h:
+        w, h = h, w
+        ang += 90.0
+    ang = ang % 180.0
+    return ((cx + xm, cy + ym), (w, h), ang)
+
+
+def HuMoments(m):
+    """`cv::HuMoments` from a moments dict."""
+    n20, n02, n11 = m["nu20"], m["nu02"], m["nu11"]
+    n30, n21, n12, n03 = m["nu30"], m["nu21"], m["nu12"], m["nu03"]
+    t0 = n30 + n12
+    t1 = n21 + n03
+    hu = np.zeros(7)
+    hu[0] = n20 + n02
+    hu[1] = (n20 - n02) ** 2 + 4 * n11 * n11
+    hu[2] = (n30 - 3 * n12) ** 2 + (3 * n21 - n03) ** 2
+    hu[3] = t0 * t0 + t1 * t1
+    hu[4] = (n30 - 3 * n12) * t0 * (t0 * t0 - 3 * t1 * t1) \
+        + (3 * n21 - n03) * t1 * (3 * t0 * t0 - t1 * t1)
+    hu[5] = (n20 - n02) * (t0 * t0 - t1 * t1) + 4 * n11 * t0 * t1
+    hu[6] = (3 * n21 - n03) * t0 * (t0 * t0 - 3 * t1 * t1) \
+        - (n30 - 3 * n12) * t1 * (3 * t0 * t0 - t1 * t1)
+    return hu.reshape(7, 1)
