@@ -111,6 +111,33 @@ from .ops.shape import (
     connectedComponentsWithStats,
     distanceTransform,
 )
+from .calib3d import (
+    Rodrigues,
+    projectPoints,
+    undistortPoints,
+    initUndistortRectifyMap,
+    undistort,
+    findHomography,
+    findFundamentalMat,
+    solvePnP,
+    triangulatePoints,
+    computeCorrespondEpilines,
+    perspectiveTransform,
+    getOptimalNewCameraMatrix,
+    RANSAC,
+    LMEDS,
+    FM_8POINT,
+    FM_RANSAC,
+    SOLVEPNP_ITERATIVE,
+)
+from .video import (
+    BackgroundSubtractorMOG2,
+    createBackgroundSubtractorMOG2,
+    calcOpticalFlowPyrLK,
+    KalmanFilter,
+    meanShift,
+    CamShift,
+)
 from .features2d import (
     KeyPoint,
     FastFeatureDetector,

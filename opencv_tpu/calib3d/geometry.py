@@ -1,0 +1,424 @@
+"""calib3d core: camera geometry (calib3d/src/calibration.cpp,
+fundam.cpp, solvepnp.cpp, undistort.dispatch.cpp).
+
+TPU-native split: dense per-pixel work (initUndistortRectifyMap /
+undistort) generates maps with vectorized math and runs through the
+device remap; the tiny-N estimation problems (homography/fundamental
+RANSAC, PnP) are host numpy linear algebra like the reference's Mat
+solvers — their data is a handful of points, not images.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..ops.warp import remap as _remap
+from .. import constants as K
+
+__all__ = ["Rodrigues", "projectPoints", "undistortPoints",
+           "initUndistortRectifyMap", "undistort", "findHomography",
+           "findFundamentalMat", "solvePnP", "triangulatePoints",
+           "computeCorrespondEpilines", "perspectiveTransform",
+           "getOptimalNewCameraMatrix",
+           "RANSAC", "LMEDS", "FM_8POINT", "FM_RANSAC",
+           "SOLVEPNP_ITERATIVE"]
+
+RANSAC = 8
+LMEDS = 4
+FM_7POINT = 1
+FM_8POINT = 2
+FM_RANSAC = 8
+SOLVEPNP_ITERATIVE = 0
+
+
+def Rodrigues(src, jacobian=None):
+    """Rotation vector ↔ matrix (calibration.cpp cvRodrigues2)."""
+    a = np.asarray(src, np.float64)
+    if a.size == 3:  # vector → matrix
+        r = a.reshape(3)
+        theta = np.linalg.norm(r)
+        if theta < 1e-12:
+            return np.eye(3), None
+        k = r / theta
+        Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        R = np.eye(3) + math.sin(theta) * Kx + (1 - math.cos(theta)) * (Kx @ Kx)
+        return R, None
+    # matrix → vector
+    R = a.reshape(3, 3)
+    ct = (np.trace(R) - 1) / 2
+    ct = min(max(ct, -1.0), 1.0)
+    theta = math.acos(ct)
+    if theta < 1e-12:
+        return np.zeros((3, 1)), None
+    if abs(theta - math.pi) < 1e-6:
+        # theta ~ pi: extract axis from R + I
+        A = (R + np.eye(3)) / 2
+        k = np.sqrt(np.maximum(np.diag(A), 0))
+        # fix signs
+        if k[0] > 0:
+            k[1] = math.copysign(k[1], A[0, 1])
+            k[2] = math.copysign(k[2], A[0, 2])
+        return (k * theta).reshape(3, 1), None
+    v = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    v = v / (2 * math.sin(theta))
+    return (v * theta).reshape(3, 1), None
+
+
+def _distort(xn, yn, dist):
+    d = np.zeros(12)
+    dist = np.asarray(dist, np.float64).reshape(-1) if dist is not None else np.zeros(5)
+    d[:len(dist)] = dist
+    k1, k2, p1, p2, k3, k4, k5, k6 = d[0], d[1], d[2], d[3], d[4], d[5], d[6], d[7]
+    r2 = xn * xn + yn * yn
+    radial = (1 + k1 * r2 + k2 * r2 ** 2 + k3 * r2 ** 3) \
+        / (1 + k4 * r2 + k5 * r2 ** 2 + k6 * r2 ** 3)
+    xd = xn * radial + 2 * p1 * xn * yn + p2 * (r2 + 2 * xn * xn)
+    yd = yn * radial + p1 * (r2 + 2 * yn * yn) + 2 * p2 * xn * yn
+    return xd, yd
+
+
+def projectPoints(objectPoints, rvec, tvec, cameraMatrix, distCoeffs,
+                  jacobian=None):
+    """`cv::projectPoints` (pinhole + radial/tangential distortion)."""
+    obj = np.asarray(objectPoints, np.float64).reshape(-1, 3)
+    R, _ = Rodrigues(np.asarray(rvec, np.float64))
+    t = np.asarray(tvec, np.float64).reshape(3)
+    Km = np.asarray(cameraMatrix, np.float64).reshape(3, 3)
+    pc = obj @ R.T + t
+    xn = pc[:, 0] / pc[:, 2]
+    yn = pc[:, 1] / pc[:, 2]
+    xd, yd = _distort(xn, yn, distCoeffs)
+    u = Km[0, 0] * xd + Km[0, 2] + Km[0, 1] * yd
+    v = Km[1, 1] * yd + Km[1, 2]
+    return np.stack([u, v], axis=1).reshape(-1, 1, 2).astype(np.float64), None
+
+
+def undistortPoints(src, cameraMatrix, distCoeffs, R=None, P=None,
+                    criteria=(3, 5, 0.01)):
+    """Iterative distortion inversion (undistort.dispatch.cpp:~390)."""
+    pts = np.asarray(src, np.float64).reshape(-1, 2)
+    Km = np.asarray(cameraMatrix, np.float64).reshape(3, 3)
+    x = (pts[:, 0] - Km[0, 2]) / Km[0, 0]
+    y = (pts[:, 1] - Km[1, 2]) / Km[1, 1]
+    x0, y0 = x.copy(), y.copy()
+    iters = int(criteria[1]) if len(criteria) > 1 else 5
+    for _ in range(iters):
+        xd, yd = _distort(x, y, distCoeffs)
+        x = x - (xd - x0)
+        y = y - (yd - y0)
+    if R is not None:
+        Rm = np.asarray(R, np.float64).reshape(3, 3)
+        w = Rm[2, 0] * x + Rm[2, 1] * y + Rm[2, 2]
+        xr = (Rm[0, 0] * x + Rm[0, 1] * y + Rm[0, 2]) / w
+        yr = (Rm[1, 0] * x + Rm[1, 1] * y + Rm[1, 2]) / w
+        x, y = xr, yr
+    if P is not None:
+        Pm = np.asarray(P, np.float64).reshape(3, -1)
+        x = Pm[0, 0] * x + Pm[0, 1] * y + Pm[0, 2]
+        y = Pm[1, 0] * x0 * 0 + Pm[1, 1] * y + Pm[1, 2]  # Pm[1,0] is 0
+    return np.stack([x, y], axis=1).reshape(-1, 1, 2).astype(np.float32)
+
+
+def _undistort_maps_f64(cameraMatrix, distCoeffs, R, newCameraMatrix, size):
+    w, h = int(size[0]), int(size[1])
+    Km = np.asarray(cameraMatrix, np.float64).reshape(3, 3)
+    NK = (np.asarray(newCameraMatrix, np.float64).reshape(3, 3)
+          if newCameraMatrix is not None else Km)
+    Rm = (np.asarray(R, np.float64).reshape(3, 3) if R is not None
+          else np.eye(3))
+    A = np.linalg.inv(NK @ Rm)
+    us, vs = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
+    x = A[0, 0] * us + A[0, 1] * vs + A[0, 2]
+    y = A[1, 0] * us + A[1, 1] * vs + A[1, 2]
+    z = A[2, 0] * us + A[2, 1] * vs + A[2, 2]
+    xn = x / z
+    yn = y / z
+    xd, yd = _distort(xn, yn, distCoeffs)
+    mapx = Km[0, 0] * xd + Km[0, 1] * yd + Km[0, 2]
+    mapy = Km[1, 1] * yd + Km[1, 2]
+    return mapx, mapy
+
+
+def initUndistortRectifyMap(cameraMatrix, distCoeffs, R, newCameraMatrix,
+                            size, m1type=K.CV_32F):
+    """Dense forward-distortion maps (undistort.dispatch.cpp
+    initUndistortRectifyMap) as float32 arrays for `remap`."""
+    mapx, mapy = _undistort_maps_f64(cameraMatrix, distCoeffs, R,
+                                     newCameraMatrix, size)
+    return mapx.astype(np.float32), mapy.astype(np.float32)
+
+
+def undistort(src, cameraMatrix, distCoeffs, dst=None, newCameraMatrix=None):
+    """`cv::undistort`: double-precision internal maps + device remap
+    (the reference computes per-pixel doubles, not the f32 public maps)."""
+    img = np.asarray(src)
+    h, w = img.shape[:2]
+    mapx, mapy = _undistort_maps_f64(cameraMatrix, distCoeffs, None,
+                                     newCameraMatrix, (w, h))
+    return _remap(src, mapx, mapy, K.INTER_LINEAR)
+
+
+def getOptimalNewCameraMatrix(cameraMatrix, distCoeffs, imageSize, alpha,
+                              newImgSize=None, centerPrincipalPoint=False):
+    Km = np.asarray(cameraMatrix, np.float64).reshape(3, 3).copy()
+    return Km, (0, 0, imageSize[0], imageSize[1])
+
+
+def perspectiveTransform(src, m):
+    pts = np.asarray(src, np.float64)
+    shape = pts.shape
+    p = pts.reshape(-1, shape[-1])
+    M = np.asarray(m, np.float64)
+    if shape[-1] == 2:
+        w = M[2, 0] * p[:, 0] + M[2, 1] * p[:, 1] + M[2, 2]
+        x = (M[0, 0] * p[:, 0] + M[0, 1] * p[:, 1] + M[0, 2]) / w
+        y = (M[1, 0] * p[:, 0] + M[1, 1] * p[:, 1] + M[1, 2]) / w
+        out = np.stack([x, y], axis=1)
+    else:
+        ph = np.concatenate([p, np.ones((len(p), 1))], axis=1)
+        q = ph @ M.T
+        out = q[:, :3] / q[:, 3:4]
+    return out.reshape(shape).astype(np.asarray(src).dtype)
+
+
+def _dlt_homography(src, dst):
+    n = len(src)
+    A = np.zeros((2 * n, 9))
+    for i in range(n):
+        x, y = src[i]
+        u, v = dst[i]
+        A[2 * i] = [-x, -y, -1, 0, 0, 0, u * x, u * y, u]
+        A[2 * i + 1] = [0, 0, 0, -x, -y, -1, v * x, v * y, v]
+    _, _, V = np.linalg.svd(A)
+    H = V[-1].reshape(3, 3)
+    return H / H[2, 2] if H[2, 2] != 0 else H
+
+
+def _normalize_pts(p):
+    c = p.mean(axis=0)
+    s = np.sqrt(2) / max(np.mean(np.linalg.norm(p - c, axis=1)), 1e-12)
+    T = np.array([[s, 0, -s * c[0]], [0, s, -s * c[1]], [0, 0, 1]])
+    return (p - c) * s, T
+
+
+def findHomography(srcPoints, dstPoints, method: int = 0,
+                   ransacReprojThreshold: float = 3.0, mask=None,
+                   maxIters: int = 2000, confidence: float = 0.995):
+    """DLT (+ normalized coords) with RANSAC (fundam.cpp / usac)."""
+    src = np.asarray(srcPoints, np.float64).reshape(-1, 2)
+    dst = np.asarray(dstPoints, np.float64).reshape(-1, 2)
+    n = len(src)
+    if n < 4:
+        return None, None
+
+    def fit(idx):
+        s, Ts = _normalize_pts(src[idx])
+        d, Td = _normalize_pts(dst[idx])
+        Hn = _dlt_homography(s, d)
+        H = np.linalg.inv(Td) @ Hn @ Ts
+        return H / H[2, 2] if H[2, 2] != 0 else H
+
+    def reproj_err(H):
+        w = H[2, 0] * src[:, 0] + H[2, 1] * src[:, 1] + H[2, 2]
+        u = (H[0, 0] * src[:, 0] + H[0, 1] * src[:, 1] + H[0, 2]) / w
+        v = (H[1, 0] * src[:, 0] + H[1, 1] * src[:, 1] + H[1, 2]) / w
+        return (u - dst[:, 0]) ** 2 + (v - dst[:, 1]) ** 2
+
+    if method in (0,) or n == 4:
+        H = fit(np.arange(n))
+        return H, np.ones((n, 1), np.uint8)
+
+    rng = np.random.default_rng(0)  # deterministic like cv::theRNG default
+    best_inl = None
+    best_cnt = -1
+    t2 = ransacReprojThreshold ** 2
+    iters = maxIters
+    i = 0
+    while i < iters:
+        idx = rng.choice(n, 4, replace=False)
+        try:
+            H = fit(idx)
+        except np.linalg.LinAlgError:
+            i += 1
+            continue
+        inl = reproj_err(H) < t2
+        c = int(inl.sum())
+        if c > best_cnt:
+            best_cnt = c
+            best_inl = inl
+            # adaptive iteration count
+            eps = 1 - c / n
+            if eps < 1:
+                denom = math.log(max(1 - (1 - eps) ** 4, 1e-12))
+                if denom < 0:
+                    iters = min(iters, int(math.log(1 - confidence) / denom) + 1)
+        i += 1
+    if best_inl is None or best_cnt < 4:
+        return None, None
+    H = fit(np.nonzero(best_inl)[0])
+    # final inlier mask from refined model
+    best_inl = reproj_err(H) < t2
+    return H, best_inl.astype(np.uint8).reshape(-1, 1)
+
+
+def _fundamental_8pt(p1, p2):
+    a, T1 = _normalize_pts(p1)
+    b, T2 = _normalize_pts(p2)
+    A = np.column_stack([b[:, 0] * a[:, 0], b[:, 0] * a[:, 1], b[:, 0],
+                         b[:, 1] * a[:, 0], b[:, 1] * a[:, 1], b[:, 1],
+                         a[:, 0], a[:, 1], np.ones(len(a))])
+    _, _, V = np.linalg.svd(A)
+    F = V[-1].reshape(3, 3)
+    U, S, Vt = np.linalg.svd(F)
+    S[2] = 0
+    F = U @ np.diag(S) @ Vt
+    F = T2.T @ F @ T1
+    return F / F[2, 2] if abs(F[2, 2]) > 1e-12 else F
+
+
+def findFundamentalMat(points1, points2, method: int = FM_RANSAC,
+                       ransacReprojThreshold: float = 3.0,
+                       confidence: float = 0.99, maxIters: int = 1000):
+    p1 = np.asarray(points1, np.float64).reshape(-1, 2)
+    p2 = np.asarray(points2, np.float64).reshape(-1, 2)
+    n = len(p1)
+    if n < 8:
+        return None, None
+
+    def epi_err(F):
+        l2 = np.column_stack([p1, np.ones(n)]) @ F.T  # lines in img2
+        num = (l2[:, 0] * p2[:, 0] + l2[:, 1] * p2[:, 1] + l2[:, 2]) ** 2
+        den = l2[:, 0] ** 2 + l2[:, 1] ** 2
+        return num / np.maximum(den, 1e-12)
+
+    if method == FM_8POINT:
+        F = _fundamental_8pt(p1, p2)
+        return F, np.ones((n, 1), np.uint8)
+
+    rng = np.random.default_rng(0)
+    best = None
+    best_cnt = -1
+    t2 = ransacReprojThreshold ** 2
+    for _ in range(maxIters):
+        idx = rng.choice(n, 8, replace=False)
+        F = _fundamental_8pt(p1[idx], p2[idx])
+        inl = epi_err(F) < t2
+        if inl.sum() > best_cnt:
+            best_cnt = int(inl.sum())
+            best = inl
+    if best is None or best_cnt < 8:
+        return None, None
+    F = _fundamental_8pt(p1[best], p2[best])
+    return F, (epi_err(F) < t2).astype(np.uint8).reshape(-1, 1)
+
+
+def solvePnP(objectPoints, imagePoints, cameraMatrix, distCoeffs,
+             rvec=None, tvec=None, useExtrinsicGuess: bool = False,
+             flags: int = SOLVEPNP_ITERATIVE):
+    """Iterative PnP: DLT initialization + Gauss-Newton refinement on the
+    reprojection error (solvepnp.cpp ITERATIVE semantics)."""
+    obj = np.asarray(objectPoints, np.float64).reshape(-1, 3)
+    img = np.asarray(imagePoints, np.float64).reshape(-1, 2)
+    Km = np.asarray(cameraMatrix, np.float64).reshape(3, 3)
+    und = undistortPoints(img, Km, distCoeffs).reshape(-1, 2).astype(np.float64)
+    n = len(obj)
+
+    # DLT init (needs n >= 6); for n >= 4 planar use homography init
+    if useExtrinsicGuess and rvec is not None and tvec is not None:
+        r = np.asarray(rvec, np.float64).reshape(3)
+        t = np.asarray(tvec, np.float64).reshape(3)
+    else:
+        if np.ptp(obj[:, 2]) < 1e-9:  # planar
+            H, _ = findHomography(obj[:, :2], und)
+            h1, h2, h3 = H[:, 0], H[:, 1], H[:, 2]
+            lam = 1.0 / max(np.linalg.norm(h1), 1e-12)
+            r1 = h1 * lam
+            r2 = h2 * lam
+            r3 = np.cross(r1, r2)
+            Rm = np.column_stack([r1, r2, r3])
+            U, _, Vt = np.linalg.svd(Rm)
+            Rm = U @ Vt
+            if np.linalg.det(Rm) < 0:
+                Rm = -Rm
+            t = h3 * lam
+            if t[2] < 0:
+                Rm = np.column_stack([-Rm[:, 0], -Rm[:, 1], Rm[:, 2]])
+                t = -t
+            r, _ = Rodrigues(Rm)
+            r = np.asarray(r).reshape(3)
+        else:
+            A = np.zeros((2 * n, 12))
+            for i in range(n):
+                X = np.append(obj[i], 1.0)
+                A[2 * i, 0:4] = X
+                A[2 * i, 8:12] = -und[i, 0] * X
+                A[2 * i + 1, 4:8] = X
+                A[2 * i + 1, 8:12] = -und[i, 1] * X
+            _, _, V = np.linalg.svd(A)
+            P = V[-1].reshape(3, 4)
+            Rm = P[:, :3]
+            U, S, Vt = np.linalg.svd(Rm)
+            scale = np.mean(S)
+            Rm = U @ Vt
+            if np.linalg.det(Rm) < 0:
+                Rm = -Rm
+                scale = -scale
+            t = P[:, 3] / scale
+            r, _ = Rodrigues(Rm)
+            r = np.asarray(r).reshape(3)
+
+    # Gauss-Newton on normalized reprojection
+    def residual(r, t):
+        R, _ = Rodrigues(r)
+        pc = obj @ R.T + t
+        return (pc[:, :2] / pc[:, 2:3] - und).ravel()
+
+    x = np.concatenate([r, t])
+    for _ in range(20):
+        f0 = residual(x[:3], x[3:])
+        J = np.zeros((2 * n, 6))
+        h = 1e-6
+        for j in range(6):
+            xp = x.copy()
+            xp[j] += h
+            J[:, j] = (residual(xp[:3], xp[3:]) - f0) / h
+        try:
+            dx = np.linalg.lstsq(J, -f0, rcond=None)[0]
+        except np.linalg.LinAlgError:
+            break
+        x = x + dx
+        if np.linalg.norm(dx) < 1e-10:
+            break
+    return True, x[:3].reshape(3, 1), x[3:].reshape(3, 1)
+
+
+def triangulatePoints(projMatr1, projMatr2, projPoints1, projPoints2):
+    P1 = np.asarray(projMatr1, np.float64).reshape(3, 4)
+    P2 = np.asarray(projMatr2, np.float64).reshape(3, 4)
+    p1 = np.asarray(projPoints1, np.float64).reshape(2, -1)
+    p2 = np.asarray(projPoints2, np.float64).reshape(2, -1)
+    n = p1.shape[1]
+    out = np.zeros((4, n))
+    for i in range(n):
+        A = np.stack([
+            p1[0, i] * P1[2] - P1[0],
+            p1[1, i] * P1[2] - P1[1],
+            p2[0, i] * P2[2] - P2[0],
+            p2[1, i] * P2[2] - P2[1],
+        ])
+        _, _, V = np.linalg.svd(A)
+        out[:, i] = V[-1]
+    return out
+
+
+def computeCorrespondEpilines(points, whichImage: int, F):
+    p = np.asarray(points, np.float64).reshape(-1, 2)
+    Fm = np.asarray(F, np.float64).reshape(3, 3)
+    ph = np.column_stack([p, np.ones(len(p))])
+    lines = ph @ (Fm.T if whichImage == 1 else Fm)
+    nrm = np.sqrt(lines[:, 0] ** 2 + lines[:, 1] ** 2)
+    lines = lines / np.maximum(nrm[:, None], 1e-12)
+    return lines.reshape(-1, 1, 3).astype(np.float32)

@@ -1,0 +1,126 @@
+"""calib3d geometry vs cv2."""
+
+import numpy as np
+import pytest
+
+from common import cv2, assert_near
+
+import opencv_tpu as tcv
+
+
+def _cam():
+    return np.array([[500, 0, 320], [0, 500, 240], [0, 0, 1]], np.float64), \
+        np.array([0.1, -0.05, 0.001, 0.002, 0.01], np.float64)
+
+
+def test_rodrigues_roundtrip():
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        rvec = rng.normal(0, 1, 3)
+        rR, _ = cv2.Rodrigues(rvec)
+        oR, _ = tcv.Rodrigues(rvec)
+        assert_near(oR, rR, atol=1e-10)
+        rv, _ = cv2.Rodrigues(rR)
+        ov, _ = tcv.Rodrigues(oR)
+        assert_near(ov, rv, atol=1e-8)
+
+
+def test_project_points():
+    K, dist = _cam()
+    rng = np.random.default_rng(0)
+    obj = rng.normal(0, 1, (15, 3)) + [0, 0, 5]
+    rvec = np.array([0.1, -0.2, 0.05])
+    tvec = np.array([0.3, -0.1, 1.0])
+    ref, _ = cv2.projectPoints(obj, rvec, tvec, K, dist)
+    ours, _ = tcv.projectPoints(obj, rvec, tvec, K, dist)
+    assert_near(ours, ref, atol=1e-6)
+
+
+def test_undistort_points():
+    K, dist = _cam()
+    rng = np.random.default_rng(1)
+    pts = rng.uniform([100, 100], [540, 380], (20, 2)).astype(np.float32)
+    ref = cv2.undistortPoints(pts.reshape(-1, 1, 2), K, dist)
+    ours = tcv.undistortPoints(pts, K, dist)
+    assert_near(ours, ref, atol=1e-4)
+
+
+def test_undistort_image():
+    K, dist = _cam()
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (480, 640), np.uint8)
+    # our maps match cv2's initUndistortRectifyMap exactly and our remap
+    # matches cv2.remap exactly; cv2.undistort itself goes through a
+    # lower-precision internal path, so allow small deviations vs it
+    refm_x, refm_y = cv2.initUndistortRectifyMap(K, dist, None, K,
+                                                 (640, 480), cv2.CV_32FC1)
+    ourm_x, ourm_y = tcv.initUndistortRectifyMap(K, dist, None, K, (640, 480))
+    assert np.abs(refm_x - ourm_x).max() == 0
+    assert np.abs(refm_y - ourm_y).max() == 0
+    ref_remap = cv2.remap(img, refm_x, refm_y, cv2.INTER_LINEAR)
+    ours_remap = np.asarray(tcv.remap(img, refm_x, refm_y, tcv.INTER_LINEAR))
+    assert np.array_equal(ref_remap, ours_remap)
+    ref = cv2.undistort(img, K, dist)
+    ours = np.asarray(tcv.undistort(img, K, dist))
+    d = np.abs(ref.astype(int) - ours.astype(int))
+    assert np.median(d) <= 1 and (d <= 2).mean() > 0.9
+
+
+def test_find_homography_ransac():
+    rng = np.random.default_rng(3)
+    H_true = np.array([[1.1, 0.05, 10], [-0.03, 0.95, -5], [1e-4, -2e-4, 1]])
+    src = rng.uniform(0, 500, (60, 2))
+    dst = cv2.perspectiveTransform(src.reshape(-1, 1, 2), H_true).reshape(-1, 2)
+    dst[:10] += rng.uniform(20, 50, (10, 2))  # outliers
+    rH, rmask = cv2.findHomography(src, dst, cv2.RANSAC, 3.0)
+    oH, omask = tcv.findHomography(src, dst, tcv.RANSAC, 3.0)
+    assert_near(oH / oH[2, 2], H_true / H_true[2, 2], atol=1e-2)
+    assert omask[10:].all() and omask[:10].sum() == 0
+
+
+def test_solve_pnp():
+    K, dist = _cam()
+    rng = np.random.default_rng(4)
+    obj = rng.uniform(-1, 1, (20, 3))
+    rvec_t = np.array([0.2, -0.1, 0.3])
+    tvec_t = np.array([0.1, 0.2, 5.0])
+    img, _ = cv2.projectPoints(obj, rvec_t, tvec_t, K, dist)
+    okr, rr, rt = cv2.solvePnP(obj, img, K, dist)
+    oko, orr, ot = tcv.solvePnP(obj, img, K, dist)
+    assert_near(orr, rvec_t.reshape(3, 1), atol=1e-4)
+    assert_near(ot, tvec_t.reshape(3, 1), atol=1e-3)
+
+
+def test_fundamental_epilines():
+    rng = np.random.default_rng(5)
+    # synthetic stereo
+    P1 = np.hstack([np.eye(3), np.zeros((3, 1))])
+    Rm, _ = cv2.Rodrigues(np.array([0.02, 0.3, 0.01]))
+    t = np.array([[1.0], [0.05], [0.02]])
+    P2 = np.hstack([Rm, t])
+    X = rng.uniform(-1, 1, (40, 3)) + [0, 0, 6]
+    x1 = (P1 @ np.vstack([X.T, np.ones(40)])).T
+    x2 = (P2 @ np.vstack([X.T, np.ones(40)])).T
+    p1 = (x1[:, :2] / x1[:, 2:]).astype(np.float64)
+    p2 = (x2[:, :2] / x2[:, 2:]).astype(np.float64)
+    oF, om = tcv.findFundamentalMat(p1, p2, tcv.FM_8POINT)
+    # epipolar constraint ~ 0
+    err = [abs(np.append(p2[i], 1) @ oF @ np.append(p1[i], 1)) for i in range(40)]
+    assert max(err) < 1e-6
+    lines = tcv.computeCorrespondEpilines(p1, 1, oF)
+    rlines = cv2.computeCorrespondEpilines(p1.reshape(-1, 1, 2), 1, oF)
+    assert_near(np.abs(lines), np.abs(rlines), atol=1e-4)
+
+
+def test_triangulate():
+    P1 = np.hstack([np.eye(3), np.zeros((3, 1))])
+    P2 = np.hstack([np.eye(3), np.array([[-1.0], [0], [0]])])
+    X = np.array([[0.2, 0.1, 5.0], [-0.3, 0.4, 7.0]]).T
+    x1 = X[:2] / X[2]
+    Xs = X + np.array([[-1.0], [0], [0]])
+    x2 = Xs[:2] / Xs[2]
+    ref = cv2.triangulatePoints(P1, P2, x1, x2)
+    ours = tcv.triangulatePoints(P1, P2, x1, x2)
+    refp = (ref[:3] / ref[3]).T
+    ourp = (ours[:3] / ours[3]).T
+    assert_near(ourp, refp, atol=1e-8)

@@ -1,0 +1,86 @@
+"""video module: MOG2, LK optical flow, Kalman, meanShift vs cv2."""
+
+import numpy as np
+import pytest
+
+from common import cv2, assert_near
+
+import opencv_tpu as tcv
+
+
+def _moving_square_frames(n=20, h=64, w=80):
+    rng = np.random.default_rng(0)
+    bg = rng.integers(80, 120, (h, w), np.uint8)
+    frames = []
+    for i in range(n):
+        f = bg.copy()
+        x = 10 + i
+        f[20:30, x:x + 8] = 230
+        frames.append(f)
+    return frames
+
+
+def test_mog2_foreground():
+    frames = _moving_square_frames()
+    ref = cv2.createBackgroundSubtractorMOG2(detectShadows=False)
+    ours = tcv.createBackgroundSubtractorMOG2(detectShadows=False)
+    for f in frames:
+        rm = ref.apply(f)
+        om = np.asarray(ours.apply(f))
+    # masks must agree (both learn the static background)
+    agree = (rm > 0) == (om > 0)
+    assert agree.mean() > 0.95, f"mask agreement {agree.mean()}"
+
+
+def test_lk_translation():
+    rng = np.random.default_rng(1)
+    base = cv2.GaussianBlur(rng.integers(0, 256, (120, 160), np.uint8),
+                            (5, 5), 1.5)
+    M = np.float32([[1, 0, 3.0], [0, 1, 2.0]])
+    nxt = cv2.warpAffine(base, M, (160, 120))
+    pts = cv2.goodFeaturesToTrack(base, 30, 0.05, 10).astype(np.float32)
+    ref_p, ref_s, _ = cv2.calcOpticalFlowPyrLK(base, nxt, pts, None)
+    our_p, our_s, _ = tcv.calcOpticalFlowPyrLK(base, nxt, pts, None)
+    ok = (ref_s.ravel() > 0) & (our_s.ravel() > 0)
+    assert ok.sum() >= 0.8 * len(pts)
+    d = np.abs(ref_p.reshape(-1, 2)[ok] - our_p.reshape(-1, 2)[ok])
+    assert np.median(d) < 0.5, f"median err {np.median(d)}"
+
+
+def test_kalman():
+    rk = cv2.KalmanFilter(4, 2)
+    ok = tcv.KalmanFilter(4, 2)
+    A = np.array([[1, 0, 1, 0], [0, 1, 0, 1], [0, 0, 1, 0], [0, 0, 0, 1]],
+                 np.float32)
+    Hm = np.array([[1, 0, 0, 0], [0, 1, 0, 0]], np.float32)
+    for k in (rk, ok):
+        k.transitionMatrix = A.copy()
+        k.measurementMatrix = Hm.copy()
+        k.processNoiseCov = np.eye(4, dtype=np.float32) * 1e-3
+        k.measurementNoiseCov = np.eye(2, dtype=np.float32) * 1e-1
+        k.errorCovPost = np.eye(4, dtype=np.float32)
+    rng = np.random.default_rng(2)
+    for t in range(10):
+        z = np.float32([[t + rng.normal(0, 0.1)], [2 * t + rng.normal(0, 0.1)]])
+        rp = rk.predict(); op = ok.predict()
+        assert_near(op, rp, atol=1e-3)
+        rc = rk.correct(z); oc = ok.correct(z)
+        assert_near(oc, rc, atol=1e-3)
+
+
+def test_meanshift():
+    prob = np.zeros((100, 100), np.uint8)
+    cv2.circle(prob, (60, 55), 10, 255, -1)
+    rn, rwin = cv2.meanShift(prob, (30, 30, 24, 24), (3, 10, 1))
+    on, owin = tcv.meanShift(prob, (30, 30, 24, 24), (3, 10, 1))
+    # both must converge onto the blob
+    assert abs(rwin[0] - owin[0]) <= 2 and abs(rwin[1] - owin[1]) <= 2
+
+
+def test_camshift():
+    prob = np.zeros((100, 100), np.uint8)
+    cv2.ellipse(prob, (60, 50), (15, 8), 30, 0, 360, 255, -1)
+    rrect, rwin = cv2.CamShift(prob, (40, 35, 40, 30), (3, 10, 1))
+    orect, owin = tcv.CamShift(prob, (40, 35, 40, 30), (3, 10, 1))
+    assert abs(rrect[0][0] - orect[0][0]) < 3
+    assert abs(rrect[0][1] - orect[0][1]) < 3
