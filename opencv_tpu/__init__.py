@@ -111,6 +111,19 @@ from .ops.shape import (
     connectedComponentsWithStats,
     distanceTransform,
 )
+from .photo import (
+    fastNlMeansDenoising,
+    fastNlMeansDenoisingColored,
+    createMergeMertens,
+    createMergeDebevec,
+    createCalibrateDebevec,
+    createTonemap,
+    createTonemapDrago,
+    createTonemapReinhard,
+    inpaint,
+    INPAINT_NS,
+    INPAINT_TELEA,
+)
 from .calib3d import (
     Rodrigues,
     projectPoints,

@@ -1,0 +1,85 @@
+"""Non-local means denoising (photo/src/fast_nlmeans_denoising_invoker.hpp).
+
+TPU-native: instead of the reference's per-pixel sliding window loops,
+the search window is unrolled into static offsets; per-offset patch
+SSDs are box sums (cumsum windows) and the weighted average is a fused
+elementwise accumulate — the whole denoise is one XLA program over the
+batch. Weights use the reference's exponential kernel on patch distance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import constants as K
+from ..core.arrays import to_batched, from_batched
+from ..core.borders import pad_nhwc
+from ..core.fixedpoint import saturate_cast
+
+__all__ = ["fastNlMeansDenoising", "fastNlMeansDenoisingColored"]
+
+
+def _box_sum_f32(x, k):
+    """(N,H,W,C) valid box sums of size k (cumsum trick)."""
+    c = jnp.cumsum(jnp.cumsum(x, axis=1), axis=2)
+    c = jnp.pad(c, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    H = x.shape[1] - k + 1
+    W = x.shape[2] - k + 1
+    return (c[:, k:k + H, k:k + W] - c[:, k:k + H, 0:W]
+            - c[:, 0:H, k:k + W] + c[:, 0:H, 0:W])
+
+
+def fastNlMeansDenoising(src, h: float = 3.0, templateWindowSize: int = 7,
+                         searchWindowSize: int = 21):
+    x, meta = to_batched(src)
+    tw = templateWindowSize
+    sw = searchWindowSize
+    tr = tw // 2
+    sr = sw // 2
+    xf = x.astype(jnp.float32)
+    # pad once for both patch and search reach
+    pad = tr + sr
+    xp = pad_nhwc(xf, pad, pad, pad, pad, K.BORDER_REFLECT)
+    N, Hp, Wp, C = xp.shape
+    H, W = x.shape[1], x.shape[2]
+
+    # reference weight: w = exp(-max(d2 - 2σ², 0) / h²) with σ=h? The
+    # fast path uses a LUT on patch SSD; we use the documented kernel
+    # w = exp(-d2 / (h² * patch_area)) per channel sum
+    inv_h2 = 1.0 / (h * h * tw * tw * C)
+
+    center = xp[:, sr:sr + H + 2 * tr, sr:sr + W + 2 * tr, :]
+    wsum = None
+    acc = None
+    for dy in range(-sr, sr + 1):
+        for dx in range(-sr, sr + 1):
+            nb = xp[:, sr + dy:sr + dy + H + 2 * tr,
+                    sr + dx:sr + dx + W + 2 * tr, :]
+            diff = (center - nb) ** 2
+            d2 = _box_sum_f32(diff.sum(axis=-1, keepdims=True), tw)
+            wgt = jnp.exp(-d2 * inv_h2)
+            v = nb[:, tr:tr + H, tr:tr + W, :]
+            acc = v * wgt if acc is None else acc + v * wgt
+            wsum = wgt if wsum is None else wsum + wgt
+    out = acc / wsum
+    return from_batched(saturate_cast(out, x.dtype), meta)
+
+
+def fastNlMeansDenoisingColored(src, h: float = 3.0, hColor: float = 3.0,
+                                templateWindowSize: int = 7,
+                                searchWindowSize: int = 21):
+    """Reference converts to CIELab and denoises L with h and ab with
+    hColor (fast_nlmeans denoising_colored)."""
+    from ..ops.color import cvtColor
+
+    lab = cvtColor(src, K.COLOR_BGR2Lab)
+    lab_np = np.asarray(lab)
+    L = fastNlMeansDenoising(lab_np[..., 0], h, templateWindowSize,
+                             searchWindowSize)
+    a = fastNlMeansDenoising(lab_np[..., 1], hColor, templateWindowSize,
+                             searchWindowSize)
+    b = fastNlMeansDenoising(lab_np[..., 2], hColor, templateWindowSize,
+                             searchWindowSize)
+    out = np.stack([np.asarray(L), np.asarray(a), np.asarray(b)], axis=-1)
+    return cvtColor(out.astype(np.uint8), K.COLOR_Lab2BGR)
