@@ -111,6 +111,23 @@ from .ops.shape import (
     connectedComponentsWithStats,
     distanceTransform,
 )
+from .ops.hough import HoughLines, HoughLinesP, HoughCircles
+from .ops.segmentation import (
+    floodFill,
+    watershed,
+    pyrMeanShiftFiltering,
+    FLOODFILL_FIXED_RANGE,
+    FLOODFILL_MASK_ONLY,
+)
+from .imgcodecs import (
+    imread,
+    imwrite,
+    imdecode,
+    imencode,
+    IMREAD_COLOR,
+    IMREAD_GRAYSCALE,
+    IMREAD_UNCHANGED,
+)
 from .photo import (
     fastNlMeansDenoising,
     fastNlMeansDenoisingColored,
@@ -151,6 +168,11 @@ from .video import (
     meanShift,
     CamShift,
 )
+from . import gapi
+from .gapi import pipeline, Stream
+from .stitching import Stitcher, Stitcher_create
+from .objdetect import HOGDescriptor
+from . import ml
 from .features2d import (
     KeyPoint,
     FastFeatureDetector,
@@ -158,6 +180,7 @@ from .features2d import (
     ORB,
     ORB_create,
     BFMatcher,
+    FlannBasedMatcher,
     DMatch,
 )
 from .features2d.fast import FAST as FastFeatureDetector_detect  # noqa: F401

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 
 from .. import constants as K
 
-__all__ = ["DMatch", "BFMatcher", "hamming_distance_matrix"]
+__all__ = ["DMatch", "BFMatcher", "FlannBasedMatcher",
+           "hamming_distance_matrix"]
 
 
 class DMatch:
@@ -108,3 +109,17 @@ class BFMatcher:
             js = js[np.argsort(d[i, js], kind="stable")]
             out.append([DMatch(i, int(j), float(d[i, j])) for j in js])
         return out
+
+
+class FlannBasedMatcher(BFMatcher):
+    """FLANN-compatible surface. On TPU the batched brute-force distance
+    matrix saturates the MXU and beats tree traversal for the descriptor
+    sizes cv2 pipelines use, so this is exact (not approximate) matching
+    behind the FLANN API (miniflann.cpp parity gap: index persistence)."""
+
+    def __init__(self, indexParams=None, searchParams=None):
+        super().__init__(K.NORM_L2, crossCheck=False)
+
+    @staticmethod
+    def create():
+        return FlannBasedMatcher()

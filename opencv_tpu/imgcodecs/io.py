@@ -1,0 +1,265 @@
+"""Image IO (modules/imgcodecs): imread/imwrite for PNG (zlib, pure
+python encoder/decoder), BMP, and PPM/PGM — the formats implementable
+without third-party codec libraries.  JPEG/TIFF/WebP support requires
+native codecs and is a documented gap for this round.
+
+Decoded images are returned as numpy BGR(A) arrays exactly like cv2;
+device pipelines `jax.device_put` them (the host/device split the
+reference also has: decode on CPU, dense work on the accelerator).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+
+IMREAD_UNCHANGED = -1
+IMREAD_GRAYSCALE = 0
+IMREAD_COLOR = 1
+
+__all__ = ["imread", "imwrite", "imdecode", "imencode",
+           "IMREAD_COLOR", "IMREAD_GRAYSCALE", "IMREAD_UNCHANGED"]
+
+
+# ------------------------------------------------------------------- PNG
+
+def _png_decode(data: bytes):
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    idat = b""
+    w = h = bitdepth = colortype = None
+    palette = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, bitdepth, colortype, _, _, interlace = \
+                struct.unpack(">IIBBBBB", chunk)
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if bitdepth not in (8, 16):
+        raise ValueError(f"bitdepth {bitdepth} not supported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    bpp = nch * (bitdepth // 8)
+    raw = zlib.decompress(idat)
+    stride = w * bpp
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        row = np.frombuffer(raw[pos + 1:pos + 1 + stride], np.uint8).astype(np.int32)
+        pos += 1 + stride
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub
+            cur = row.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 255
+        elif ft == 2:  # Up
+            cur = (row + prev) & 255
+        elif ft == 3:  # Average
+            cur = row.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 255
+        elif ft == 4:  # Paeth
+            cur = row.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 255
+        else:
+            raise ValueError(f"bad filter {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    if bitdepth == 16:
+        arr = out.reshape(h, w, nch, 2)
+        img = (arr[..., 0].astype(np.uint16) << 8) | arr[..., 1]
+    else:
+        img = out.reshape(h, w, nch)
+    if colortype == 3:
+        img = palette[img[..., 0]]
+        nch = 3
+    # PNG is RGB(A); cv2 returns BGR(A)
+    if nch >= 3:
+        img = img[..., [2, 1, 0] + ([3] if nch == 4 else [])]
+    elif nch == 1:
+        img = img[..., 0]
+    return img
+
+
+def _png_encode(img: np.ndarray) -> bytes:
+    a = np.asarray(img)
+    if a.ndim == 2:
+        colortype, nch = 0, 1
+        rgb = a[..., None]
+    elif a.shape[2] == 3:
+        colortype, nch = 2, 3
+        rgb = a[..., [2, 1, 0]]  # BGR → RGB
+    else:
+        colortype, nch = 6, 4
+        rgb = a[..., [2, 1, 0, 3]]
+    h, w = a.shape[:2]
+    if a.dtype == np.uint16:
+        depth = 16
+        payload = rgb.astype(">u2").tobytes()
+        stride = w * nch * 2
+    else:
+        depth = 8
+        payload = rgb.astype(np.uint8).tobytes()
+        stride = w * nch
+    rows = b"".join(b"\x00" + payload[y * stride:(y + 1) * stride]
+                    for y in range(h))
+    comp = zlib.compress(rows, 6)
+
+    def chunk(ctype, body):
+        c = struct.pack(">I", len(body)) + ctype + body
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return c + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, colortype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", comp) + chunk(b"IEND", b""))
+
+
+# ------------------------------------------------------------------- BMP
+
+def _bmp_decode(data: bytes):
+    assert data[:2] == b"BM"
+    off = struct.unpack("<I", data[10:14])[0]
+    hsize = struct.unpack("<I", data[14:18])[0]
+    w, h = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    comp = struct.unpack("<I", data[30:34])[0]
+    if comp != 0 or bpp not in (8, 24, 32):
+        raise ValueError("unsupported BMP variant")
+    flip = h > 0
+    h = abs(h)
+    stride = ((w * bpp // 8) + 3) & ~3
+    raw = np.frombuffer(data[off:off + stride * h], np.uint8).reshape(h, stride)
+    if bpp == 24:
+        img = raw[:, :w * 3].reshape(h, w, 3)
+    elif bpp == 32:
+        img = raw[:, :w * 4].reshape(h, w, 4)[..., :3]
+    else:
+        img = raw[:, :w]
+    if flip:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def _bmp_encode(img: np.ndarray) -> bytes:
+    a = np.asarray(img)
+    if a.ndim == 2:
+        a = np.stack([a] * 3, axis=-1)
+    h, w = a.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w * 3] = a[..., :3].reshape(h, -1)
+    body = rows[::-1].tobytes()
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return header + info + body
+
+
+# ----------------------------------------------------------------- PPM/PGM
+
+def _pnm_decode(data: bytes):
+    parts = data.split(maxsplit=4)
+    magic = parts[0]
+    w, h, maxv = int(parts[1]), int(parts[2]), int(parts[3])
+    raw = parts[4] if len(parts) > 4 else b""
+    dt = np.uint8 if maxv < 256 else ">u2"
+    if magic == b"P5":
+        img = np.frombuffer(raw, dt, w * h).reshape(h, w)
+    elif magic == b"P6":
+        img = np.frombuffer(raw, dt, w * h * 3).reshape(h, w, 3)[..., ::-1]
+    else:
+        raise ValueError(f"unsupported PNM magic {magic}")
+    return np.ascontiguousarray(img.astype(np.uint16 if maxv >= 256 else np.uint8))
+
+
+def _pnm_encode(img: np.ndarray, ext: str) -> bytes:
+    a = np.asarray(img)
+    if ext == ".pgm":
+        if a.ndim == 3:
+            from ..ops.color import cvtColor
+            from .. import constants as K
+            a = np.asarray(cvtColor(a, K.COLOR_BGR2GRAY))
+        head = b"P5\n%d %d\n255\n" % (a.shape[1], a.shape[0])
+        return head + a.astype(np.uint8).tobytes()
+    if a.ndim == 2:
+        a = np.stack([a] * 3, axis=-1)
+    head = b"P6\n%d %d\n255\n" % (a.shape[1], a.shape[0])
+    return head + a[..., ::-1].astype(np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------- public
+
+def imdecode(buf, flags: int = IMREAD_COLOR):
+    data = bytes(np.asarray(buf, np.uint8))
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        img = _png_decode(data)
+    elif data[:2] == b"BM":
+        img = _bmp_decode(data)
+    elif data[:2] in (b"P5", b"P6"):
+        img = _pnm_decode(data)
+    else:
+        raise ValueError("unsupported image format (PNG/BMP/PNM available; "
+                         "JPEG/TIFF/WebP are a documented round-1 gap)")
+    if flags == IMREAD_GRAYSCALE and img.ndim == 3:
+        from ..ops.color import cvtColor
+        from .. import constants as K
+        img = np.asarray(cvtColor(img[..., :3], K.COLOR_BGR2GRAY))
+    elif flags == IMREAD_COLOR:
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        elif img.shape[2] == 4:
+            img = img[..., :3]
+    return img
+
+
+def imread(filename: str, flags: int = IMREAD_COLOR):
+    if not os.path.exists(filename):
+        return None
+    with open(filename, "rb") as f:
+        data = f.read()
+    return imdecode(np.frombuffer(data, np.uint8), flags)
+
+
+def imencode(ext: str, img, params=None):
+    ext = ext.lower()
+    if ext in (".png",):
+        data = _png_encode(img)
+    elif ext in (".bmp", ".dib"):
+        data = _bmp_encode(img)
+    elif ext in (".ppm", ".pgm", ".pnm"):
+        data = _pnm_encode(img, ext)
+    else:
+        raise ValueError(f"unsupported extension {ext}")
+    return True, np.frombuffer(data, np.uint8)
+
+
+def imwrite(filename: str, img, params=None) -> bool:
+    ext = os.path.splitext(filename)[1].lower()
+    ok, data = imencode(ext, img, params)
+    with open(filename, "wb") as f:
+        f.write(bytes(data))
+    return True

@@ -1,0 +1,122 @@
+"""Native host-tail library: lazy g++ build + ctypes bindings.
+
+The compute path is JAX/XLA/Pallas; this .so implements the sequential
+host algorithms around it (Suzuki-Abe contours, flood fill).  Falls back
+to the pure-Python implementations when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "hosttails.cpp")
+_LIB = None
+_TRIED = False
+
+
+def _build() -> str | None:
+    out = os.path.join(_DIR, "_hosttails.so")
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(_SRC):
+        return out
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", out],
+            check=True, capture_output=True, timeout=120)
+        return out
+    except Exception:
+        return None
+
+
+def get_lib():
+    """ctypes handle to the native library, or None (fallback to Python)."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _build()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.suzuki_contours.restype = ctypes.c_int
+        lib.suzuki_contours.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32,
+        ]
+        lib.flood_fill_u8.restype = ctypes.c_int64
+        lib.flood_fill_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint8,
+            ctypes.c_void_p,
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def suzuki_contours(binary: np.ndarray):
+    """Run the native contour scan; returns (list_of_point_arrays,
+    parents, is_outer) or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    f = np.ascontiguousarray((binary != 0).astype(np.uint8))
+    H, W = f.shape
+    max_pts = max(4 * H * W, 1024)
+    max_ctrs = max(H * W // 2, 64)
+    pts = np.empty((max_pts, 2), np.int32)
+    starts = np.empty(max_ctrs + 1, np.int32)
+    parents = np.empty(max_ctrs, np.int32)
+    is_outer = np.empty(max_ctrs, np.uint8)
+    n = lib.suzuki_contours(
+        f.ctypes.data, H, W,
+        pts.ctypes.data, max_pts,
+        starts.ctypes.data, parents.ctypes.data, is_outer.ctypes.data,
+        max_ctrs)
+    if n < 0:
+        return None
+    out = [pts[starts[i]:starts[i + 1]].copy() for i in range(n)]
+    return out, parents[:n].copy(), is_outer[:n].astype(bool)
+
+
+def flood_fill(img: np.ndarray, mask: np.ndarray, seed, new_val,
+               lo, up, conn: int, fixed_range: bool, mask_only: bool,
+               mask_val: int):
+    """Native flood fill; mutates img/mask in place. Returns (count, rect)
+    or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = img if img.flags.c_contiguous else np.ascontiguousarray(img)
+    C = a.shape[2] if a.ndim == 3 else 1
+    nv = np.asarray(new_val, np.uint8).reshape(-1)[:C].copy()
+    if len(nv) < C:
+        nv = np.resize(nv, C)
+    lo = np.asarray(lo, np.float64).reshape(-1)[:C].copy()
+    up = np.asarray(up, np.float64).reshape(-1)[:C].copy()
+    if len(lo) < C:
+        lo = np.resize(lo, C)
+    if len(up) < C:
+        up = np.resize(up, C)
+    rect = np.zeros(4, np.int32)
+    count = lib.flood_fill_u8(
+        a.ctypes.data, mask.ctypes.data, a.shape[0], a.shape[1], C,
+        int(seed[0]), int(seed[1]), nv.ctypes.data,
+        lo.ctypes.data, up.ctypes.data, conn,
+        1 if fixed_range else 0, 1 if mask_only else 0, mask_val,
+        rect.ctypes.data)
+    if a is not img:
+        img[...] = a
+    return int(count), tuple(int(v) for v in rect)

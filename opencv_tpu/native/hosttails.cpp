@@ -1,0 +1,211 @@
+// Native host-tail algorithms for opencv_tpu.
+//
+// The TPU compute path is JAX/XLA/Pallas; these are the pointer-chasing
+// host algorithms that surround it (the role the reference's C++ core
+// plays around its SIMD kernels): Suzuki-Abe border following and
+// flood fill, both with data-dependent output sizes that don't map to
+// static-shape device programs.
+//
+// Built with:  g++ -O3 -shared -fPIC hosttails.cpp -o _hosttails.so
+// Loaded via ctypes (opencv_tpu/native/__init__.py); the pure-Python
+// implementations remain as fallback.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Moore neighborhood, clockwise from East (matches contours.py _NB)
+static const int NBY[8] = {0, -1, -1, -1, 0, 1, 1, 1};
+static const int NBX[8] = {1, 1, 0, -1, -1, -1, 0, 1};
+
+// Suzuki-Abe border following on a binary image.
+//   img:    H*W uint8 (nonzero = foreground)
+//   pts:    output buffer for (x, y) pairs, capacity max_pts
+//   starts: output contour start indices into pts (capacity max_ctrs+1);
+//           starts[i]..starts[i+1] are contour i's points
+//   parents,is_outer: per-contour metadata (capacity max_ctrs)
+// Returns the number of contours, or -1 if a buffer was too small.
+int suzuki_contours(const uint8_t* img, int H, int W,
+                    int32_t* pts, int64_t max_pts,
+                    int32_t* starts, int32_t* parents, uint8_t* is_outer,
+                    int32_t max_ctrs) {
+  const int PW = W + 2;
+  const int PH = H + 2;
+  std::vector<int32_t> F((size_t)PW * PH, 0);
+  for (int y = 0; y < H; y++)
+    for (int x = 0; x < W; x++)
+      F[(size_t)(y + 1) * PW + (x + 1)] = img[(size_t)y * W + x] ? 1 : 0;
+
+  // border_of: NBD -> (contour index, type); NBD 1 = frame (hole type)
+  std::vector<int32_t> border_ctr(2, -1);
+  std::vector<uint8_t> border_hole(2, 1);
+
+  int64_t npts = 0;
+  int32_t nctr = 0;
+  int nbd = 1;
+
+  for (int y = 1; y <= H; y++) {
+    int lnbd = 1;
+    for (int x = 1; x <= W; x++) {
+      int32_t v = F[(size_t)y * PW + x];
+      if (v == 0) continue;
+      bool outer = (v == 1 && F[(size_t)y * PW + x - 1] == 0);
+      bool hole = (v >= 1 && F[(size_t)y * PW + x + 1] == 0);
+      if (!(outer || hole)) {
+        if (v != 1) lnbd = v < 0 ? -v : v;
+        continue;
+      }
+      nbd++;
+      if (nctr >= max_ctrs) return -1;
+      uint8_t btype_outer = outer ? 1 : 0;
+      // Suzuki decision table
+      int pl = border_ctr[lnbd];
+      uint8_t ptype_outer = border_hole[lnbd] ? 0 : 1;
+      int parent;
+      if (btype_outer != ptype_outer)
+        parent = pl;
+      else
+        parent = (pl >= 0) ? parents[pl] : -1;
+
+      starts[nctr] = (int32_t)npts;
+      parents[nctr] = parent;
+      is_outer[nctr] = btype_outer;
+
+      // trace border starting at (y, x)
+      int start_dir = outer ? 4 : 0;
+      int d1 = -1;
+      for (int i = 0; i < 8; i++) {
+        int dd = ((start_dir - i) % 8 + 8) % 8;
+        if (F[(size_t)(y + NBY[dd]) * PW + (x + NBX[dd])] != 0) {
+          d1 = dd;
+          break;
+        }
+      }
+      if (d1 < 0) {
+        // isolated pixel
+        F[(size_t)y * PW + x] = -nbd;
+        if (npts + 1 > max_pts) return -1;
+        pts[2 * npts] = x - 1;
+        pts[2 * npts + 1] = y - 1;
+        npts++;
+      } else {
+        int cy = y, cx = x, d = d1;
+        int f2y = y + NBY[d1], f2x = x + NBX[d1];
+        while (true) {
+          bool east_zero = false;
+          int nd = -1;
+          for (int i = 1; i <= 8; i++) {
+            int dd = (d + i) % 8;
+            int yy = cy + NBY[dd], xx = cx + NBX[dd];
+            if (F[(size_t)yy * PW + xx] != 0) {
+              nd = dd;
+              break;
+            }
+            if (dd == 0) east_zero = true;
+          }
+          if (npts + 1 > max_pts) return -1;
+          pts[2 * npts] = cx - 1;
+          pts[2 * npts + 1] = cy - 1;
+          npts++;
+          int32_t& cell = F[(size_t)cy * PW + cx];
+          if (east_zero)
+            cell = -nbd;
+          else if (cell == 1)
+            cell = nbd;
+          int ny = cy + NBY[nd], nx = cx + NBX[nd];
+          if (ny == y && nx == x && cy == f2y && cx == f2x) break;
+          cy = ny;
+          cx = nx;
+          d = (nd + 4) % 8;
+          if (npts > (int64_t)4 * PW * PH) break;  // safety
+        }
+      }
+
+      if ((int)border_ctr.size() <= nbd) {
+        border_ctr.resize(nbd + 1, -1);
+        border_hole.resize(nbd + 1, 1);
+      }
+      border_ctr[nbd] = nctr;
+      border_hole[nbd] = btype_outer ? 0 : 1;
+      nctr++;
+
+      int32_t after = F[(size_t)y * PW + x];
+      if (after != 1) lnbd = after < 0 ? -after : after;
+    }
+  }
+  starts[nctr] = (int32_t)npts;
+  return nctr;
+}
+
+// 4/8-connected flood fill with per-channel lo/up tolerances.
+// img: H*W*C uint8 (modified in place unless mask_only), mask: (H+2)*(W+2).
+// Returns the filled pixel count and writes rect[4] = x, y, w, h.
+int64_t flood_fill_u8(uint8_t* img, uint8_t* mask, int H, int W, int C,
+                      int sx, int sy, const uint8_t* new_val,
+                      const double* lo, const double* up, int conn,
+                      int fixed_range, int mask_only, uint8_t mask_val,
+                      int32_t* rect) {
+  const int PW = W + 2;
+  std::vector<uint8_t> filled((size_t)H * W, 0);
+  std::vector<int32_t> stack;
+  stack.reserve(1024);
+  stack.push_back(sy * W + sx);
+  filled[(size_t)sy * W + sx] = 1;
+
+  std::vector<double> seed(C);
+  for (int c = 0; c < C; c++) seed[c] = img[((size_t)sy * W + sx) * C + c];
+
+  static const int O8Y[8] = {-1, 1, 0, 0, -1, -1, 1, 1};
+  static const int O8X[8] = {0, 0, -1, 1, -1, 1, -1, 1};
+  int noffs = (conn == 8) ? 8 : 4;
+
+  int64_t count = 0;
+  int minx = sx, maxx = sx, miny = sy, maxy = sy;
+  while (!stack.empty()) {
+    int32_t p = stack.back();
+    stack.pop_back();
+    int y = p / W, x = p % W;
+    count++;
+    if (x < minx) minx = x;
+    if (x > maxx) maxx = x;
+    if (y < miny) miny = y;
+    if (y > maxy) maxy = y;
+    for (int k = 0; k < noffs; k++) {
+      int ny = y + O8Y[k], nx = x + O8X[k];
+      if (ny < 0 || ny >= H || nx < 0 || nx >= W) continue;
+      size_t q = (size_t)ny * W + nx;
+      if (filled[q]) continue;
+      if (mask[(size_t)(ny + 1) * PW + (nx + 1)]) continue;
+      bool ok = true;
+      for (int c = 0; c < C; c++) {
+        double base = fixed_range ? seed[c] : (double)img[((size_t)y * W + x) * C + c];
+        double d = (double)img[q * C + c] - base;
+        if (d < -lo[c] || d > up[c]) {
+          ok = false;
+          break;
+        }
+      }
+      if (ok) {
+        filled[q] = 1;
+        stack.push_back((int32_t)(ny * W + nx));
+      }
+    }
+  }
+  for (int y = 0; y < H; y++)
+    for (int x = 0; x < W; x++)
+      if (filled[(size_t)y * W + x]) {
+        mask[(size_t)(y + 1) * PW + (x + 1)] = mask_val;
+        if (!mask_only)
+          for (int c = 0; c < C; c++)
+            img[((size_t)y * W + x) * C + c] = new_val[c];
+      }
+  rect[0] = minx;
+  rect[1] = miny;
+  rect[2] = maxx - minx + 1;
+  rect[3] = maxy - miny + 1;
+  return count;
+}
+
+}  // extern "C"

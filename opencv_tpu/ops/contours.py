@@ -31,10 +31,19 @@ _NB = [(0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1), (1, 0), (1, 1)]
 
 def findContours(image, mode: int, method: int):
     """Suzuki-Abe border following; returns (contours, hierarchy) with
-    cv2 conventions (contours as (N,1,2) int32 arrays of (x,y))."""
+    cv2 conventions (contours as (N,1,2) int32 arrays of (x,y)).
+
+    Uses the native C++ scan (opencv_tpu/native/hosttails.cpp) when a
+    compiler is available; falls back to the Python implementation."""
     img = np.asarray(image)
     if img.ndim == 3:
         img = img[:, :, 0]
+    from ..native import suzuki_contours
+    res = suzuki_contours(img)
+    if res is not None:
+        pt_lists, parents, is_outer = res
+        return _package_contours([list(map(tuple, p)) for p in pt_lists],
+                                 list(parents), mode, method)
     return _find_contours_simple((img != 0).astype(np.int32), mode, method)
 
 
@@ -128,10 +137,14 @@ def _find_contours_simple(f, mode, method):
             if F[y, x] != 1:
                 lnbd = abs(F[y, x])
 
+    return _package_contours(contours, [p for p, _ in parents], mode, method)
+
+
+def _package_contours(contours, parent_list, mode, method):
     # hierarchy arrays
     n = len(contours)
     hier = np.full((n, 4), -1, np.int32)
-    for i, (p, _) in enumerate(parents):
+    for i, p in enumerate(parent_list):
         hier[i, 3] = p
     # next/prev among siblings; first child
     for i in range(n):

@@ -1,0 +1,177 @@
+"""Hough transforms (imgproc/src/hough.cpp).
+
+TPU-native: the vote accumulator is built as a stack of per-angle
+histograms — for each θ the rho indices of all edge pixels are a fused
+elementwise computation and the voting is one `bincount` (sorted-segment
+reduction); the (θ, ρ) local-maximum test is a vectorized neighbor
+comparison with the reference's exact >/>= tie rules
+(hough.cpp findLocalMaximums).  Peak ordering is votes-desc with
+smaller-index-first ties (hough_cmp_gt).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.arrays import to_batched
+
+__all__ = ["HoughLines", "HoughLinesP", "HoughCircles"]
+
+
+def _hough_accum(edges, rho: float, theta: float, min_theta, max_theta):
+    H, W = edges.shape
+    numangle = max(int(np.rint((max_theta - min_theta) / theta)), 1)
+    numrho = int(np.rint(((W + H) * 2 + 1) / rho))
+    ys, xs = jnp.nonzero(edges, size=edges.size, fill_value=-1)
+    valid = ys >= 0
+    angs = min_theta + np.arange(numangle) * theta
+    tabs = np.stack([np.cos(angs) / rho, np.sin(angs) / rho], 1)  # like irho
+
+    def one_angle(tab):
+        r = jnp.rint(xs * tab[0] + ys * tab[1]).astype(jnp.int32) \
+            + (numrho - 1) // 2
+        r = jnp.where(valid, r, numrho)  # dump invalid into overflow bin
+        return jnp.bincount(r, length=numrho + 1)[:numrho]
+
+    acc = jax.lax.map(one_angle, jnp.asarray(tabs))
+    return np.asarray(acc), numangle, numrho
+
+
+def HoughLines(image, rho: float, theta: float, threshold: int,
+               srn: float = 0, stn: float = 0,
+               min_theta: float = 0.0, max_theta: float = math.pi):
+    """Standard Hough line transform → (N, 1, 2) of (rho, theta)."""
+    x, _ = to_batched(image)
+    edges = x[0, :, :, 0] != 0
+    acc, numangle, numrho = _hough_accum(edges, rho, theta, min_theta,
+                                         max_theta)
+    # local maxima (findLocalMaximums): > rho neighbors? exact reference:
+    # acc > acc[r-1] && acc >= acc[r+1] && acc > acc[angle-1] && acc >= acc[angle+1]
+    A = np.pad(acc, 1)
+    c = A[1:-1, 1:-1]
+    keep = ((c > threshold)
+            & (c > A[1:-1, :-2]) & (c >= A[1:-1, 2:])
+            & (c > A[:-2, 1:-1]) & (c >= A[2:, 1:-1]))
+    ai, ri = np.nonzero(keep)
+    votes = c[ai, ri]
+    order = np.lexsort((ai * numrho + ri, -votes))
+    lines = []
+    for k in order:
+        r = (ri[k] - (numrho - 1) / 2) * rho
+        a = min_theta + ai[k] * theta
+        lines.append((r, a))
+    if not lines:
+        return None
+    return np.asarray(lines, np.float32).reshape(-1, 1, 2)
+
+
+def HoughLinesP(image, rho: float, theta: float, threshold: int,
+                minLineLength: float = 0, maxLineGap: float = 0):
+    """Probabilistic Hough — returns line segments (x1,y1,x2,y2).
+
+    Deterministic variant: strongest standard-Hough peaks, then segment
+    extraction along each line with the gap/length rules of
+    HoughLinesProbabilistic."""
+    lines = HoughLines(image, rho, theta, threshold)
+    if lines is None:
+        return None
+    img = np.asarray(image)
+    if img.ndim == 3:
+        img = img[:, :, 0]
+    H, W = img.shape
+    segs = []
+    for r, a in lines.reshape(-1, 2)[:100]:
+        c, s = math.cos(a), math.sin(a)
+        # walk along the line
+        if abs(s) > abs(c):  # mostly horizontal direction of x
+            xs = np.arange(W)
+            ys = np.rint((r - xs * c) / s).astype(int)
+            m = (ys >= 0) & (ys < H)
+            pts = np.stack([xs[m], ys[m]], 1)
+        else:
+            ys = np.arange(H)
+            xs = np.rint((r - ys * s) / c).astype(int)
+            m = (xs >= 0) & (xs < W)
+            pts = np.stack([xs[m], ys[m]], 1)
+        on = img[pts[:, 1], pts[:, 0]] != 0
+        # extract runs with gap tolerance
+        start = None
+        gap = 0
+        last_on = None
+        for i, o in enumerate(on):
+            if o:
+                if start is None:
+                    start = i
+                last_on = i
+                gap = 0
+            elif start is not None:
+                gap += 1
+                if gap > maxLineGap:
+                    if math.dist(pts[start], pts[last_on]) >= minLineLength:
+                        segs.append((*pts[start], *pts[last_on]))
+                    start = None
+        if start is not None and last_on is not None \
+                and math.dist(pts[start], pts[last_on]) >= minLineLength:
+            segs.append((*pts[start], *pts[last_on]))
+    if not segs:
+        return None
+    return np.asarray(segs, np.int32).reshape(-1, 1, 4)
+
+
+def HoughCircles(image, method: int, dp: float, minDist: float,
+                 param1: float = 100, param2: float = 100,
+                 minRadius: int = 0, maxRadius: int = 0):
+    """HOUGH_GRADIENT: Canny edges + gradient-direction center voting
+    (hough.cpp HoughCirclesGradient), then radius estimation."""
+    from .canny import Canny
+    from .deriv import Sobel
+    from .. import constants as K
+
+    img = np.asarray(image)
+    H, W = img.shape[:2]
+    if maxRadius <= 0:
+        maxRadius = max(H, W)
+    edges = np.asarray(Canny(img, param1 / 2, param1)) != 0
+    dx = np.asarray(Sobel(img, K.CV_16S, 1, 0)).astype(np.float64)
+    dy = np.asarray(Sobel(img, K.CV_16S, 0, 1)).astype(np.float64)
+    mag = np.hypot(dx, dy)
+    ys, xs = np.nonzero(edges & (mag > 0))
+    nx = dx[ys, xs] / mag[ys, xs]
+    ny = dy[ys, xs] / mag[ys, xs]
+    ah = int(np.ceil(H / dp))
+    aw = int(np.ceil(W / dp))
+    acc = np.zeros((ah, aw), np.int32)
+    for sgn in (1, -1):
+        for r in range(max(minRadius, 1), maxRadius, max(int(dp), 1)):
+            cx = np.rint((xs + sgn * r * nx) / dp).astype(int)
+            cy = np.rint((ys + sgn * r * ny) / dp).astype(int)
+            m = (cx >= 0) & (cx < aw) & (cy >= 0) & (cy < ah)
+            np.add.at(acc, (cy[m], cx[m]), 1)
+    # center candidates: local maxima above param2
+    A = np.pad(acc, 1)
+    c = A[1:-1, 1:-1]
+    keep = ((c > param2) & (c >= A[1:-1, :-2]) & (c >= A[1:-1, 2:])
+            & (c >= A[:-2, 1:-1]) & (c >= A[2:, 1:-1]))
+    cy, cx = np.nonzero(keep)
+    votes = c[cy, cx]
+    order = np.argsort(-votes)
+    centers = []
+    for k in order:
+        px, py = cx[k] * dp, cy[k] * dp
+        if all((px - qx) ** 2 + (py - qy) ** 2 >= minDist ** 2
+               for qx, qy, _ in centers):
+            # radius: mode of edge distances
+            d = np.hypot(xs - px, ys - py)
+            sel = (d >= max(minRadius, 1)) & (d <= maxRadius)
+            if not sel.any():
+                continue
+            hist, be = np.histogram(d[sel], bins=min(64, maxRadius))
+            rad = (be[hist.argmax()] + be[hist.argmax() + 1]) / 2
+            centers.append((px, py, rad))
+    if not centers:
+        return None
+    return np.asarray(centers, np.float32).reshape(1, -1, 3)

@@ -1,0 +1,95 @@
+"""Hough transforms + floodFill/watershed vs cv2."""
+
+import math
+import numpy as np
+import pytest
+
+from common import cv2, assert_exact
+
+import opencv_tpu as tcv
+
+
+def test_hough_lines():
+    img = np.zeros((100, 100), np.uint8)
+    cv2.line(img, (10, 20), (90, 20), 255, 1)     # horizontal: theta=pi/2
+    cv2.line(img, (50, 5), (50, 95), 255, 1)      # vertical: theta=0
+    ref = cv2.HoughLines(img, 1, np.pi / 180, 60)
+    ours = tcv.HoughLines(img, 1, np.pi / 180, 60)
+    rset = {(round(float(r), 1), round(float(t), 2))
+            for r, t in ref.reshape(-1, 2)}
+    oset = {(round(float(r), 1), round(float(t), 2))
+            for r, t in ours.reshape(-1, 2)}
+    assert rset == oset, (rset, oset)
+
+
+def test_hough_lines_p():
+    img = np.zeros((80, 80), np.uint8)
+    cv2.line(img, (10, 40), (70, 40), 255, 1)
+    segs = tcv.HoughLinesP(img, 1, np.pi / 180, 40, minLineLength=30,
+                           maxLineGap=5)
+    assert segs is not None
+    x1, y1, x2, y2 = segs.reshape(-1, 4)[0]
+    assert y1 == 40 and y2 == 40 and abs((x2 - x1)) >= 50
+
+
+def test_hough_circles():
+    img = np.zeros((100, 100), np.uint8)
+    cv2.circle(img, (50, 50), 20, 255, 2)
+    img = cv2.GaussianBlur(img, (5, 5), 1)
+    ours = tcv.HoughCircles(img, 3, 1, 30, param1=100, param2=20,
+                            minRadius=10, maxRadius=40)
+    assert ours is not None
+    x, y, r = ours.reshape(-1, 3)[0]
+    assert abs(x - 50) <= 2 and abs(y - 50) <= 2 and abs(r - 20) <= 3
+
+
+def test_flood_fill():
+    img = np.zeros((40, 40), np.uint8)
+    cv2.rectangle(img, (5, 5), (20, 20), 100, -1)
+    ref_img = img.copy()
+    rn, rimg, rmask, rrect = cv2.floodFill(ref_img, None, (10, 10), 200)
+    on, oimg, omask, orect = tcv.floodFill(img, None, (10, 10), 200)
+    assert rn == on
+    assert rrect == orect
+    assert_exact(oimg, rimg)
+
+
+def test_flood_fill_tolerance():
+    rng = np.random.default_rng(0)
+    img = (rng.integers(0, 3, (30, 30)) * 10 + 100).astype(np.uint8)
+    ref_img = img.copy()
+    ours_img = img.copy()
+    rn, rimg, _, _ = cv2.floodFill(ref_img, None, (15, 15), 255,
+                                   loDiff=25, upDiff=25)
+    on, oimg, _, _ = tcv.floodFill(ours_img, None, (15, 15), 255,
+                                   loDiff=25, upDiff=25)
+    assert rn == on
+    assert_exact(oimg, rimg)
+
+
+def test_watershed():
+    img = np.zeros((60, 60, 3), np.uint8)
+    cv2.circle(img, (20, 30), 12, (200, 200, 200), -1)
+    cv2.circle(img, (42, 30), 12, (120, 120, 120), -1)
+    markers = np.zeros((60, 60), np.int32)
+    markers[30, 20] = 1
+    markers[30, 42] = 2
+    markers[5, 5] = 3
+    rm = markers.copy()
+    cv2.watershed(img, rm)
+    om = markers.copy()
+    tcv.watershed(img, om)
+    # segment identity agreement on interior pixels (boundaries differ)
+    inner = (rm > 0) & (om > 0)
+    agree = (rm[inner] == om[inner]).mean()
+    assert agree > 0.9, f"agreement {agree}"
+
+
+def test_pyr_mean_shift():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    img = cv2.GaussianBlur(img, (5, 5), 2)
+    out = tcv.pyrMeanShiftFiltering(img, 5, 20)
+    assert out.shape == img.shape
+    # smoothing reduces variance
+    assert out.std() <= img.std() + 1
