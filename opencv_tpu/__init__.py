@@ -112,6 +112,18 @@ from .ops.shape import (
     distanceTransform,
 )
 from .ops.hough import HoughLines, HoughLinesP, HoughCircles
+from .ops.misc import (
+    getRectSubPix,
+    matchShapes,
+    phaseCorrelate,
+    createHanningWindow,
+    convertMaps,
+    demosaicing,
+    blendLinear,
+    CONTOURS_MATCH_I1,
+    CONTOURS_MATCH_I2,
+    CONTOURS_MATCH_I3,
+)
 from .ops.segmentation import (
     floodFill,
     watershed,
