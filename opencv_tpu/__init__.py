@@ -191,6 +191,8 @@ from .features2d import (
     FastFeatureDetector_create,
     ORB,
     ORB_create,
+    SIFT,
+    SIFT_create,
     BFMatcher,
     FlannBasedMatcher,
     DMatch,

@@ -2,3 +2,4 @@ from .keypoint import KeyPoint  # noqa: F401
 from .fast import FAST, FastFeatureDetector, FastFeatureDetector_create  # noqa: F401
 from .orb import ORB, ORB_create  # noqa: F401
 from .matchers import BFMatcher, FlannBasedMatcher, DMatch, hamming_distance_matrix  # noqa: F401
+from .sift import SIFT, SIFT_create  # noqa: F401

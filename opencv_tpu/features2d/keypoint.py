@@ -15,7 +15,8 @@ __all__ = ["KeyPoint", "retain_best", "run_by_image_border"]
 class KeyPoint:
     """cv2.KeyPoint-compatible plain container."""
 
-    __slots__ = ("pt", "size", "angle", "response", "octave", "class_id")
+    __slots__ = ("pt", "size", "angle", "response", "octave",
+                 "class_id", "_oct_pos", "_scl_octv")
 
     def __init__(self, x=0.0, y=0.0, size=0.0, angle=-1.0, response=0.0,
                  octave=0, class_id=-1):

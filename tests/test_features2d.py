@@ -94,3 +94,29 @@ def test_bf_matcher_l2_knn():
     for r, o in zip(ref, ours):
         assert r[0].trainIdx == o[0].trainIdx
         assert abs(r[0].distance - o[0].distance) < 1e-4
+
+
+def test_sift_detect_and_compute():
+    img = _img(6, 160, 200)
+    rk, rd = cv2.SIFT_create().detectAndCompute(img, None)
+    ok, od = tcv.SIFT_create().detectAndCompute(img, None)
+    assert abs(len(ok) - len(rk)) <= 0.05 * len(rk)
+    rpts = np.array([k.pt for k in rk])
+    desc_d = []
+    ang_d = []
+    for i, k in enumerate(ok):
+        d = np.hypot(rpts[:, 0] - k.pt[0], rpts[:, 1] - k.pt[1])
+        j = d.argmin()
+        if d[j] < 1.0:
+            desc_d.append(np.linalg.norm(rd[j].astype(float) - od[i]))
+            da = abs(rk[j].angle - k.angle) % 360
+            ang_d.append(min(da, 360 - da))
+    assert len(desc_d) >= 0.9 * len(ok)
+    assert np.median(desc_d) <= 5.0, f"median desc L2 {np.median(desc_d)}"
+    assert np.median(ang_d) <= 0.1
+
+
+def test_sift_nfeatures_cap():
+    img = _img(7, 120, 160)
+    kps = tcv.SIFT_create(nfeatures=50).detect(img)
+    assert len(kps) <= 60  # ties at the response cut may exceed slightly
