@@ -153,6 +153,7 @@ from .photo import (
     INPAINT_NS,
     INPAINT_TELEA,
 )
+from .persistence import FileStorage, FILE_STORAGE_READ, FILE_STORAGE_WRITE
 from .calib3d import (
     Rodrigues,
     projectPoints,
@@ -172,6 +173,7 @@ from .calib3d import (
     FM_RANSAC,
     SOLVEPNP_ITERATIVE,
 )
+from .calib3d import StereoBM, StereoBM_create, StereoSGBM_create
 from .video import (
     BackgroundSubtractorMOG2,
     createBackgroundSubtractorMOG2,

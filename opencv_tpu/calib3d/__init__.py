@@ -13,3 +13,4 @@ from .geometry import (  # noqa: F401
     getOptimalNewCameraMatrix,
     RANSAC, LMEDS, FM_8POINT, FM_RANSAC, SOLVEPNP_ITERATIVE,
 )
+from .stereo import StereoBM, StereoBM_create, StereoSGBM_create  # noqa: F401

@@ -124,3 +124,45 @@ def test_triangulate():
     refp = (ref[:3] / ref[3]).T
     ourp = (ours[:3] / ours[3]).T
     assert_near(ourp, refp, atol=1e-8)
+
+
+def test_stereo_bm():
+    rng = np.random.default_rng(6)
+    # synthetic stereo pair with known disparity 8
+    scene = cv2.GaussianBlur(rng.integers(0, 256, (96, 160), np.uint8),
+                             (3, 3), 1)
+    disp_true = 8
+    left = scene
+    right = np.roll(scene, -disp_true, axis=1)
+    ours = tcv.StereoBM_create(numDisparities=32, blockSize=15) \
+        .compute(left, right)
+    ref = None
+    if hasattr(cv2, "StereoBM_create"):
+        ref = cv2.StereoBM_create(numDisparities=32, blockSize=15) \
+            .compute(left, right)
+    valid = ours > 0
+    assert valid.mean() > 0.3
+    med = np.median(ours[valid]) / 16.0
+    assert abs(med - disp_true) <= 1.0, f"median disparity {med}"
+    if ref is not None:
+        both = (ours > 0) & (ref > 0)
+        agree = np.abs(ours[both].astype(int) - ref[both].astype(int)) <= 16
+        assert agree.mean() > 0.8, f"agreement {agree.mean()}"
+
+
+def test_file_storage_roundtrip(tmp_path):
+    p = str(tmp_path / "data.json")
+    fs = tcv.FileStorage(p, tcv.FILE_STORAGE_WRITE)
+    M = np.arange(12, dtype=np.float32).reshape(3, 4)
+    fs.write("mat", M)
+    fs.write("scalar", 3.5)
+    fs.write("name", "hello")
+    fs.release()
+    fr = tcv.FileStorage(p, tcv.FILE_STORAGE_READ)
+    assert np.array_equal(fr.getNode("mat").mat(), M)
+    assert fr.getNode("scalar").real() == 3.5
+    assert fr.getNode("name").string() == "hello"
+    # cv2 can read our JSON
+    if hasattr(cv2, "FileStorage"):
+        rf = cv2.FileStorage(p, cv2.FILE_STORAGE_READ)
+        assert np.array_equal(rf.getNode("mat").mat(), M)
