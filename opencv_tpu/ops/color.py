@@ -709,6 +709,290 @@ for _code, _bidx, _kind, _dir, _srgb in [
         return conv
     _REGISTRY[_code] = _mk_lab()
 
+# ------------------------------------------------ packed 16-bit RGB (5x5)
+# RGB2RGB5x5 / RGB5x52RGB (imgproc/src/color_rgb.simd.hpp) — the packed
+# pixel is a little-endian uint16 carried as CV_8UC2; all bit surgery is
+# int32 VPU lane ops so outputs are bit-exact.
+
+
+def _pack16(v):
+    return jnp.stack([v & 255, (v >> 8) & 255], -1).astype(jnp.uint8)
+
+
+def _unpack16(x):
+    xi = x.astype(jnp.int32)
+    return xi[..., 0] | (xi[..., 1] << 8)
+
+
+def _to565(x, bidx):
+    xi = x.astype(jnp.int32)
+    b, g, r = xi[..., bidx], xi[..., 1], xi[..., 2 - bidx]
+    return _pack16((b >> 3) | ((g & ~3) << 3) | ((r & ~7) << 8))
+
+
+def _to555(x, bidx):
+    xi = x.astype(jnp.int32)
+    b, g, r = xi[..., bidx], xi[..., 1], xi[..., 2 - bidx]
+    v = (b >> 3) | ((g & ~7) << 2) | ((r & ~7) << 7)
+    if x.shape[-1] == 4:  # alpha -> bit 15 (set iff alpha != 0)
+        v = v | jnp.where(xi[..., 3] != 0, 0x8000, 0)
+    return _pack16(v)
+
+
+def _from565(x, bidx, acn):
+    v = _unpack16(x)
+    b = (v << 3) & 0xF8
+    g = (v >> 3) & 0xFC
+    r = (v >> 8) & 0xF8
+    ch = [b, g, r] if bidx == 0 else [r, g, b]
+    if acn == 4:
+        ch.append(jnp.full_like(b, 255))
+    return jnp.stack(ch, -1).astype(jnp.uint8)
+
+
+def _from555(x, bidx, acn):
+    v = _unpack16(x)
+    b = (v << 3) & 0xF8
+    g = (v >> 2) & 0xF8
+    r = (v >> 7) & 0xF8
+    ch = [b, g, r] if bidx == 0 else [r, g, b]
+    if acn == 4:  # alpha from bit 15
+        ch.append(jnp.where((v & 0x8000) != 0, 255, 0))
+    return jnp.stack(ch, -1).astype(jnp.uint8)
+
+
+_REGISTRY[K.COLOR_BGR2BGR565] = lambda x: _to565(x, 0)
+_REGISTRY[K.COLOR_RGB2BGR565] = lambda x: _to565(x, 2)
+_REGISTRY[K.COLOR_BGRA2BGR565] = lambda x: _to565(x, 0)
+_REGISTRY[K.COLOR_RGBA2BGR565] = lambda x: _to565(x, 2)
+_REGISTRY[K.COLOR_BGR5652BGR] = lambda x: _from565(x, 0, 3)
+_REGISTRY[K.COLOR_BGR5652RGB] = lambda x: _from565(x, 2, 3)
+_REGISTRY[K.COLOR_BGR5652BGRA] = lambda x: _from565(x, 0, 4)
+_REGISTRY[K.COLOR_BGR5652RGBA] = lambda x: _from565(x, 2, 4)
+_REGISTRY[K.COLOR_BGR2BGR555] = lambda x: _to555(x, 0)
+_REGISTRY[K.COLOR_RGB2BGR555] = lambda x: _to555(x, 2)
+_REGISTRY[K.COLOR_BGRA2BGR555] = lambda x: _to555(x, 0)
+_REGISTRY[K.COLOR_RGBA2BGR555] = lambda x: _to555(x, 2)
+_REGISTRY[K.COLOR_BGR5552BGR] = lambda x: _from555(x, 0, 3)
+_REGISTRY[K.COLOR_BGR5552RGB] = lambda x: _from555(x, 2, 3)
+_REGISTRY[K.COLOR_BGR5552BGRA] = lambda x: _from555(x, 0, 4)
+_REGISTRY[K.COLOR_BGR5552RGBA] = lambda x: _from555(x, 2, 4)
+
+
+@_register(K.COLOR_GRAY2BGR565)
+def _gray2bgr565(x):
+    t = x[..., 0].astype(jnp.int32)
+    return _pack16((t >> 3) | ((t & ~3) << 3) | ((t & ~7) << 8))
+
+
+@_register(K.COLOR_GRAY2BGR555)
+def _gray2bgr555(x):
+    t = x[..., 0].astype(jnp.int32)
+    return _pack16((t >> 3) | ((t & ~7) << 2) | ((t & ~7) << 7))
+
+
+@_register(K.COLOR_BGR5652GRAY)
+def _bgr5652gray(x):
+    y = _from565(x, 0, 3).astype(jnp.int32)
+    t = descale(y[..., 0] * BY15 + y[..., 1] * GY15 + y[..., 2] * RY15,
+                GRAY_SHIFT)
+    return t[..., None].astype(jnp.uint8)
+
+
+@_register(K.COLOR_BGR5552GRAY)
+def _bgr5552gray(x):
+    y = _from555(x, 0, 3).astype(jnp.int32)
+    t = descale(y[..., 0] * BY15 + y[..., 1] * GY15 + y[..., 2] * RY15,
+                GRAY_SHIFT)
+    return t[..., None].astype(jnp.uint8)
+
+
+# ---------------------------------------------- YUV 4:2:0 / 4:2:2 families
+# ITU-R BT.601 studio-swing integer path (imgproc/src/color_yuv.simd.hpp,
+# "ITUR_BT_601" constants): decode is Q20, encode to 4:2:0 is Q20, encode
+# to packed 4:2:2 is Q14 with pair-summed chroma.  All products fit int32.
+
+_ITUR_CY, _ITUR_CUB, _ITUR_CUG = 1220542, 2116026, -409993
+_ITUR_CVG, _ITUR_CVR, _ITUR_SHIFT = -852492, 1673527, 20
+# encoder (RGB -> YUV420): Q20
+_ITUR_CRY, _ITUR_CGY, _ITUR_CBY = 269484, 528482, 102760
+_ITUR_CRU, _ITUR_CGU, _ITUR_CBU = -155188, -305135, 460324
+_ITUR_CGV, _ITUR_CBV = -385875, -74448
+# RGB -> packed 4:2:2: Q14 (color_yuv.simd.hpp:1862-1881)
+_R2Y422, _G2Y422, _B2Y422 = 4211, 8258, 1606
+_R2U422, _G2U422, _B2U422 = -1212, -2384, 3596
+_G2V422, _B2V422 = -3015, -582
+
+
+def _yuv42x_to_rgb(Y, U, V, bidx, acn):
+    """Shared BT.601 decode; Y/U/V are (N, H, W) int32 at full resolution."""
+    u = U - 128
+    v = V - 128
+    y = jnp.maximum(Y - 16, 0) * _ITUR_CY
+    half = 1 << (_ITUR_SHIFT - 1)
+    r = (y + _ITUR_CVR * v + half) >> _ITUR_SHIFT
+    g = (y + _ITUR_CVG * v + _ITUR_CUG * u + half) >> _ITUR_SHIFT
+    b = (y + _ITUR_CUB * u + half) >> _ITUR_SHIFT
+    ch = [b, g, r] if bidx == 0 else [r, g, b]
+    if acn == 4:
+        ch.append(jnp.full_like(b, 255))
+    return jnp.clip(jnp.stack(ch, -1), 0, 255).astype(jnp.uint8)
+
+
+def _split420(x, uidx, planar):
+    """(N, H*3/2, W, 1) uint8 -> full-res int32 Y, U, V planes."""
+    Hs = x.shape[1]
+    H = Hs * 2 // 3
+    W = x.shape[2]
+    N = x.shape[0]
+    Y = x[:, :H, :, 0].astype(jnp.int32)
+    chroma = x[:, H:, :, 0]
+    if planar:  # I420 / YV12: quarter planes stacked
+        a = chroma[:, : H // 4].reshape(N, H // 2, W // 2)
+        bq = chroma[:, H // 4:].reshape(N, H // 2, W // 2)
+        U, V = (a, bq) if uidx == 0 else (bq, a)
+    else:  # NV12 / NV21: interleaved rows
+        uv = chroma.reshape(N, H // 2, W // 2, 2)
+        U, V = (uv[..., 0], uv[..., 1]) if uidx == 0 else (uv[..., 1], uv[..., 0])
+    up = lambda c: jnp.repeat(jnp.repeat(c.astype(jnp.int32), 2, 1), 2, 2)
+    return Y, up(U), up(V)
+
+
+for _code, _uidx, _planar, _bidx, _acn in [
+    (K.COLOR_YUV2RGB_NV12, 0, False, 2, 3), (K.COLOR_YUV2BGR_NV12, 0, False, 0, 3),
+    (K.COLOR_YUV2RGB_NV21, 1, False, 2, 3), (K.COLOR_YUV2BGR_NV21, 1, False, 0, 3),
+    (K.COLOR_YUV2RGBA_NV12, 0, False, 2, 4), (K.COLOR_YUV2BGRA_NV12, 0, False, 0, 4),
+    (K.COLOR_YUV2RGBA_NV21, 1, False, 2, 4), (K.COLOR_YUV2BGRA_NV21, 1, False, 0, 4),
+    (K.COLOR_YUV2RGB_IYUV, 0, True, 2, 3), (K.COLOR_YUV2BGR_IYUV, 0, True, 0, 3),
+    (K.COLOR_YUV2RGB_YV12, 1, True, 2, 3), (K.COLOR_YUV2BGR_YV12, 1, True, 0, 3),
+    (K.COLOR_YUV2RGBA_IYUV, 0, True, 2, 4), (K.COLOR_YUV2BGRA_IYUV, 0, True, 0, 4),
+    (K.COLOR_YUV2RGBA_YV12, 1, True, 2, 4), (K.COLOR_YUV2BGRA_YV12, 1, True, 0, 4),
+]:
+    def _mk420(uidx=_uidx, planar=_planar, bidx=_bidx, acn=_acn):
+        def conv(x):
+            Y, U, V = _split420(x, uidx, planar)
+            return _yuv42x_to_rgb(Y, U, V, bidx, acn)
+        return conv
+    _REGISTRY[_code] = _mk420()
+
+
+@_register(K.COLOR_YUV2GRAY_420)
+def _yuv2gray420(x):
+    H = x.shape[1] * 2 // 3
+    return x[:, :H]
+
+
+def _split422(x, yidx, uidx):
+    """(N, H, W, 2) packed 4:2:2 -> full-res int32 Y, U, V."""
+    N, H, W = x.shape[0], x.shape[1], x.shape[2]
+    quad = x.reshape(N, H, W // 2, 4).astype(jnp.int32)
+    Y = quad[..., [yidx, yidx + 2]].reshape(N, H, W)
+    # layouts: YUY2 y=0,u=1 -> v=3; YVYU y=0,u=3 -> v=1; UYVY y=1,u=0 -> v=2
+    if yidx == 0:
+        vidx = 3 if uidx == 1 else 1
+    else:
+        vidx = 2
+    up = lambda c: jnp.repeat(c, 2, -1)
+    return Y, up(quad[..., uidx]), up(quad[..., vidx])
+
+
+for _code, _yidx, _uidx, _bidx, _acn in [
+    (K.COLOR_YUV2RGB_YUY2, 0, 1, 2, 3), (K.COLOR_YUV2BGR_YUY2, 0, 1, 0, 3),
+    (K.COLOR_YUV2RGB_YVYU, 0, 3, 2, 3), (K.COLOR_YUV2BGR_YVYU, 0, 3, 0, 3),
+    (K.COLOR_YUV2RGB_UYVY, 1, 0, 2, 3), (K.COLOR_YUV2BGR_UYVY, 1, 0, 0, 3),
+    (K.COLOR_YUV2RGBA_YUY2, 0, 1, 2, 4), (K.COLOR_YUV2BGRA_YUY2, 0, 1, 0, 4),
+    (K.COLOR_YUV2RGBA_YVYU, 0, 3, 2, 4), (K.COLOR_YUV2BGRA_YVYU, 0, 3, 0, 4),
+    (K.COLOR_YUV2RGBA_UYVY, 1, 0, 2, 4), (K.COLOR_YUV2BGRA_UYVY, 1, 0, 0, 4),
+]:
+    def _mk422(yidx=_yidx, uidx=_uidx, bidx=_bidx, acn=_acn):
+        def conv(x):
+            Y, U, V = _split422(x, yidx, uidx)
+            return _yuv42x_to_rgb(Y, U, V, bidx, acn)
+        return conv
+    _REGISTRY[_code] = _mk422()
+
+
+@_register(K.COLOR_YUV2GRAY_YUY2)
+def _yuv2gray_yuy2(x):
+    return x[..., 0:1]
+
+
+@_register(K.COLOR_YUV2GRAY_UYVY)
+def _yuv2gray_uyvy(x):
+    return x[..., 1:2]
+
+
+def _rgb_to_yuv420(x, bidx, vfirst):
+    """(N, H, W, C) uint8 -> (N, H*3/2, W, 1) planar I420 (or YV12)."""
+    N, H, W = x.shape[0], x.shape[1], x.shape[2]
+    xi = x.astype(jnp.int32)
+    b, g, r = xi[..., bidx], xi[..., 1], xi[..., 2 - bidx]
+    sh, half = _ITUR_SHIFT, 1 << (_ITUR_SHIFT - 1)
+    y = (_ITUR_CRY * r + _ITUR_CGY * g + _ITUR_CBY * b + half
+         + (16 << sh)) >> sh
+    # chroma from the top-left pixel of each 2x2 block
+    r2, g2, b2 = r[:, ::2, ::2], g[:, ::2, ::2], b[:, ::2, ::2]
+    u = (_ITUR_CRU * r2 + _ITUR_CGU * g2 + _ITUR_CBU * b2 + half
+         + (128 << sh)) >> sh
+    v = (_ITUR_CBU * r2 + _ITUR_CGV * g2 + _ITUR_CBV * b2 + half
+         + (128 << sh)) >> sh
+    u = jnp.clip(u, 0, 255).reshape(N, H // 4, W)
+    v = jnp.clip(v, 0, 255).reshape(N, H // 4, W)
+    if vfirst:
+        u, v = v, u
+    out = jnp.concatenate([jnp.clip(y, 0, 255), u, v], axis=1)
+    return out.astype(jnp.uint8)[..., None]
+
+
+for _code, _bidx, _vfirst in [
+    (K.COLOR_RGB2YUV_I420, 2, False), (K.COLOR_BGR2YUV_I420, 0, False),
+    (K.COLOR_RGBA2YUV_I420, 2, False), (K.COLOR_BGRA2YUV_I420, 0, False),
+    (K.COLOR_RGB2YUV_YV12, 2, True), (K.COLOR_BGR2YUV_YV12, 0, True),
+    (K.COLOR_RGBA2YUV_YV12, 2, True), (K.COLOR_BGRA2YUV_YV12, 0, True),
+]:
+    def _mkenc420(bidx=_bidx, vfirst=_vfirst):
+        return lambda x: _rgb_to_yuv420(x, bidx, vfirst)
+    _REGISTRY[_code] = _mkenc420()
+
+
+def _rgb_to_yuv422(x, bidx, yidx, uidx):
+    """(N, H, W, C) uint8 -> (N, H, W, 2) packed 4:2:2 (Q14 encoder)."""
+    N, H, W = x.shape[0], x.shape[1], x.shape[2]
+    xi = x.astype(jnp.int32)
+    b, g, r = xi[..., bidx], xi[..., 1], xi[..., 2 - bidx]
+    sh = 14
+    half = 1 << (sh - 1)
+    y = (_R2Y422 * r + _G2Y422 * g + _B2Y422 * b + (16 << sh) + half) >> sh
+    sr = r[:, :, ::2] + r[:, :, 1::2]
+    sg = g[:, :, ::2] + g[:, :, 1::2]
+    sb = b[:, :, ::2] + b[:, :, 1::2]
+    u = (_R2U422 * sr + _G2U422 * sg + _B2U422 * sb + (half * 256) + half) >> sh
+    v = (_B2U422 * sr + _G2V422 * sg + _B2V422 * sb + (half * 256) + half) >> sh
+    y = jnp.clip(y, 0, 255)
+    u = jnp.clip(u, 0, 255)
+    v = jnp.clip(v, 0, 255)
+    quad = jnp.zeros((N, H, W // 2, 4), jnp.int32)
+    vidx = (3 if uidx == 1 else 1) if yidx == 0 else 2
+    quad = quad.at[..., yidx].set(y[:, :, ::2])
+    quad = quad.at[..., yidx + 2].set(y[:, :, 1::2])
+    quad = quad.at[..., uidx].set(u)
+    quad = quad.at[..., vidx].set(v)
+    return quad.reshape(N, H, W, 2).astype(jnp.uint8)
+
+
+for _code, _yidx, _uidx, _bidx in [
+    (K.COLOR_RGB2YUV_YUY2, 0, 1, 2), (K.COLOR_BGR2YUV_YUY2, 0, 1, 0),
+    (K.COLOR_RGBA2YUV_YUY2, 0, 1, 2), (K.COLOR_BGRA2YUV_YUY2, 0, 1, 0),
+    (K.COLOR_RGB2YUV_YVYU, 0, 3, 2), (K.COLOR_BGR2YUV_YVYU, 0, 3, 0),
+    (K.COLOR_RGBA2YUV_YVYU, 0, 3, 2), (K.COLOR_BGRA2YUV_YVYU, 0, 3, 0),
+    (K.COLOR_RGB2YUV_UYVY, 1, 0, 2), (K.COLOR_BGR2YUV_UYVY, 1, 0, 0),
+    (K.COLOR_RGBA2YUV_UYVY, 1, 0, 2), (K.COLOR_BGRA2YUV_UYVY, 1, 0, 0),
+]:
+    def _mkenc422(yidx=_yidx, uidx=_uidx, bidx=_bidx):
+        return lambda x: _rgb_to_yuv422(x, bidx, yidx, uidx)
+    _REGISTRY[_code] = _mkenc422()
+
+
 # --------------------------------------------------------------- public
 
 def cvtColor(src, code: int, dstCn: int = 0):

@@ -156,3 +156,107 @@ def test_lab_luv_f32():
         ref = cv2.cvtColor(src, getattr(cv2, code))
         ours = np.asarray(tcv.cvtColor(src, getattr(tcv, code)))
         assert_near(ours, ref, atol=tol, msg=code)
+
+
+# ------------------------------------------------- packed 5x5 (565/555)
+
+PACK_TO = [
+    "COLOR_BGR2BGR565", "COLOR_RGB2BGR565",
+    "COLOR_BGRA2BGR565", "COLOR_RGBA2BGR565",
+    "COLOR_BGR2BGR555", "COLOR_RGB2BGR555",
+    "COLOR_BGRA2BGR555", "COLOR_RGBA2BGR555",
+]
+PACK_FROM = [
+    "COLOR_BGR5652BGR", "COLOR_BGR5652RGB",
+    "COLOR_BGR5652BGRA", "COLOR_BGR5652RGBA",
+    "COLOR_BGR5552BGR", "COLOR_BGR5552RGB",
+    "COLOR_BGR5552BGRA", "COLOR_BGR5552RGBA",
+    "COLOR_BGR5652GRAY", "COLOR_BGR5552GRAY",
+]
+
+
+@pytest.mark.parametrize("code", PACK_TO)
+def test_pack5x5(code):
+    rng = np.random.default_rng(5)
+    cn = 4 if ("BGRA" in code.split("2")[0] or "RGBA" in code.split("2")[0]) else 3
+    img = rand_img(rng, 37, 53, cn, np.uint8)
+    ref = cv2.cvtColor(img, getattr(cv2, code))
+    ours = tcv.cvtColor(img, getattr(tcv, code))
+    assert_exact(ours, ref, code)
+
+
+@pytest.mark.parametrize("code", PACK_FROM)
+def test_unpack5x5(code):
+    rng = np.random.default_rng(6)
+    img = rand_img(rng, 37, 53, 2, np.uint8)
+    ref = cv2.cvtColor(img, getattr(cv2, code))
+    ours = tcv.cvtColor(img, getattr(tcv, code))
+    assert_exact(ours, ref, code)
+
+
+def test_gray_to_5x5():
+    rng = np.random.default_rng(7)
+    img = rand_img(rng, 37, 53, 1, np.uint8).reshape(37, 53)
+    for code in ["COLOR_GRAY2BGR565", "COLOR_GRAY2BGR555"]:
+        ref = cv2.cvtColor(img, getattr(cv2, code))
+        ours = tcv.cvtColor(img, getattr(tcv, code))
+        assert_exact(ours, ref, code)
+
+
+# ------------------------------------------------- YUV 4:2:0 / 4:2:2
+
+YUV420_DEC = [
+    "COLOR_YUV2BGR_NV12", "COLOR_YUV2RGB_NV12",
+    "COLOR_YUV2BGR_NV21", "COLOR_YUV2RGB_NV21",
+    "COLOR_YUV2BGRA_NV12", "COLOR_YUV2RGBA_NV21",
+    "COLOR_YUV2BGR_I420", "COLOR_YUV2RGB_I420",
+    "COLOR_YUV2BGR_YV12", "COLOR_YUV2RGB_YV12",
+    "COLOR_YUV2BGRA_I420", "COLOR_YUV2RGBA_YV12",
+    "COLOR_YUV2GRAY_420",
+]
+
+
+@pytest.mark.parametrize("code", YUV420_DEC)
+def test_yuv420_decode(code):
+    rng = np.random.default_rng(8)
+    yuv = rand_img(rng, 36, 64, 1, np.uint8).reshape(36, 64)
+    ref = cv2.cvtColor(yuv, getattr(cv2, code))
+    ours = tcv.cvtColor(yuv, getattr(tcv, code))
+    assert_exact(ours, ref, code)
+
+
+YUV422_DEC = [
+    "COLOR_YUV2BGR_YUY2", "COLOR_YUV2RGB_YUY2",
+    "COLOR_YUV2BGR_UYVY", "COLOR_YUV2RGB_UYVY",
+    "COLOR_YUV2BGR_YVYU", "COLOR_YUV2RGB_YVYU",
+    "COLOR_YUV2BGRA_YUY2", "COLOR_YUV2RGBA_UYVY",
+    "COLOR_YUV2GRAY_YUY2", "COLOR_YUV2GRAY_UYVY",
+]
+
+
+@pytest.mark.parametrize("code", YUV422_DEC)
+def test_yuv422_decode(code):
+    rng = np.random.default_rng(9)
+    img = rand_img(rng, 24, 32, 2, np.uint8)
+    ref = cv2.cvtColor(img, getattr(cv2, code))
+    ours = tcv.cvtColor(img, getattr(tcv, code))
+    assert_exact(ours, ref, code)
+
+
+YUV_ENC = [
+    ("COLOR_BGR2YUV_I420", 3), ("COLOR_RGB2YUV_I420", 3),
+    ("COLOR_BGRA2YUV_I420", 4), ("COLOR_RGBA2YUV_YV12", 4),
+    ("COLOR_BGR2YUV_YV12", 3), ("COLOR_RGB2YUV_YV12", 3),
+    ("COLOR_BGR2YUV_YUY2", 3), ("COLOR_RGB2YUV_YUY2", 3),
+    ("COLOR_BGR2YUV_UYVY", 3), ("COLOR_RGB2YUV_UYVY", 3),
+    ("COLOR_BGR2YUV_YVYU", 3), ("COLOR_RGBA2YUV_YUY2", 4),
+]
+
+
+@pytest.mark.parametrize("code,cn", YUV_ENC)
+def test_yuv_encode(code, cn):
+    rng = np.random.default_rng(10)
+    img = rand_img(rng, 36, 64, cn, np.uint8)
+    ref = cv2.cvtColor(img, getattr(cv2, code))
+    ours = tcv.cvtColor(img, getattr(tcv, code))
+    assert_exact(ours, ref, code)
