@@ -178,6 +178,8 @@ from .video import (
     BackgroundSubtractorMOG2,
     createBackgroundSubtractorMOG2,
     calcOpticalFlowPyrLK,
+    calcOpticalFlowFarneback,
+    FarnebackOpticalFlow_create,
     KalmanFilter,
     meanShift,
     CamShift,

@@ -3,5 +3,9 @@ from .bgsub import (  # noqa: F401
     createBackgroundSubtractorMOG2,
 )
 from .lk import calcOpticalFlowPyrLK  # noqa: F401
+from .farneback import (  # noqa: F401
+    calcOpticalFlowFarneback,
+    FarnebackOpticalFlow_create,
+)
 from .kalman import KalmanFilter  # noqa: F401
 from .meanshift import meanShift, CamShift  # noqa: F401

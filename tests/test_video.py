@@ -84,3 +84,35 @@ def test_camshift():
     orect, owin = tcv.CamShift(prob, (40, 35, 40, 30), (3, 10, 1))
     assert abs(rrect[0][0] - orect[0][0]) < 3
     assert abs(rrect[0][1] - orect[0][1]) < 3
+
+
+def test_farneback_matches_cv2():
+    rng = np.random.default_rng(0)
+    base = rng.random((140, 180)).astype(np.float32)
+    base = cv2.GaussianBlur(base, (0, 0), 3) * 255
+    H, W = 96, 128
+    dx, dy = 3.2, -1.7
+    prev = base[20:20 + H, 25:25 + W].astype(np.uint8)
+    M2 = np.float32([[1, 0, -dx], [0, 1, -dy]])
+    warped = cv2.warpAffine(base, M2, (base.shape[1], base.shape[0]))
+    nxt = warped[20:20 + H, 25:25 + W].astype(np.uint8)
+
+    args = (0.5, 3, 15, 3, 5, 1.2, 0)
+    ref = cv2.calcOpticalFlowFarneback(prev, nxt, None, *args)
+    ours = tcv.calcOpticalFlowFarneback(prev, nxt, None, *args)
+    assert ours.shape == ref.shape and ours.dtype == np.float32
+    inner = (slice(10, -10), slice(10, -10))
+    d = np.linalg.norm(ref[inner] - ours[inner], axis=-1)
+    assert np.median(d) < 0.35, np.median(d)
+    assert np.percentile(d, 95) < 0.8, np.percentile(d, 95)
+    # both should point the same way as the ground-truth shift
+    assert np.sign(np.median(ours[inner][..., 0])) == np.sign(np.median(ref[inner][..., 0]))
+
+
+def test_farneback_class_api():
+    rng = np.random.default_rng(1)
+    img = (cv2.GaussianBlur(rng.random((64, 80)).astype(np.float32), (0, 0), 2) * 255).astype(np.uint8)
+    of = tcv.FarnebackOpticalFlow_create(numLevels=2, winSize=13, numIters=2)
+    f = of.calc(img, img)
+    assert f.shape == (64, 80, 2)
+    assert np.abs(f).max() < 0.5  # zero motion
