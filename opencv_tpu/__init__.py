@@ -177,6 +177,8 @@ from .calib3d import StereoBM, StereoBM_create, StereoSGBM_create
 from .video import (
     BackgroundSubtractorMOG2,
     createBackgroundSubtractorMOG2,
+    BackgroundSubtractorKNN,
+    createBackgroundSubtractorKNN,
     calcOpticalFlowPyrLK,
     calcOpticalFlowFarneback,
     FarnebackOpticalFlow_create,

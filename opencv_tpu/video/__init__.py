@@ -1,6 +1,8 @@
 from .bgsub import (  # noqa: F401
     BackgroundSubtractorMOG2,
     createBackgroundSubtractorMOG2,
+    BackgroundSubtractorKNN,
+    createBackgroundSubtractorKNN,
 )
 from .lk import calcOpticalFlowPyrLK  # noqa: F401
 from .farneback import (  # noqa: F401

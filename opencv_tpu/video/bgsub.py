@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from ..core.arrays import to_batched, from_batched
 
-__all__ = ["BackgroundSubtractorMOG2", "createBackgroundSubtractorMOG2"]
+__all__ = ["BackgroundSubtractorMOG2", "createBackgroundSubtractorMOG2",
+           "BackgroundSubtractorKNN", "createBackgroundSubtractorKNN"]
 
 
 @functools.partial(jax.jit, static_argnames=("nmixtures", "detect_shadows"))
@@ -168,3 +169,218 @@ class BackgroundSubtractorMOG2:
 def createBackgroundSubtractorMOG2(history=500, varThreshold=16.0,
                                    detectShadows=True):
     return BackgroundSubtractorMOG2(history, varThreshold, detectShadows)
+
+
+# --------------------------------------------------------------- KNN
+
+@functools.partial(jax.jit, static_argnames=("nN", "nkNN", "detect_shadows"))
+def _knn_step(data, samples, flags, idxS, idxM, idxL, nextS, nextM, nextL,
+              cS, cM, cL, fTb, fTau, nN, nkNN, detect_shadows, shadow_val):
+    """One KNN background step (video/src/bgfg_KNN.cpp:345-482).
+
+    data: (H, W, C) f32; samples: (3nN, H, W, C) f32; flags: (3nN, H, W);
+    idx*/next*: (H, W) int32; c* scalars. Returns (mask, new state...).
+    """
+    d = samples - data[None]                        # (S,H,W,C)
+    dist2 = jnp.sum(d * d, axis=-1)                 # (S,H,W)
+    close = dist2 < fTb
+    Pbf = jnp.sum(close, axis=0)
+    Pb = jnp.sum(close & (flags > 0), axis=0)
+    is_bg = Pb >= nkNN
+    include = (is_bg | (Pbf >= nkNN)).astype(samples.dtype)
+
+    if detect_shadows:
+        num = jnp.sum(samples * data[None], axis=-1)
+        den = jnp.sum(samples * samples, axis=-1)
+        bgflag = flags > 0
+        bad = jnp.any(bgflag & (den == 0), axis=0)
+        a = num / jnp.maximum(den, 1e-12)
+        cond = bgflag & (num <= den) & (num >= fTau * den)
+        dd = a[..., None] * samples - data[None]
+        dist2a = jnp.sum(dd * dd, axis=-1)
+        Ps = jnp.sum(cond & (dist2a < fTb * a * a), axis=0)
+        is_shadow = (~is_bg) & (~bad) & (Ps >= nkNN)
+    else:
+        is_shadow = jnp.zeros_like(is_bg)
+
+    mask = jnp.where(is_bg, 0,
+                     jnp.where(is_shadow, shadow_val, 255)).astype(jnp.uint8)
+
+    # ---- model update (old values gathered first, like the sequential
+    # long<-mid<-short copy order of _cvUpdatePixelBackgroundNP)
+    S = 3 * nN
+    gather = lambda arr, idx: jnp.take_along_axis(
+        arr, idx[None, ..., None] if arr.ndim == 4 else idx[None], axis=0)[0]
+    old_mid = gather(samples, idxM + nN)
+    old_mid_flag = gather(flags, idxM + nN)
+    old_short = gather(samples, idxS)
+    old_short_flag = gather(flags, idxS)
+
+    upL = nextL == cL
+    upM = nextM == cM
+    upS = nextS == cS
+
+    slots = jnp.arange(S)[:, None, None]
+    selL = (slots == (idxL + 2 * nN)[None]) & upL[None]
+    selM = (slots == (idxM + nN)[None]) & upM[None]
+    selS = (slots == idxS[None]) & upS[None]
+
+    samples = jnp.where(selL[..., None], old_mid[None], samples)
+    flags = jnp.where(selL, old_mid_flag[None], flags)
+    samples = jnp.where(selM[..., None], old_short[None], samples)
+    flags = jnp.where(selM, old_short_flag[None], flags)
+    samples = jnp.where(selS[..., None], data[None], samples)
+    flags = jnp.where(selS, include[None], flags)
+
+    bump = lambda idx, up: jnp.where(up, jnp.where(idx >= nN - 1, 0, idx + 1),
+                                     idx)
+    return (mask, samples, flags, bump(idxS, upS), bump(idxM, upM),
+            bump(idxL, upL))
+
+
+class BackgroundSubtractorKNN:
+    """KNN background subtractor (video/src/bgfg_KNN.cpp).
+
+    TPU-native: the (3*nN) per-pixel sample history is a dense
+    (S, H, W, C) device tensor; classification is one reduction over the
+    sample axis and the three-cadence circular-buffer update is a lane-wise
+    select — the whole frame step is a single jitted program.
+    """
+
+    def __init__(self, history=500, dist2Threshold=400.0,
+                 detectShadows=True):
+        self.history = history
+        self.fTb = float(dist2Threshold)
+        self.detectShadows = detectShadows
+        self.nN = 7
+        self.nkNN = max(1, int(round(0.1 * self.nN * 3 + 0.40)))
+        self.fTau = 0.5
+        self.shadow_val = 127
+        self._state = None
+        self._nframes = 0
+        self._rng = np.random.default_rng(12345)
+
+    def _init_state(self, shape, C):
+        H, W = shape
+        S = 3 * self.nN
+        z32 = lambda: jnp.zeros((H, W), jnp.int32)
+        self._state = dict(
+            samples=jnp.zeros((S, H, W, C), jnp.float32),
+            flags=jnp.zeros((S, H, W), jnp.float32),
+            idxS=z32(), idxM=z32(), idxL=z32(),
+            nextS=z32(), nextM=z32(), nextL=z32(),
+        )
+        self._cS = self._cM = self._cL = 0
+        self._nframes = 0
+        self._hw = (H, W)
+        self._C = C
+
+    def apply(self, image, learningRate=-1.0):
+        img = np.asarray(image)
+        if img.ndim == 2:
+            img = img[..., None]
+        H, W, C = img.shape
+        if self._state is None or self._hw != (H, W) or self._C != C \
+                or learningRate >= 1:
+            self._init_state((H, W), C)
+        self._nframes += 1
+        lr = learningRate if (learningRate >= 0 and self._nframes > 1) \
+            else 1.0 / min(2 * self._nframes, self.history)
+
+        # cadences from the exponential learning curve (bgfg_KNN.cpp:766-775)
+        Kshort = int(np.log(0.7) / np.log(1 - lr)) + 1
+        Kmid = int(np.log(0.4) / np.log(1 - lr)) - Kshort + 1
+        Klong = int(np.log(0.1) / np.log(1 - lr)) - Kshort - Kmid + 1
+        nShortUpdate = Kshort // self.nN + 1
+        nMidUpdate = Kmid // self.nN + 1
+        nLongUpdate = Klong // self.nN + 1
+
+        st = self._state
+        mask, samples, flags, idxS, idxM, idxL = _knn_step(
+            jnp.asarray(img, jnp.float32), st["samples"], st["flags"],
+            st["idxS"], st["idxM"], st["idxL"],
+            st["nextS"], st["nextM"], st["nextL"],
+            self._cS, self._cM, self._cL,
+            jnp.float32(self.fTb), jnp.float32(self.fTau),
+            self.nN, self.nkNN, self.detectShadows,
+            jnp.int32(self.shadow_val))
+        st.update(samples=samples, flags=flags, idxS=idxS, idxM=idxM,
+                  idxL=idxL)
+
+        self._cS += 1
+        self._cM += 1
+        self._cL += 1
+        randu = lambda hi: jnp.asarray(
+            self._rng.integers(0, max(hi, 1), self._hw, np.int32))
+        if self._cS >= nShortUpdate:
+            self._cS = 0
+            st["nextS"] = randu(nShortUpdate)
+        if self._cM >= nMidUpdate:
+            self._cM = 0
+            st["nextM"] = randu(nMidUpdate)
+        if self._cL >= nLongUpdate:
+            self._cL = 0
+            st["nextL"] = randu(nLongUpdate)
+        return np.asarray(mask)
+
+    def getBackgroundImage(self):
+        st = self._state
+        if st is None:
+            return None
+        flags = np.asarray(st["flags"]) > 0            # (S,H,W)
+        samples = np.asarray(st["samples"])
+        first = np.argmax(flags, axis=0)               # (H,W)
+        any_bg = flags.any(axis=0)
+        bg = np.take_along_axis(
+            samples, first[None, ..., None], axis=0)[0]
+        bg = np.where(any_bg[..., None], bg, 0).astype(np.uint8)
+        return bg[..., 0] if bg.shape[-1] == 1 else bg
+
+    # parameter accessors mirroring the reference API
+    def setHistory(self, h):
+        self.history = h
+
+    def getHistory(self):
+        return self.history
+
+    def setDist2Threshold(self, t):
+        self.fTb = float(t)
+
+    def getDist2Threshold(self):
+        return self.fTb
+
+    def setkNNSamples(self, k):
+        self.nkNN = k
+
+    def getkNNSamples(self):
+        return self.nkNN
+
+    def setNSamples(self, n):
+        self.nN = n
+        self._state = None
+
+    def getNSamples(self):
+        return self.nN
+
+    def setDetectShadows(self, b):
+        self.detectShadows = bool(b)
+
+    def getDetectShadows(self):
+        return self.detectShadows
+
+    def setShadowValue(self, v):
+        self.shadow_val = int(v)
+
+    def getShadowValue(self):
+        return self.shadow_val
+
+    def setShadowThreshold(self, t):
+        self.fTau = float(t)
+
+    def getShadowThreshold(self):
+        return self.fTau
+
+
+def createBackgroundSubtractorKNN(history=500, dist2Threshold=400.0,
+                                  detectShadows=True):
+    return BackgroundSubtractorKNN(history, dist2Threshold, detectShadows)

@@ -116,3 +116,33 @@ def test_farneback_class_api():
     f = of.calc(img, img)
     assert f.shape == (64, 80, 2)
     assert np.abs(f).max() < 0.5  # zero motion
+
+
+def test_knn_foreground():
+    rng = np.random.default_rng(3)
+    H, W = 48, 64
+    bg = rng.integers(80, 120, (H, W, 3), np.uint8)
+    ours = tcv.createBackgroundSubtractorKNN()
+    ref = cv2.createBackgroundSubtractorKNN()
+    # feed static background with mild noise
+    for i in range(30):
+        noise = rng.integers(-3, 4, (H, W, 3))
+        frame = np.clip(bg.astype(int) + noise, 0, 255).astype(np.uint8)
+        m_ours = ours.apply(frame)
+        m_ref = ref.apply(frame)
+    # now a bright moving square
+    frame = np.clip(bg.astype(int) + rng.integers(-3, 4, (H, W, 3)), 0,
+                    255).astype(np.uint8)
+    frame[10:25, 20:35] = (250, 250, 250)
+    m_ours = ours.apply(frame)
+    m_ref = ref.apply(frame)
+    fg_ours = m_ours == 255
+    fg_ref = m_ref == 255
+    # the square must be detected, the background mostly quiet
+    assert fg_ours[12:23, 22:33].mean() > 0.95
+    assert fg_ours[~np.zeros((H, W), bool)].mean() < 0.2
+    agree = (fg_ours == fg_ref).mean()
+    assert agree > 0.97, agree
+    bgimg = ours.getBackgroundImage()
+    assert bgimg.shape == (H, W, 3)
+    assert abs(int(bgimg[40:, 40:].mean()) - int(bg[40:, 40:].mean())) < 12
