@@ -98,6 +98,7 @@ from .ops.drawing import (
     line, rectangle, circle, ellipse, polylines, fillPoly,
     fillConvexPoly, drawContours, drawMarker, arrowedLine,
     drawKeypoints, drawMatches,
+    putText, getTextSize, getFontScaleFromHeight,
 )
 from .ops.transform import (
     dft, idft, dct, idct, mulSpectrums, getOptimalDFTSize, getGaborKernel,

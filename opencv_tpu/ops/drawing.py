@@ -18,7 +18,8 @@ from .. import constants as K
 
 __all__ = ["line", "rectangle", "circle", "ellipse", "polylines",
            "fillPoly", "fillConvexPoly", "drawContours", "drawMarker",
-           "arrowedLine", "drawKeypoints", "drawMatches"]
+           "arrowedLine", "drawKeypoints", "drawMatches",
+           "putText", "getTextSize", "getFontScaleFromHeight"]
 
 
 def _as_np(img):
@@ -298,3 +299,120 @@ def drawMatches(img1, keypoints1, img2, keypoints2, matches1to2, outImg,
         line(out, (int(p1[0]), int(p1[1])),
              (int(p2[0]) + a.shape[1], int(p2[1])), c, 1)
     return out
+
+
+# ------------------------------------------------------------------ text
+# Hershey vector fonts (imgproc/src/drawing.cpp:2287 putText,
+# :2355 getTextSize).  The glyph strokes and per-font ascii index tables
+# are the public-domain Hershey font data, extracted from the reference
+# into hershey_data.json; each glyph string encodes vertices as
+# char-'R' offsets with " R" polyline breaks.
+
+_HERSHEY = None
+
+
+def _hershey():
+    global _HERSHEY
+    if _HERSHEY is None:
+        import json
+        import os
+        path = os.path.join(os.path.dirname(__file__), "hershey_data.json")
+        _HERSHEY = json.load(open(path))
+    return _HERSHEY
+
+
+_FONT_TABLE_NAMES = {
+    K.FONT_HERSHEY_SIMPLEX: ("HersheySimplex", "HersheySimplex"),
+    K.FONT_HERSHEY_PLAIN: ("HersheyPlain", "HersheyPlainItalic"),
+    K.FONT_HERSHEY_DUPLEX: ("HersheyDuplex", "HersheyDuplex"),
+    K.FONT_HERSHEY_COMPLEX: ("HersheyComplex", "HersheyComplexItalic"),
+    K.FONT_HERSHEY_TRIPLEX: ("HersheyTriplex", "HersheyTriplexItalic"),
+    K.FONT_HERSHEY_COMPLEX_SMALL: ("HersheyComplexSmall",
+                                   "HersheyComplexSmallItalic"),
+    K.FONT_HERSHEY_SCRIPT_SIMPLEX: ("HersheyScriptSimplex",
+                                    "HersheyScriptSimplex"),
+    K.FONT_HERSHEY_SCRIPT_COMPLEX: ("HersheyScriptComplex",
+                                    "HersheyScriptComplex"),
+}
+
+
+def _font_ascii(fontFace):
+    italic = bool(fontFace & K.FONT_ITALIC)
+    names = _FONT_TABLE_NAMES.get(fontFace & 15)
+    if names is None:
+        raise ValueError(f"Unknown font type {fontFace}")
+    return _hershey()["fonts"][names[1 if italic else 0]]
+
+
+def _glyph(ascii_table, c):
+    if c < ord(' ') or c >= 127:
+        c = ord('?')
+    return _hershey()["glyphs"][ascii_table[(c - ord(' ')) + 1]]
+
+
+def putText(img, text, org, fontFace, fontScale, color, thickness: int = 1,
+            lineType: int = K.LINE_8, bottomLeftOrigin: bool = False):
+    """Render text with the Hershey vector fonts
+    (imgproc/src/drawing.cpp:2287).  Glyph strokes are scaled in float
+    and rasterized with the polyline primitive."""
+    a = _as_np(img)
+    if not text:
+        return a
+    ascii_table = _font_ascii(fontFace)
+    base_line = -(ascii_table[0] & 15)
+    hscale = float(fontScale)
+    vscale = -hscale if bottomLeftOrigin else hscale
+
+    view_x = float(org[0])
+    view_y = float(org[1]) + base_line * vscale
+
+    for ch in text:
+        ptr = _glyph(ascii_table, ord(ch))
+        px = ord(ptr[0]) - ord('R')
+        py = ord(ptr[1]) - ord('R')
+        dx = py * hscale
+        view_x -= px * hscale
+        pts = []
+        i = 2
+        while True:
+            if i >= len(ptr) or ptr[i] == ' ':
+                if len(pts) > 1:
+                    polylines(a, [np.array(pts, np.int32)], False, color,
+                              thickness, lineType)
+                if i >= len(ptr):
+                    break
+                i += 1
+                pts = []
+            else:
+                gx = ord(ptr[i]) - ord('R')
+                gy = ord(ptr[i + 1]) - ord('R')
+                i += 2
+                pts.append((int(round(gx * hscale + view_x)),
+                            int(round(gy * vscale + view_y))))
+        view_x += dx
+    return a
+
+
+def getTextSize(text, fontFace, fontScale, thickness):
+    """Bounding size + baseline (imgproc/src/drawing.cpp:2355)."""
+    ascii_table = _font_ascii(fontFace)
+    base_line = ascii_table[0] & 15
+    cap_line = (ascii_table[0] >> 4) & 15
+    height = int(round((cap_line + base_line) * fontScale
+                       + (thickness + 1) // 2))
+    view_x = 0.0
+    for ch in text:
+        ptr = _glyph(ascii_table, ord(ch))
+        px = ord(ptr[0]) - ord('R')
+        py = ord(ptr[1]) - ord('R')
+        view_x += (py - px) * fontScale
+    width = int(round(view_x + thickness))
+    baseline = int(round(base_line * fontScale + thickness * 0.5))
+    return (width, height), baseline
+
+
+def getFontScaleFromHeight(fontFace, pixelHeight, thickness=1):
+    ascii_table = _font_ascii(fontFace)
+    base_line = ascii_table[0] & 15
+    cap_line = (ascii_table[0] >> 4) & 15
+    return (pixelHeight - (thickness + 1) / 2.0) / (cap_line + base_line)

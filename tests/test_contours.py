@@ -124,3 +124,42 @@ def test_fill_poly():
     inter = np.count_nonzero((ref > 0) & (ours > 0))
     union = np.count_nonzero((ref > 0) | (ours > 0))
     assert inter / union > 0.93
+
+
+def test_puttext_renders_all_fonts():
+    """Hershey text: reference-4.12 metrics (the installed 5.0 wheel
+    changed its font engine, so this is a self-consistency check)."""
+    fonts = [tcv.FONT_HERSHEY_SIMPLEX, tcv.FONT_HERSHEY_PLAIN,
+             tcv.FONT_HERSHEY_DUPLEX, tcv.FONT_HERSHEY_COMPLEX,
+             tcv.FONT_HERSHEY_TRIPLEX, tcv.FONT_HERSHEY_COMPLEX_SMALL,
+             tcv.FONT_HERSHEY_SCRIPT_SIMPLEX, tcv.FONT_HERSHEY_SCRIPT_COMPLEX,
+             tcv.FONT_HERSHEY_COMPLEX | tcv.FONT_ITALIC]
+    for f in fonts:
+        img = np.zeros((80, 420), np.uint8)
+        tcv.putText(img, "Quick fox 123!", (8, 55), f, 1.0, 255, 1)
+        assert img.any(), f
+        (w, h), b = tcv.getTextSize("Quick fox 123!", f, 1.0, 1)
+        ys, xs = np.nonzero(img)
+        # ink stays within the reported box (+small bearing slack)
+        assert xs.max() - 8 <= w + 4, (f, xs.max(), w)
+        assert 55 - ys.min() <= h + 2, (f, ys.min(), h)
+        assert ys.max() - 55 <= b + 2, (f, ys.max(), b)
+
+
+def test_gettextsize_formula():
+    # Simplex header is (9 + 12*16): base 9, cap 12 (drawing.cpp:2117)
+    (w, h), b = tcv.getTextSize("A", tcv.FONT_HERSHEY_SIMPLEX, 1.0, 1)
+    assert h == 22 and b == 10  # (12+9)*1 + (1+1)//2 ; 9*1 + 0.5 rounded
+    s = tcv.getFontScaleFromHeight(tcv.FONT_HERSHEY_SIMPLEX, 22, 1)
+    assert abs(s - 1.0) < 0.05
+
+
+def test_puttext_bottom_left_origin():
+    up = np.zeros((60, 120), np.uint8)
+    dn = np.zeros((60, 120), np.uint8)
+    tcv.putText(up, "Ab", (5, 30), tcv.FONT_HERSHEY_SIMPLEX, 1.0, 255, 1)
+    tcv.putText(dn, "Ab", (5, 30), tcv.FONT_HERSHEY_SIMPLEX, 1.0, 255, 1,
+                bottomLeftOrigin=True)
+    assert up.any() and dn.any()
+    # flipped rendering extends below the origin instead of above
+    assert np.nonzero(up)[0].mean() < 30 < np.nonzero(dn)[0].mean()
