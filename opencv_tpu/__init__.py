@@ -196,6 +196,9 @@ from .features2d import (
     KeyPoint,
     FastFeatureDetector,
     FastFeatureDetector_create,
+    AGAST,
+    AgastFeatureDetector,
+    AgastFeatureDetector_create,
     ORB,
     ORB_create,
     SIFT,

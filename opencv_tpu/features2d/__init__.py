@@ -3,3 +3,4 @@ from .fast import FAST, FastFeatureDetector, FastFeatureDetector_create  # noqa:
 from .orb import ORB, ORB_create  # noqa: F401
 from .matchers import BFMatcher, FlannBasedMatcher, DMatch, hamming_distance_matrix  # noqa: F401
 from .sift import SIFT, SIFT_create  # noqa: F401
+from .agast import AGAST, AgastFeatureDetector, AgastFeatureDetector_create  # noqa: F401

@@ -120,3 +120,34 @@ def test_sift_nfeatures_cap():
     img = _img(7, 120, 160)
     kps = tcv.SIFT_create(nfeatures=50).detect(img)
     assert len(kps) <= 60  # ties at the response cut may exceed slightly
+
+
+def test_agast_detects_corners():
+    """AGAST (no oracle: the 5.0 wheel dropped AgastFeatureDetector) —
+    segment-test semantics checked structurally: a synthetic L-corner
+    fires, flat regions and straight edges don't; OAST_9_16 equals
+    FAST-9/16 on the same image."""
+    img = np.full((64, 64), 50, np.uint8)
+    img[20:, 20:] = 200  # L-corner at (20, 20)
+    for t in [tcv.AgastFeatureDetector.AGAST_5_8,
+              tcv.AgastFeatureDetector.AGAST_7_12d,
+              tcv.AgastFeatureDetector.AGAST_7_12s,
+              tcv.AgastFeatureDetector.OAST_9_16]:
+        kps = tcv.AGAST(img, 20, False, t)  # strict NMS ties out on
+        assert kps, t                        # perfectly flat synthetic input
+        pts = np.array([k.pt for k in kps])
+        # all detections near the corner, none on straight edges
+        assert (np.abs(pts - 20).max(axis=1) < 4).all(), (t, pts)
+
+    flat = np.full((32, 32), 100, np.uint8)
+    assert not tcv.AGAST(flat, 10)
+
+    # OAST_9_16 == FAST 9/16 (same ring, same S): same positions
+    rng = np.random.default_rng(2)
+    tex = rng.integers(0, 256, (48, 48), np.uint8)
+    from opencv_tpu.features2d.fast import FAST as _fast
+    # NMS scores differ (bisection vs analytic) so compare pre-NMS sets
+    a2 = {(k.pt[0], k.pt[1]) for k in tcv.AGAST(tex, 25, False,
+                                                tcv.AgastFeatureDetector.OAST_9_16)}
+    f2 = {(k.pt[0], k.pt[1]) for k in _fast(tex, 25, False)}
+    assert a2 == f2 and len(a2) > 0
