@@ -175,6 +175,18 @@ from .calib3d import (
     SOLVEPNP_ITERATIVE,
 )
 from .calib3d import StereoBM, StereoBM_create, StereoSGBM_create
+from .calib3d import estimateAffine2D, estimateAffinePartial2D
+from .ops.linalg import (
+    solve, SVDecomp, SVBackSubst, eigen, eigenNonSymmetric,
+    PCACompute, PCACompute2, PCAProject, PCABackProject,
+    Mahalanobis, mulTransposed, transform, invert, determinant, trace,
+    setRNGSeed, theRNG, randu, randn, randShuffle, RNG,
+    SVD_MODIFY_A, SVD_NO_UV, SVD_FULL_UV,
+)
+from .ops.cluster import (
+    kmeans, KMEANS_RANDOM_CENTERS, KMEANS_PP_CENTERS,
+    KMEANS_USE_INITIAL_LABELS,
+)
 from .video import (
     BackgroundSubtractorMOG2,
     createBackgroundSubtractorMOG2,

@@ -13,4 +13,5 @@ from .geometry import (  # noqa: F401
     getOptimalNewCameraMatrix,
     RANSAC, LMEDS, FM_8POINT, FM_RANSAC, SOLVEPNP_ITERATIVE,
 )
+from .geometry import estimateAffine2D, estimateAffinePartial2D  # noqa: F401
 from .stereo import StereoBM, StereoBM_create, StereoSGBM_create  # noqa: F401

@@ -422,3 +422,106 @@ def computeCorrespondEpilines(points, whichImage: int, F):
     nrm = np.sqrt(lines[:, 0] ** 2 + lines[:, 1] ** 2)
     lines = lines / np.maximum(nrm[:, None], 1e-12)
     return lines.reshape(-1, 1, 3).astype(np.float32)
+
+
+def _affine_lsq(src, dst):
+    """Full 6-dof affine least squares: dst ~ A src + t."""
+    n = len(src)
+    A = np.zeros((2 * n, 6))
+    A[0::2, 0] = src[:, 0]
+    A[0::2, 1] = src[:, 1]
+    A[0::2, 2] = 1
+    A[1::2, 3] = src[:, 0]
+    A[1::2, 4] = src[:, 1]
+    A[1::2, 5] = 1
+    b = dst.reshape(-1)
+    sol, *_ = np.linalg.lstsq(A, b, rcond=None)
+    return sol.reshape(2, 3)
+
+
+def _similarity_lsq(src, dst):
+    """4-dof similarity: [a -b; b a] src + t (calib3d ptsetreg.cpp
+    Affine2DEstimatorCallback / AffinePartial2D)."""
+    n = len(src)
+    A = np.zeros((2 * n, 4))
+    A[0::2, 0] = src[:, 0]
+    A[0::2, 1] = -src[:, 1]
+    A[0::2, 2] = 1
+    A[1::2, 0] = src[:, 1]
+    A[1::2, 1] = src[:, 0]
+    A[1::2, 3] = 1
+    b = dst.reshape(-1)
+    (a, bb, tx, ty), *_ = np.linalg.lstsq(A, b, rcond=None)
+    return np.array([[a, -bb, tx], [bb, a, ty]])
+
+
+def _estimate_affine(src, dst, fit, min_pts, method, thresh, maxIters,
+                     confidence, refineIters):
+    src = np.asarray(src, np.float64).reshape(-1, 2)
+    dst = np.asarray(dst, np.float64).reshape(-1, 2)
+    n = len(src)
+    if n < min_pts:
+        return None, None
+
+    def errs(M):
+        pred = src @ M[:, :2].T + M[:, 2]
+        return ((pred - dst) ** 2).sum(-1)
+
+    if n == min_pts or method == 0:
+        M = fit(src, dst)
+        return M, np.ones((n, 1), np.uint8)
+
+    rng = np.random.default_rng(0)
+    t2 = thresh * thresh
+    best_cnt, best_inl = -1, None
+    iters = int(maxIters)
+    i = 0
+    while i < iters:
+        idx = rng.choice(n, min_pts, replace=False)
+        try:
+            M = fit(src[idx], dst[idx])
+        except np.linalg.LinAlgError:
+            i += 1
+            continue
+        inl = errs(M) <= t2
+        c = int(inl.sum())
+        if c > best_cnt:
+            best_cnt, best_inl = c, inl
+            # adaptive iteration bound
+            w = max(c / n, 1e-9)
+            need = np.log(max(1 - confidence, 1e-12)) / \
+                np.log(max(1 - w ** min_pts, 1e-12))
+            iters = min(iters, int(need) + 1)
+        i += 1
+    if best_inl is None or best_cnt < min_pts:
+        return None, np.zeros((n, 1), np.uint8)
+    M = fit(src[best_inl], dst[best_inl])
+    for _ in range(int(refineIters)):
+        inl = errs(M) <= t2
+        if inl.sum() < min_pts:
+            break
+        M = fit(src[inl], dst[inl])
+        best_inl = inl
+    return M, best_inl.astype(np.uint8)[:, None]
+
+
+def estimateAffine2D(from_, to, inliers=None, method=RANSAC,
+                     ransacReprojThreshold: float = 3.0,
+                     maxIters: int = 2000, confidence: float = 0.99,
+                     refineIters: int = 10):
+    """cv2.estimateAffine2D (calib3d/src/ptsetreg.cpp:862): 6-dof affine
+    by RANSAC + LSQ refinement; returns (2x3 f64, inlier mask)."""
+    return _estimate_affine(from_, to, _affine_lsq, 3, method,
+                            ransacReprojThreshold, maxIters, confidence,
+                            refineIters)
+
+
+def estimateAffinePartial2D(from_, to, inliers=None, method=RANSAC,
+                            ransacReprojThreshold: float = 3.0,
+                            maxIters: int = 2000, confidence: float = 0.99,
+                            refineIters: int = 10):
+    """cv2.estimateAffinePartial2D: 4-dof similarity (rotation, uniform
+    scale, translation)."""
+    return _estimate_affine(from_, to, _similarity_lsq, 2, method,
+                            ransacReprojThreshold, maxIters, confidence,
+                            refineIters)
