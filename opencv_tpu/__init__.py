@@ -154,6 +154,12 @@ from .photo import (
     INPAINT_NS,
     INPAINT_TELEA,
 )
+from .photo import (
+    edgePreservingFilter, detailEnhance, stylization, pencilSketch,
+    RECURS_FILTER, NORMCONV_FILTER,
+    seamlessClone, colorChange, illuminationChange, textureFlattening,
+    NORMAL_CLONE, MIXED_CLONE, MONOCHROME_TRANSFER,
+)
 from .persistence import FileStorage, FILE_STORAGE_READ, FILE_STORAGE_WRITE
 from .calib3d import (
     Rodrigues,

@@ -8,3 +8,11 @@ from .hdr import (  # noqa: F401
     createTonemapReinhard, TonemapReinhard,
 )
 from .inpaint import inpaint, INPAINT_NS, INPAINT_TELEA  # noqa: F401
+from .npr import (  # noqa: F401
+    edgePreservingFilter, detailEnhance, stylization, pencilSketch,
+    RECURS_FILTER, NORMCONV_FILTER,
+)
+from .cloning import (  # noqa: F401
+    seamlessClone, colorChange, illuminationChange, textureFlattening,
+    NORMAL_CLONE, MIXED_CLONE, MONOCHROME_TRANSFER,
+)

@@ -65,3 +65,51 @@ def test_inpaint():
     err_ours = np.abs(ours[mask > 0].astype(int) - img[mask > 0]).mean()
     err_hole = np.abs(0 - img[mask > 0].astype(int)).mean()
     assert err_ours < err_hole * 0.35
+
+
+def test_npr_filters_match_cv2():
+    rng = np.random.default_rng(0)
+    img = cv2.GaussianBlur(rng.integers(0, 256, (64, 80, 3), np.uint8),
+                           (5, 5), 2)
+    for flags in (1, 2):
+        ref = cv2.edgePreservingFilter(img, flags=flags, sigma_s=60,
+                                       sigma_r=0.4)
+        ours = tcv.edgePreservingFilter(img, flags=flags, sigma_s=60,
+                                        sigma_r=0.4)
+        assert np.abs(ref.astype(int) - ours.astype(int)).max() <= 1
+
+    ref = cv2.stylization(img, sigma_s=60, sigma_r=0.45)
+    ours = tcv.stylization(img, sigma_s=60, sigma_r=0.45)
+    assert np.abs(ref.astype(int) - ours.astype(int)).max() <= 1
+
+    ref = cv2.detailEnhance(img, sigma_s=10, sigma_r=0.15)
+    ours = tcv.detailEnhance(img, sigma_s=10, sigma_r=0.15)
+    assert np.abs(ref.astype(int) - ours.astype(int)).max() <= 3
+
+    r1, r2 = cv2.pencilSketch(img, sigma_s=60, sigma_r=0.07,
+                              shade_factor=0.02)
+    o1, o2 = tcv.pencilSketch(img, sigma_s=60, sigma_r=0.07,
+                              shade_factor=0.02)
+    assert np.abs(r1.astype(int) - o1.astype(int)).max() <= 1
+    assert np.abs(r2.astype(int) - o2.astype(int)).max() <= 1
+
+
+def test_seamless_clone():
+    rng = np.random.default_rng(0)
+    dst = cv2.GaussianBlur(rng.integers(40, 220, (120, 140, 3), np.uint8),
+                           (7, 7), 3)
+    src = cv2.GaussianBlur(rng.integers(0, 256, (80, 90, 3), np.uint8),
+                           (5, 5), 2)
+    mask = np.zeros((80, 90), np.uint8)
+    cv2.circle(mask, (45, 40), 25, 255, -1)
+    for fl in (cv2.NORMAL_CLONE, cv2.MIXED_CLONE, cv2.MONOCHROME_TRANSFER):
+        ref = cv2.seamlessClone(src, dst, mask, (70, 60), fl)
+        ours = tcv.seamlessClone(src, dst, mask, (70, 60), fl)
+        d = np.abs(ref.astype(int) - ours.astype(int))
+        # statistically identical membranes (5.0 wheel conditions the
+        # mask rim slightly differently than the 4.12 reference)
+        assert d.mean() < 2.0 and np.median(d) <= 1, (fl, d.mean())
+    # exact invariant: cloning an image onto itself is a no-op (±1)
+    img = dst[:80, :90]
+    ours = tcv.seamlessClone(img, img.copy(), mask, (45, 40), 1)
+    assert np.abs(ours.astype(int) - img.astype(int)).max() <= 1
