@@ -180,7 +180,7 @@ from .calib3d import (
     FM_RANSAC,
     SOLVEPNP_ITERATIVE,
 )
-from .calib3d import StereoBM, StereoBM_create, StereoSGBM_create
+from .calib3d import StereoBM, StereoBM_create, StereoSGBM, StereoSGBM_create
 from .calib3d import estimateAffine2D, estimateAffinePartial2D
 from .ops.linalg import (
     solve, SVDecomp, SVBackSubst, eigen, eigenNonSymmetric,

@@ -14,4 +14,4 @@ from .geometry import (  # noqa: F401
     RANSAC, LMEDS, FM_8POINT, FM_RANSAC, SOLVEPNP_ITERATIVE,
 )
 from .geometry import estimateAffine2D, estimateAffinePartial2D  # noqa: F401
-from .stereo import StereoBM, StereoBM_create, StereoSGBM_create  # noqa: F401
+from .stereo import StereoBM, StereoBM_create, StereoSGBM, StereoSGBM_create  # noqa: F401

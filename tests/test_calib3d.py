@@ -166,3 +166,26 @@ def test_file_storage_roundtrip(tmp_path):
     if hasattr(cv2, "FileStorage"):
         rf = cv2.FileStorage(p, cv2.FILE_STORAGE_READ)
         assert np.array_equal(rf.getNode("mat").mat(), M)
+
+
+def test_sgbm_matches_cv2():
+    rng = np.random.default_rng(0)
+    base = (cv2.GaussianBlur(rng.random((100, 160)).astype(np.float32),
+                             (0, 0), 1.5) * 255).astype(np.uint8)
+    left = np.roll(base, 6, axis=1)
+    for mode in (0, 1):
+        cvmode = cv2.STEREO_SGBM_MODE_HH if mode else cv2.STEREO_SGBM_MODE_SGBM
+        ref = cv2.StereoSGBM_create(0, 16, 5, P1=200, P2=800,
+                                    uniquenessRatio=10,
+                                    mode=cvmode).compute(left, base)
+        ours = tcv.StereoSGBM_create(0, 16, 5, P1=200, P2=800,
+                                     uniquenessRatio=10,
+                                     mode=mode).compute(left, base)
+        assert ours.dtype == np.int16 and ours.shape == ref.shape
+        inner = np.zeros(ref.shape, bool)
+        inner[8:-8, 24:-8] = True
+        m = (ref > 0) & (ours > 0) & inner
+        d = np.abs(ref[m].astype(int) - ours[m].astype(int))
+        assert (d == 0).mean() > 0.8, (mode, (d == 0).mean())
+        assert (d <= 16).mean() > 0.99
+        assert abs(np.median(ours[m]) / 16.0 - 6.0) < 0.2
