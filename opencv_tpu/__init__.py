@@ -217,6 +217,9 @@ from .features2d import (
     AGAST,
     AgastFeatureDetector,
     AgastFeatureDetector_create,
+    SimpleBlobDetector,
+    SimpleBlobDetector_create,
+    SimpleBlobDetector_Params,
     ORB,
     ORB_create,
     SIFT,

@@ -4,3 +4,6 @@ from .orb import ORB, ORB_create  # noqa: F401
 from .matchers import BFMatcher, FlannBasedMatcher, DMatch, hamming_distance_matrix  # noqa: F401
 from .sift import SIFT, SIFT_create  # noqa: F401
 from .agast import AGAST, AgastFeatureDetector, AgastFeatureDetector_create  # noqa: F401
+from .blob import (  # noqa: F401
+    SimpleBlobDetector, SimpleBlobDetector_create, SimpleBlobDetector_Params,
+)

@@ -29,9 +29,65 @@ __all__ = ["moments", "connectedComponents", "connectedComponentsWithStats",
            "distanceTransform"]
 
 
+def _contour_moments(pts):
+    """Polygon moments via the boundary Green's-theorem accumulation
+    (imgproc/src/moments.cpp contourMoments) — host f64, exact."""
+    p = np.asarray(pts, np.float64).reshape(-1, 2)
+    x, y = p[:, 0], p[:, 1]
+    xp = np.roll(x, 1)
+    yp = np.roll(y, 1)
+    t = xp * y - x * yp
+    a00 = np.sum(t)
+    a10 = np.sum(t * (xp + x))
+    a01 = np.sum(t * (yp + y))
+    a20 = np.sum(t * (xp * xp + xp * x + x * x))
+    a11 = np.sum(t * (xp * (2 * yp + y) + x * (yp + 2 * y)))
+    a02 = np.sum(t * (yp * yp + yp * y + y * y))
+    a30 = np.sum(t * (xp + x) * (xp * xp + x * x))
+    a03 = np.sum(t * (yp + y) * (yp * yp + y * y))
+    a21 = np.sum(t * (xp * xp * (3 * yp + y) + 2 * x * xp * (yp + y)
+                      + x * x * (yp + 3 * y)))
+    a12 = np.sum(t * (yp * yp * (3 * xp + x) + 2 * y * yp * (xp + x)
+                      + y * y * (xp + 3 * x)))
+    sgn = -1.0 if a00 < 0 else 1.0
+    m = {
+        "m00": a00 * sgn / 2, "m10": a10 * sgn / 6, "m01": a01 * sgn / 6,
+        "m20": a20 * sgn / 12, "m11": a11 * sgn / 24, "m02": a02 * sgn / 12,
+        "m30": a30 * sgn / 20, "m21": a21 * sgn / 60, "m12": a12 * sgn / 60,
+        "m03": a03 * sgn / 20,
+    }
+    if m["m00"] != 0:
+        cx = m["m10"] / m["m00"]
+        cy = m["m01"] / m["m00"]
+    else:
+        cx = cy = 0.0
+    mu20 = m["m20"] - m["m10"] * cx
+    mu11 = m["m11"] - m["m10"] * cy
+    mu02 = m["m02"] - m["m01"] * cy
+    mu30 = m["m30"] - cx * (3 * mu20 + cx * m["m10"])
+    mu21 = m["m21"] - cx * (2 * mu11 + cx * m["m01"]) - cy * mu20
+    mu12 = m["m12"] - cy * (2 * mu11 + cy * m["m10"]) - cx * mu02
+    mu03 = m["m03"] - cy * (3 * mu02 + cy * m["m01"])
+    m.update(mu20=mu20, mu11=mu11, mu02=mu02, mu30=mu30, mu21=mu21,
+             mu12=mu12, mu03=mu03)
+    s2 = m["m00"] ** 2 if m["m00"] else 1.0
+    s3 = m["m00"] ** 2.5 if m["m00"] else 1.0
+    m.update(nu20=mu20 / s2, nu11=mu11 / s2, nu02=mu02 / s2,
+             nu30=mu30 / s3, nu21=mu21 / s3, nu12=mu12 / s3,
+             nu03=mu03 / s3)
+    return m
+
+
 def moments(array, binaryImage: bool = False):
-    """`cv::moments` for dense single-channel images — returns the cv2
-    dict of spatial (m*), central (mu*) and normalized (nu*) moments."""
+    """`cv::moments`: dense single-channel images on device; point
+    contours (N,1,2)/(N,2) via the polygon path."""
+    arr = np.asarray(array)
+    is_pts3 = arr.ndim == 3 and arr.shape[1] == 1 and arr.shape[2] == 2
+    # (N,2) int32/f32 is a point set (cv2 images there are u8/u16/f32 HxW)
+    is_pts2 = arr.ndim == 2 and arr.shape[1] == 2 \
+        and arr.dtype in (np.int32, np.int64)
+    if is_pts3 or is_pts2:
+        return _contour_moments(arr)
     x, _ = to_batched(array)
     assert x.shape[0] == 1 and x.shape[-1] == 1
     img = x[0, :, :, 0]

@@ -151,3 +151,32 @@ def test_agast_detects_corners():
                                                 tcv.AgastFeatureDetector.OAST_9_16)}
     f2 = {(k.pt[0], k.pt[1]) for k in _fast(tex, 25, False)}
     assert a2 == f2 and len(a2) > 0
+
+
+def test_simple_blob_detector_matches_cv2():
+    img = np.full((120, 160), 255, np.uint8)
+    cv2.circle(img, (40, 40), 10, 0, -1)
+    cv2.circle(img, (100, 60), 14, 0, -1)
+    cv2.circle(img, (60, 95), 7, 0, -1)
+    cv2.rectangle(img, (120, 90), (150, 110), 0, -1)
+    kref = sorted((round(k.pt[0], 1), round(k.pt[1], 1), round(k.size, 1))
+                  for k in cv2.SimpleBlobDetector_create().detect(img))
+    kour = sorted((round(k.pt[0], 1), round(k.pt[1], 1), round(k.size, 1))
+                  for k in tcv.SimpleBlobDetector_create().detect(img))
+    assert kref == kour
+    # param object + light blobs
+    p = tcv.SimpleBlobDetector_Params()
+    p.blobColor = 255
+    p.filterByConvexity = False
+    inv = 255 - img
+    klight = tcv.SimpleBlobDetector_create(p).detect(inv)
+    assert len(klight) >= 3
+
+
+def test_contour_moments_match_cv2():
+    pts = np.array([[10, 10], [50, 12], [55, 40], [20, 45], [8, 30]],
+                   np.int32).reshape(-1, 1, 2)
+    ref = cv2.moments(pts)
+    ours = tcv.moments(pts)
+    for k in ref:
+        assert abs(ref[k] - ours[k]) <= 1e-9 * max(1, abs(ref[k])), k
