@@ -220,6 +220,8 @@ from .features2d import (
     SimpleBlobDetector,
     SimpleBlobDetector_create,
     SimpleBlobDetector_Params,
+    MSER,
+    MSER_create,
     ORB,
     ORB_create,
     SIFT,

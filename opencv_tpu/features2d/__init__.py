@@ -7,3 +7,4 @@ from .agast import AGAST, AgastFeatureDetector, AgastFeatureDetector_create  # n
 from .blob import (  # noqa: F401
     SimpleBlobDetector, SimpleBlobDetector_create, SimpleBlobDetector_Params,
 )
+from .mser import MSER, MSER_create  # noqa: F401

@@ -120,3 +120,30 @@ def flood_fill(img: np.ndarray, mask: np.ndarray, seed, new_val,
     if a is not img:
         img[...] = a
     return int(count), tuple(int(v) for v in rect)
+
+
+def mser_detect(img: np.ndarray, delta=5, min_area=60, max_area=14400,
+                max_variation=0.25, min_diversity=0.2, max_out=4096):
+    """Run native MSER on one polarity; returns (seeds, levels) arrays
+    or None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_mser_ready"):
+        lib.mser_detect.restype = ctypes.c_int
+        lib.mser_detect.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib._mser_ready = True
+    img = np.ascontiguousarray(img, np.uint8)
+    H, W = img.shape
+    seeds = np.zeros(max_out, np.int32)
+    levels = np.zeros(max_out, np.int32)
+    n = lib.mser_detect(img.ctypes.data, H, W, int(delta), int(min_area),
+                        int(max_area), float(max_variation),
+                        float(min_diversity),
+                        seeds.ctypes.data, levels.ctypes.data, max_out)
+    return seeds[:n], levels[:n]

@@ -180,3 +180,29 @@ def test_contour_moments_match_cv2():
     ours = tcv.moments(pts)
     for k in ref:
         assert abs(ref[k] - ours[k]) <= 1e-9 * max(1, abs(ref[k])), k
+
+
+def test_mser_ground_truth():
+    """MSER (the 5.0 wheel's MSER returns no regions on any input, so
+    the oracle is ground-truth shapes on noisy backgrounds)."""
+    rng = np.random.default_rng(1)
+    img = np.full((240, 320), 255, np.uint8)
+    img[40:80, 30:90] = 30
+    cv2.circle(img, (200, 150), 25, 20, -1)
+    img = np.clip(img.astype(int) + rng.integers(-15, 15, img.shape),
+                  0, 255).astype(np.uint8)
+    regions, boxes = tcv.MSER_create().detectRegions(img)
+    assert len(regions) >= 2 and boxes.shape[1] == 4
+    gt = {(x, y) for y in range(40, 80) for x in range(30, 90)}
+    ious = [len(set(map(tuple, r.tolist())) & gt)
+            / len(set(map(tuple, r.tolist())) | gt) for r in regions]
+    assert max(ious) > 0.95
+    # bright-on-dark polarity
+    inv = 255 - img
+    regions2, _ = tcv.MSER_create().detectRegions(inv)
+    ious2 = [len(set(map(tuple, r.tolist())) & gt)
+             / len(set(map(tuple, r.tolist())) | gt) for r in regions2]
+    assert max(ious2) > 0.95
+    # flat image -> nothing
+    assert not tcv.MSER_create().detectRegions(
+        np.full((64, 64), 128, np.uint8))[0]
