@@ -182,6 +182,11 @@ from .calib3d import (
 )
 from .calib3d import StereoBM, StereoBM_create, StereoSGBM, StereoSGBM_create
 from .calib3d import estimateAffine2D, estimateAffinePartial2D
+from .calib3d import (
+    calibrateCamera, findChessboardCorners, drawChessboardCorners,
+    cornerSubPix, CALIB_CB_ADAPTIVE_THRESH, CALIB_CB_NORMALIZE_IMAGE,
+    CALIB_CB_FAST_CHECK,
+)
 from .ops.linalg import (
     solve, SVDecomp, SVBackSubst, eigen, eigenNonSymmetric,
     PCACompute, PCACompute2, PCAProject, PCABackProject,

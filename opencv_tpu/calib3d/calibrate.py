@@ -1,0 +1,186 @@
+"""Camera calibration (calib3d/src/calibration.cpp cvCalibrateCamera2).
+
+TPU-native: the reference hand-derives analytic Jacobians for its LM
+solver; here the reprojection residual is a pure jnp function of the
+packed parameter vector and the Jacobian comes from `jax.jacfwd` —
+one compiled program evaluates all views' residuals and derivatives.
+Initialization is Zhang's method (intrinsics from the homography
+constraint B = K^-T K^-1, extrinsics from H = K [r1 r2 t]).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .geometry import findHomography, Rodrigues
+
+__all__ = ["calibrateCamera", "stereoCalibrate_stub"]
+
+
+def _rodrigues_jnp(r):
+    theta = jnp.linalg.norm(r) + 1e-12
+    k = r / theta
+    Kx = jnp.array([[0.0, -k[2], k[1]],
+                    [k[2], 0.0, -k[0]],
+                    [-k[1], k[0], 0.0]])
+    return jnp.eye(3) + jnp.sin(theta) * Kx \
+        + (1 - jnp.cos(theta)) * (Kx @ Kx)
+
+
+def _project_jnp(params, obj, nviews):
+    """params = [fx fy cx cy k1 k2 p1 p2 k3, (rvec tvec)*nviews].
+    obj: (nviews, N, 3).  Returns (nviews, N, 2)."""
+    fx, fy, cx, cy, k1, k2, p1, p2, k3 = params[:9]
+
+    def one(i):
+        rv = jax.lax.dynamic_slice(params, (9 + 6 * i,), (3,))
+        tv = jax.lax.dynamic_slice(params, (12 + 6 * i,), (3,))
+        R = _rodrigues_jnp(rv)
+        X = obj[i] @ R.T + tv
+        x = X[:, 0] / X[:, 2]
+        y = X[:, 1] / X[:, 2]
+        r2 = x * x + y * y
+        radial = 1 + k1 * r2 + k2 * r2 * r2 + k3 * r2 ** 3
+        xt = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+        yt = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+        return jnp.stack([fx * xt + cx, fy * yt + cy], axis=-1)
+
+    return jnp.stack([one(i) for i in range(nviews)])
+
+
+def _zhang_init(homographies, image_size):
+    """Closed-form intrinsics from >=3 homographies (Zhang eq. 8-9)."""
+    def v(H, i, j):
+        return np.array([
+            H[0, i] * H[0, j],
+            H[0, i] * H[1, j] + H[1, i] * H[0, j],
+            H[1, i] * H[1, j],
+            H[2, i] * H[0, j] + H[0, i] * H[2, j],
+            H[2, i] * H[1, j] + H[1, i] * H[2, j],
+            H[2, i] * H[2, j]])
+
+    V = []
+    for H in homographies:
+        V.append(v(H, 0, 1))
+        V.append(v(H, 0, 0) - v(H, 1, 1))
+    V = np.array(V)
+    _, _, vt = np.linalg.svd(V)
+    b11, b12, b22, b13, b23, b33 = vt[-1]
+    try:
+        cy = (b12 * b13 - b11 * b23) / (b11 * b22 - b12 * b12)
+        lam = b33 - (b13 * b13 + cy * (b12 * b13 - b11 * b23)) / b11
+        fx = np.sqrt(lam / b11)
+        fy = np.sqrt(lam * b11 / (b11 * b22 - b12 * b12))
+        cx = -b13 * fx * fx / lam
+        if not (np.isfinite([fx, fy, cx, cy]).all() and fx > 0 and fy > 0):
+            raise FloatingPointError
+    except (FloatingPointError, ZeroDivisionError):
+        # fall back to a generic initialization
+        w, h = image_size
+        fx = fy = 1.2 * max(w, h)
+        cx, cy = (w - 1) / 2, (h - 1) / 2
+    return fx, fy, cx, cy
+
+
+def _extrinsics_from_h(H, K):
+    Kinv = np.linalg.inv(K)
+    h1, h2, h3 = H[:, 0], H[:, 1], H[:, 2]
+    lam = 1.0 / np.linalg.norm(Kinv @ h1)
+    r1 = lam * (Kinv @ h1)
+    r2 = lam * (Kinv @ h2)
+    r3 = np.cross(r1, r2)
+    t = lam * (Kinv @ h3)
+    R = np.stack([r1, r2, r3], axis=1)
+    # orthogonalize
+    u, _, vt = np.linalg.svd(R)
+    R = u @ vt
+    if np.linalg.det(R) < 0:
+        R = -R
+        t = -t
+    if t[2] < 0:
+        # target should be in front of the camera
+        R[:, :2] *= -1
+        t *= -1
+    rvec, _ = Rodrigues(R)
+    return np.asarray(rvec).ravel(), t
+
+
+def calibrateCamera(objectPoints, imagePoints, imageSize, cameraMatrix=None,
+                    distCoeffs=None, rvecs=None, tvecs=None, flags=0,
+                    criteria=(3, 60, 1e-10)):
+    """cv2.calibrateCamera: returns (rms, K, dist (1,5), rvecs, tvecs)."""
+    objs = [np.asarray(o, np.float64).reshape(-1, 3) for o in objectPoints]
+    imgs = [np.asarray(p, np.float64).reshape(-1, 2) for p in imagePoints]
+    nviews = len(objs)
+
+    Hs = []
+    for o, p in zip(objs, imgs):
+        H, _ = findHomography(o[:, :2], p, 0)
+        Hs.append(H)
+    fx, fy, cx, cy = _zhang_init(Hs, imageSize)
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+
+    params = [fx, fy, cx, cy, 0.0, 0.0, 0.0, 0.0, 0.0]
+    for H in Hs:
+        rv, tv = _extrinsics_from_h(H, K)
+        params.extend(rv)
+        params.extend(tv)
+    params = jnp.asarray(np.array(params))
+
+    obj = jnp.asarray(np.stack(objs))
+    target = jnp.asarray(np.stack(imgs))
+
+    def residual(p):
+        return (_project_jnp(p, obj, nviews) - target).ravel()
+
+    res_fn = jax.jit(residual)
+    jac_fn = jax.jit(jax.jacfwd(residual))
+
+    # Levenberg-Marquardt
+    lam = 1e-3
+    r = np.asarray(res_fn(params))
+    cost = float(r @ r)
+    maxiter = int(criteria[1]) if len(criteria) > 1 else 60
+    for _ in range(maxiter):
+        J = np.asarray(jac_fn(params))
+        JtJ = J.T @ J
+        g = J.T @ r
+        for _ in range(10):
+            try:
+                step = np.linalg.solve(JtJ + lam * np.diag(np.diag(JtJ)
+                                                           + 1e-12), g)
+            except np.linalg.LinAlgError:
+                lam *= 10
+                continue
+            cand = params - jnp.asarray(step)
+            rc = np.asarray(res_fn(cand))
+            cc = float(rc @ rc)
+            if cc < cost:
+                params = cand
+                r = rc
+                lam = max(lam * 0.3, 1e-12)
+                improved = cost - cc
+                cost = cc
+                break
+            lam *= 10
+        else:
+            break
+        if improved < 1e-12 * max(cost, 1.0):
+            break
+
+    p = np.asarray(params)
+    K = np.array([[p[0], 0, p[2]], [0, p[1], p[3]], [0, 0, 1.0]])
+    dist = p[4:9].reshape(1, 5)
+    rv_out, tv_out = [], []
+    for i in range(nviews):
+        rv_out.append(p[9 + 6 * i:12 + 6 * i].reshape(3, 1))
+        tv_out.append(p[12 + 6 * i:15 + 6 * i].reshape(3, 1))
+    npts = sum(len(o) for o in objs)
+    rms = float(np.sqrt(cost / npts))
+    return rms, K, dist, rv_out, tv_out
+
+
+def stereoCalibrate_stub(*a, **k):
+    raise NotImplementedError("stereoCalibrate lands in a later round")

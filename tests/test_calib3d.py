@@ -189,3 +189,75 @@ def test_sgbm_matches_cv2():
         assert (d == 0).mean() > 0.8, (mode, (d == 0).mean())
         assert (d <= 16).mean() > 0.99
         assert abs(np.median(ours[m]) / 16.0 - 6.0) < 0.2
+
+
+def _make_board(cols, rows, sq=30, angle=7, noise=8, seed=0):
+    W, H = (cols + 3) * sq, (rows + 3) * sq
+    img = np.full((H, W), 255, np.uint8)
+    for i in range(rows + 1):
+        for j in range(cols + 1):
+            if (i + j) % 2 == 0:
+                img[(i + 1) * sq:(i + 2) * sq, (j + 1) * sq:(j + 2) * sq] = 0
+    M = cv2.getRotationMatrix2D((W / 2, H / 2), angle, 1.0)
+    img = cv2.warpAffine(img, M, (W, H), borderValue=180)
+    rng = np.random.default_rng(seed)
+    return np.clip(img.astype(int) + rng.integers(-noise, noise, img.shape),
+                   0, 255).astype(np.uint8)
+
+
+def test_find_chessboard_corners():
+    for cols, rows, ang in [(7, 5, 7), (9, 6, 0), (6, 4, -12)]:
+        img = _make_board(cols, rows, angle=ang)
+        okr, cref = cv2.findChessboardCorners(img, (cols, rows))
+        oko, cour = tcv.findChessboardCorners(img, (cols, rows))
+        assert okr and oko
+        a = cref.reshape(-1, 2)
+        g = cour.reshape(rows, cols, 2)
+        variants = [g.reshape(-1, 2), g[::-1, ::-1].reshape(-1, 2),
+                    np.transpose(g, (1, 0, 2)).reshape(-1, 2)[::-1],
+                    np.transpose(g[::-1, ::-1], (1, 0, 2)).reshape(-1, 2)[::-1]]
+        best = min(np.linalg.norm(a - v, axis=1).max() for v in variants)
+        assert best < 0.3, (cols, rows, ang, best)
+
+
+def test_corner_subpix():
+    img = _make_board(7, 5, angle=0, noise=4)
+    ok, corners = cv2.findChessboardCorners(img, (7, 5),
+                                            flags=cv2.CALIB_CB_ADAPTIVE_THRESH)
+    assert ok
+    rough = corners.reshape(-1, 2) + np.random.default_rng(1).uniform(
+        -1.5, 1.5, (35, 2)).astype(np.float32)
+    crit = (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 30, 0.01)
+    ref = cv2.cornerSubPix(img, rough.copy().reshape(-1, 1, 2), (5, 5),
+                           (-1, -1), crit)
+    ours = tcv.cornerSubPix(img, rough.copy().reshape(-1, 1, 2), (5, 5),
+                            (-1, -1), crit)
+    d = np.linalg.norm(ref.reshape(-1, 2) - ours.reshape(-1, 2), axis=1)
+    assert np.median(d) < 0.1, np.median(d)
+
+
+def test_calibrate_camera_matches_cv2():
+    rng = np.random.default_rng(0)
+    K_gt = np.array([[800., 0, 320], [0, 780, 240], [0, 0, 1]])
+    dist_gt = np.array([0.1, -0.2, 0.001, 0.002, 0.05])
+    obj = np.array([[x, y, 0.0] for y in range(6) for x in range(7)],
+                   np.float32) * 0.03
+    objpts, imgpts = [], []
+    for i in range(8):
+        rvec = rng.normal(0, 0.25, 3)
+        tvec = np.array([rng.normal(0, 0.05), rng.normal(0, 0.05),
+                         0.5 + 0.1 * i])
+        proj, _ = cv2.projectPoints(obj, rvec, tvec, K_gt, dist_gt)
+        pts = proj.reshape(-1, 2) + rng.normal(0, 0.1, (len(obj), 2))
+        objpts.append(obj)
+        imgpts.append(pts.astype(np.float32))
+    ret_r, K_r, d_r, rv_r, tv_r = cv2.calibrateCamera(objpts, imgpts,
+                                                      (640, 480), None, None)
+    ret_o, K_o, d_o, rv_o, tv_o = tcv.calibrateCamera(objpts, imgpts,
+                                                      (640, 480))
+    assert abs(ret_o - ret_r) < 1e-3
+    np.testing.assert_allclose(K_o, K_r, atol=0.05)
+    np.testing.assert_allclose(d_o.ravel(), d_r.ravel(), atol=1e-3)
+    for a, b in zip(rv_o, rv_r):
+        np.testing.assert_allclose(np.asarray(a).ravel(),
+                                   np.asarray(b).ravel(), atol=1e-3)
