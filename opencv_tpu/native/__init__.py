@@ -147,3 +147,22 @@ def mser_detect(img: np.ndarray, delta=5, min_area=60, max_area=14400,
                         float(min_diversity),
                         seeds.ctypes.data, levels.ctypes.data, max_out)
     return seeds[:n], levels[:n]
+
+
+def maxflow_grid(srcw, snkw, leftw, upleftw, upw, uprightw):
+    """GrabCut grid min-cut; returns fg mask (H, W) bool or None when
+    the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_mf_ready"):
+        lib.maxflow_grid.restype = ctypes.c_double
+        lib.maxflow_grid.argtypes = [ctypes.c_int, ctypes.c_int] \
+            + [ctypes.c_void_p] * 7
+        lib._mf_ready = True
+    H, W = srcw.shape
+    arrs = [np.ascontiguousarray(a, np.float64)
+            for a in (srcw, snkw, leftw, upleftw, upw, uprightw)]
+    out = np.zeros((H, W), np.uint8)
+    lib.maxflow_grid(H, W, *(a.ctypes.data for a in arrs), out.ctypes.data)
+    return out.astype(bool)

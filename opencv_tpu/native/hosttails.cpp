@@ -353,3 +353,102 @@ extern "C" int mser_detect(const uint8_t* img, int H, int W,
     }
     return cnt;
 }
+
+// -------------------------------------------------------------- max-flow
+// Dinic's algorithm on the GrabCut 8-neighbor grid graph
+// (the role of GCGraph<double> in imgproc/src/gcgraph.hpp).
+// srcw/snkw: terminal capacities; leftw/upleftw/upw/uprightw: symmetric
+// n-link weights at each pixel (0 where the neighbor is out of range).
+// out_fg[i] = 1 if node i is on the source (foreground) side.
+
+#include <queue>
+
+namespace {
+struct Arc { int to; double cap; int rev; };
+struct Dinic {
+    std::vector<std::vector<Arc>> g;
+    std::vector<int> level, iter;
+    explicit Dinic(int n) : g(n), level(n), iter(n) {}
+    void add(int a, int b, double cab, double cba) {
+        Arc e1{b, cab, (int)g[b].size()};
+        Arc e2{a, cba, (int)g[a].size()};
+        g[a].push_back(e1);
+        g[b].push_back(e2);
+    }
+    bool bfs(int s, int t) {
+        std::fill(level.begin(), level.end(), -1);
+        std::queue<int> q;
+        level[s] = 0; q.push(s);
+        while (!q.empty()) {
+            int v = q.front(); q.pop();
+            for (auto& e : g[v])
+                if (e.cap > 1e-12 && level[e.to] < 0) {
+                    level[e.to] = level[v] + 1;
+                    q.push(e.to);
+                }
+        }
+        return level[t] >= 0;
+    }
+    double dfs(int v, int t, double f) {
+        if (v == t) return f;
+        for (int& i = iter[v]; i < (int)g[v].size(); i++) {
+            Arc& e = g[v][i];
+            if (e.cap > 1e-12 && level[v] < level[e.to]) {
+                double d = dfs(e.to, t, f < e.cap ? f : e.cap);
+                if (d > 0) {
+                    e.cap -= d;
+                    g[e.to][e.rev].cap += d;
+                    return d;
+                }
+            }
+        }
+        return 0;
+    }
+    double run(int s, int t) {
+        double flow = 0;
+        while (bfs(s, t)) {
+            std::fill(iter.begin(), iter.end(), 0);
+            double f;
+            while ((f = dfs(s, t, 1e300)) > 0) flow += f;
+        }
+        return flow;
+    }
+};
+}  // namespace
+
+extern "C" double maxflow_grid(int H, int W,
+                               const double* srcw, const double* snkw,
+                               const double* leftw, const double* upleftw,
+                               const double* upw, const double* uprightw,
+                               uint8_t* out_fg)
+{
+    const int N = H * W;
+    Dinic d(N + 2);
+    const int S = N, T = N + 1;
+    for (int i = 0; i < N; i++) {
+        if (srcw[i] > 0) d.add(S, i, srcw[i], 0.0);
+        if (snkw[i] > 0) d.add(i, T, snkw[i], 0.0);
+    }
+    for (int y = 0; y < H; y++)
+        for (int x = 0; x < W; x++) {
+            int i = y * W + x;
+            if (x > 0 && leftw[i] > 0) d.add(i, i - 1, leftw[i], leftw[i]);
+            if (x > 0 && y > 0 && upleftw[i] > 0)
+                d.add(i, i - W - 1, upleftw[i], upleftw[i]);
+            if (y > 0 && upw[i] > 0) d.add(i, i - W, upw[i], upw[i]);
+            if (x < W - 1 && y > 0 && uprightw[i] > 0)
+                d.add(i, i - W + 1, uprightw[i], uprightw[i]);
+        }
+    double flow = d.run(S, T);
+    // source side = reachable in residual graph
+    std::vector<uint8_t> vis(N + 2, 0);
+    std::queue<int> q;
+    q.push(S); vis[S] = 1;
+    while (!q.empty()) {
+        int v = q.front(); q.pop();
+        for (auto& e : d.g[v])
+            if (e.cap > 1e-12 && !vis[e.to]) { vis[e.to] = 1; q.push(e.to); }
+    }
+    for (int i = 0; i < N; i++) out_fg[i] = vis[i];
+    return flow;
+}

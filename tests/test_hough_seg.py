@@ -93,3 +93,29 @@ def test_pyr_mean_shift():
     assert out.shape == img.shape
     # smoothing reduces variance
     assert out.std() <= img.std() + 1
+
+
+def test_grabcut_matches_cv2():
+    rng = np.random.default_rng(0)
+    H, W = 80, 100
+    img = np.zeros((H, W, 3), np.uint8)
+    img[..., 0] = 40
+    img[..., 1] = 120
+    img[..., 2] = 60
+    cv2.ellipse(img, (50, 40), (22, 16), 0, 0, 360, (200, 80, 160), -1)
+    img = np.clip(img.astype(int) + rng.integers(-12, 12, img.shape),
+                  0, 255).astype(np.uint8)
+    rect = (20, 15, 60, 50)
+    m_ref = np.zeros((H, W), np.uint8)
+    cv2.grabCut(img, m_ref, rect, np.zeros((1, 65)), np.zeros((1, 65)),
+                3, cv2.GC_INIT_WITH_RECT)
+    m_our, bgdm, fgdm = tcv.grabCut(img, None, rect, None, None, 3,
+                                    tcv.GC_INIT_WITH_RECT)
+    assert bgdm.shape == (1, 65) and fgdm.shape == (1, 65)
+    fg_ref = (m_ref == 1) | (m_ref == 3)
+    fg_our = (m_our == 1) | (m_our == 3)
+    iou = (fg_ref & fg_our).sum() / max((fg_ref | fg_our).sum(), 1)
+    assert iou > 0.95, iou
+    yy, xx = np.mgrid[0:H, 0:W]
+    gt = ((xx - 50) / 22) ** 2 + ((yy - 40) / 16) ** 2 <= 1
+    assert (fg_our & gt).sum() / (fg_our | gt).sum() > 0.9
