@@ -213,6 +213,12 @@ from .video import (
     KalmanFilter,
     meanShift,
     CamShift,
+    findTransformECC,
+    computeECC,
+    MOTION_TRANSLATION,
+    MOTION_EUCLIDEAN,
+    MOTION_AFFINE,
+    MOTION_HOMOGRAPHY,
 )
 from . import gapi
 from .gapi import pipeline, Stream

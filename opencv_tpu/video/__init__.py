@@ -11,3 +11,7 @@ from .farneback import (  # noqa: F401
 )
 from .kalman import KalmanFilter  # noqa: F401
 from .meanshift import meanShift, CamShift  # noqa: F401
+from .ecc import (  # noqa: F401
+    findTransformECC, computeECC,
+    MOTION_TRANSLATION, MOTION_EUCLIDEAN, MOTION_AFFINE, MOTION_HOMOGRAPHY,
+)

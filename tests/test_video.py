@@ -146,3 +146,30 @@ def test_knn_foreground():
     bgimg = ours.getBackgroundImage()
     assert bgimg.shape == (H, W, 3)
     assert abs(int(bgimg[40:, 40:].mean()) - int(bg[40:, 40:].mean())) < 12
+
+
+def test_find_transform_ecc_matches_cv2():
+    img = np.zeros((120, 160), np.uint8)
+    cv2.circle(img, (50, 40), 20, 200, -1)
+    cv2.rectangle(img, (90, 60), (140, 100), 120, -1)
+    cv2.line(img, (10, 100), (150, 20), 80, 3)
+    img = cv2.GaussianBlur(img, (0, 0), 2)
+    A_gt = np.float32([[1.01, 0.02, 1.5], [-0.02, 0.99, -1.0]])
+    warped = cv2.warpAffine(img, A_gt, (160, 120),
+                            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP)
+    crit = (cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 200, 1e-6)
+    pairs = [(cv2.MOTION_TRANSLATION, tcv.MOTION_TRANSLATION),
+             (cv2.MOTION_EUCLIDEAN, tcv.MOTION_EUCLIDEAN),
+             (cv2.MOTION_AFFINE, tcv.MOTION_AFFINE),
+             (cv2.MOTION_HOMOGRAPHY, tcv.MOTION_HOMOGRAPHY)]
+    for mt_cv, mt_our in pairs:
+        rows = 3 if mt_cv == cv2.MOTION_HOMOGRAPHY else 2
+        w0 = np.eye(rows, 3, dtype=np.float32)
+        rho_r, M_r = cv2.findTransformECC(img, warped, w0, mt_cv, crit,
+                                          None, 5)
+        rho_o, M_o = tcv.findTransformECC(img, warped, None, mt_our,
+                                          (3, 200, 1e-6), None, 5)
+        assert abs(rho_r - rho_o) < 1e-4
+        np.testing.assert_allclose(M_o, M_r, atol=1e-3)
+    assert abs(tcv.computeECC(img, warped)
+               - cv2.computeECC(img, warped)) < 1e-3
