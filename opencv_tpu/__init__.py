@@ -132,6 +132,7 @@ from .ops.segmentation import (
     FLOODFILL_FIXED_RANGE,
     FLOODFILL_MASK_ONLY,
 )
+from .ops.emd import EMD
 from .ops.grabcut import (
     grabCut, GC_BGD, GC_FGD, GC_PR_BGD, GC_PR_FGD,
     GC_INIT_WITH_RECT, GC_INIT_WITH_MASK, GC_EVAL,

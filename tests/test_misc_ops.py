@@ -83,3 +83,19 @@ def test_blend_linear():
     ref = cv2.blendLinear(a, b, w1, w2)
     ours = np.asarray(tcv.blendLinear(a, b, w1, w2))
     assert_near(ours, ref, atol=1)
+
+
+def test_emd_matches_cv2():
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        s1 = np.hstack([rng.random((4 + seed, 1)) + 0.2,
+                        rng.random((4 + seed, 3)) * 10]).astype(np.float32)
+        s2 = np.hstack([rng.random((6, 1)) + 0.2,
+                        rng.random((6, 3)) * 10]).astype(np.float32)
+        for dt in (cv2.DIST_L1, cv2.DIST_L2, cv2.DIST_C):
+            r, _, fl = cv2.EMD(s1, s2, dt)
+            o, _, fo = tcv.EMD(s1, s2, dt)
+            assert abs(r - o) < 1e-5, (seed, dt, r, o)
+            # optimal plans may differ on ties; marginals must agree
+            np.testing.assert_allclose(fo.sum(1), fl.sum(1), atol=1e-4)
+            np.testing.assert_allclose(fo.sum(0), fl.sum(0), atol=1e-4)
