@@ -225,6 +225,7 @@ from . import gapi
 from .gapi import pipeline, Stream
 from .stitching import Stitcher, Stitcher_create
 from .objdetect import HOGDescriptor
+from .objdetect import aruco
 from . import ml
 from .features2d import (
     KeyPoint,

@@ -1,1 +1,2 @@
 from .hog import HOGDescriptor  # noqa: F401
+from . import aruco  # noqa: F401

@@ -264,37 +264,54 @@ def convexHull(points, clockwise: bool = False, returnPoints: bool = True):
 
 
 def approxPolyDP(curve, epsilon: float, closed: bool):
-    """Douglas-Peucker (approx.cpp)."""
-    pts = np.asarray(curve).reshape(-1, 2).astype(np.float64)
+    """Douglas-Peucker (approx.cpp).  Closed curves are re-anchored at
+    the two mutually farthest points so the (arbitrary) start vertex of
+    the input never survives as a spurious corner."""
+    raw = np.asarray(curve).reshape(-1, 2)
+    pts = raw.astype(np.float64)
     n = len(pts)
     if n < 3:
         return np.asarray(curve).reshape(-1, 1, 2)
 
+    if closed:
+        # anchor 0: farthest from the centroid; anchor 1: farthest from
+        # anchor 0 — then rotate so anchor 0 is first
+        c = pts.mean(axis=0)
+        a0 = int(np.argmax(((pts - c) ** 2).sum(1)))
+        pts = np.roll(pts, -a0, axis=0)
+        raw = np.roll(raw, -a0, axis=0)
+        a1 = int(np.argmax(((pts - pts[0]) ** 2).sum(1)))
+
     def dp(lo, hi, keep):
         if hi <= lo + 1:
             return
-        a, b = pts[lo], pts[hi]
+        a, b = pts[lo % n], pts[hi % n]
+        seg = np.arange(lo + 1, hi) % n
         ab = b - a
         L = np.hypot(*ab)
+        rel = pts[seg] - a
         if L == 0:
-            d = np.hypot(*(pts[lo + 1:hi] - a).T)
+            d = np.hypot(rel[:, 0], rel[:, 1])
         else:
-            d = np.abs(np.cross(ab, pts[lo + 1:hi] - a)) / L
+            d = np.abs(ab[0] * rel[:, 1] - ab[1] * rel[:, 0]) / L
         i = int(np.argmax(d))
         if d[i] > epsilon:
             m = lo + 1 + i
-            keep[m] = True
+            keep[m % n] = True
             dp(lo, m, keep)
             dp(m, hi, keep)
 
     keep = np.zeros(n, bool)
-    keep[0] = keep[n - 1] = True
-    dp(0, n - 1, keep)
     if closed:
-        # also split against the closing edge
-        pass
-    out = pts[keep]
-    return out.reshape(-1, 1, 2).astype(np.asarray(curve).dtype)
+        keep[0] = keep[a1] = True
+        dp(0, a1, keep)
+        dp(a1, n, keep)       # wraps back to index 0
+    else:
+        keep[0] = keep[n - 1] = True
+        dp(0, n - 1, keep)
+    out = raw[keep[:n]] if closed else pts[keep]
+    return np.asarray(out).reshape(-1, 1, 2).astype(
+        np.asarray(curve).dtype)
 
 
 def isContourConvex(contour):

@@ -1,0 +1,62 @@
+"""objdetect: ArUco vs the cv2 oracle."""
+
+import numpy as np
+
+from common import cv2
+
+import opencv_tpu as tcv
+from opencv_tpu import aruco
+
+
+DICT_PAIRS = [
+    (aruco.DICT_4X4_50, "DICT_4X4_50"),
+    (aruco.DICT_5X5_100, "DICT_5X5_100"),
+    (aruco.DICT_6X6_250, "DICT_6X6_250"),
+    (aruco.DICT_7X7_50, "DICT_7X7_50"),
+    (aruco.DICT_ARUCO_ORIGINAL, "DICT_ARUCO_ORIGINAL"),
+    (aruco.DICT_APRILTAG_16h5, "DICT_APRILTAG_16H5"),
+    (aruco.DICT_APRILTAG_36h11, "DICT_APRILTAG_36H11"),
+    (aruco.DICT_ARUCO_MIP_36h12, "DICT_ARUCO_MIP_36H12"),
+]
+
+
+def test_aruco_dictionaries_match_cv2():
+    for ours_id, name in DICT_PAIRS:
+        ours = aruco.getPredefinedDictionary(ours_id)
+        ref = cv2.aruco.getPredefinedDictionary(getattr(cv2.aruco, name))
+        assert np.array_equal(ours.bytesList, ref.bytesList), name
+        assert ours.markerSize == ref.markerSize
+
+
+def test_aruco_generate_marker_exact():
+    d_our = aruco.getPredefinedDictionary(aruco.DICT_6X6_250)
+    d_ref = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_6X6_250)
+    for mid in (0, 13, 99, 249):
+        for side in (8, 64, 101):
+            np.testing.assert_array_equal(
+                aruco.generateImageMarker(d_our, mid, side),
+                cv2.aruco.generateImageMarker(d_ref, mid, side))
+
+
+def test_aruco_detect_matches_cv2():
+    d_our = aruco.getPredefinedDictionary(aruco.DICT_5X5_100)
+    d_ref = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_5X5_100)
+    scene = np.full((260, 340), 255, np.uint8)
+    for mid, (x, y, side) in [(3, (20, 20, 60)), (55, (150, 30, 80)),
+                              (90, (60, 140, 72))]:
+        scene[y:y + side, x:x + side] = cv2.aruco.generateImageMarker(
+            d_ref, mid, side)
+    for angle in (0, 15):
+        M = cv2.getRotationMatrix2D((170, 130), angle, 1.0)
+        img = cv2.warpAffine(scene, M, (340, 260), borderValue=255)
+        img = np.clip(img.astype(int) + np.random.default_rng(0).integers(
+            -6, 6, img.shape), 0, 255).astype(np.uint8)
+        c_r, i_r, _ = cv2.aruco.ArucoDetector(d_ref).detectMarkers(img)
+        c_o, i_o, _ = aruco.ArucoDetector(d_our).detectMarkers(img)
+        ids_r = sorted(i_r.ravel().tolist()) if i_r is not None else []
+        ids_o = sorted(i_o.ravel().tolist()) if i_o is not None else []
+        assert ids_o == ids_r, (angle, ids_r, ids_o)
+        ref_map = {int(i): np.asarray(c) for i, c in zip(i_r.ravel(), c_r)}
+        for i, c in zip(i_o.ravel(), c_o):
+            d = np.abs(ref_map[int(i)] - np.asarray(c)).max()
+            assert d <= 1.0, (angle, int(i), d)
