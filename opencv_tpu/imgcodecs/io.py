@@ -221,9 +221,12 @@ def imdecode(buf, flags: int = IMREAD_COLOR):
         img = _bmp_decode(data)
     elif data[:2] in (b"P5", b"P6"):
         img = _pnm_decode(data)
+    elif data[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_decode
+        img = jpeg_decode(data)
     else:
-        raise ValueError("unsupported image format (PNG/BMP/PNM available; "
-                         "JPEG/TIFF/WebP are a documented round-1 gap)")
+        raise ValueError("unsupported image format "
+                         "(PNG/BMP/PNM/JPEG available)")
     if flags == IMREAD_GRAYSCALE and img.ndim == 3:
         from ..ops.color import cvtColor
         from .. import constants as K
@@ -252,6 +255,16 @@ def imencode(ext: str, img, params=None):
         data = _bmp_encode(img)
     elif ext in (".ppm", ".pgm", ".pnm"):
         data = _pnm_encode(img, ext)
+    elif ext in (".jpg", ".jpeg", ".jpe"):
+        from .jpeg import jpeg_encode
+        from .. import constants as K
+        quality = 95
+        if params:
+            p = list(params)
+            for i in range(0, len(p) - 1, 2):
+                if p[i] == 1:  # IMWRITE_JPEG_QUALITY
+                    quality = int(p[i + 1])
+        data = bytes(jpeg_encode(img, quality))
     else:
         raise ValueError(f"unsupported extension {ext}")
     return True, np.frombuffer(data, np.uint8)

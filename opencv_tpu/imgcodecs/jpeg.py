@@ -1,0 +1,514 @@
+"""Baseline JPEG codec (imgcodecs/src/grfmt_jpeg.cpp's role, built from
+the JPEG spec rather than libjpeg).
+
+TPU/host split: entropy coding (Huffman bitstreams) is host work, but
+all the numeric mass — 8x8 forward/inverse DCTs over every block,
+quantization, YCbCr conversion — runs as one batched matmul program
+(blocks, 8, 8) x (8, 8), which is exactly the MXU shape.
+
+Supports baseline sequential (SOF0), 8-bit, 1 or 3 components, 4:4:4
+and 4:2:0; encoder writes JFIF 4:2:0 with the Annex-K tables.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["jpeg_decode", "jpeg_encode"]
+
+# Annex K quantization tables
+_QY = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], np.int32)
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], np.int32)
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    np.int32)
+
+# Annex K Huffman tables: (bits per length 1..16, values)
+_HT_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+              list(range(12)))
+_HT_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_HT_AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_HT_AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _dct_matrix():
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    C *= np.sqrt(2.0 / 8.0)
+    C[0] *= 1.0 / np.sqrt(2.0)
+    return C  # (8, 8): X = C x C^T
+
+
+_DCTM = _dct_matrix()
+
+
+def _build_decoder_table(bits, values):
+    """(length, code) -> symbol map plus a fast max-length lookup."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24 and self.pos < len(self.data):
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    # marker: stop feeding (RSTn handled by caller)
+                    self.pos -= 1
+                    return
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+
+    def read(self, n):
+        if n == 0:
+            return 0
+        self._fill()
+        if self.nbits < n:
+            self.bitbuf <<= (n - self.nbits)
+            self.nbits = n
+        v = (self.bitbuf >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.bitbuf &= (1 << self.nbits) - 1
+        return v
+
+    def decode_huffman(self, table):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad Huffman code")
+
+
+def _extend(v, t):
+    """JPEG EXTEND: map t-bit magnitude to signed value."""
+    return v - (1 << t) + 1 if t > 0 and v < (1 << (t - 1)) else v
+
+
+def jpeg_decode(buf):
+    data = np.frombuffer(np.asarray(bytearray(buf), np.uint8), np.uint8)
+    data = bytes(data.tobytes())
+    assert data[0:2] == b"\xff\xd8", "not a JPEG"
+    pos = 2
+    qt = {}
+    huff_dc = {}
+    huff_ac = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq_tq = seg[i]
+                tq = pq_tq & 15
+                if pq_tq >> 4:
+                    tab = np.frombuffer(seg[i + 1:i + 129], ">u2")
+                    i += 129
+                else:
+                    tab = np.frombuffer(seg[i + 1:i + 65], np.uint8)
+                    i += 65
+                qt[tq] = tab.astype(np.int32)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc_th = seg[i]
+                bits = list(seg[i + 1:i + 17])
+                nval = sum(bits)
+                vals = list(seg[i + 17:i + 17 + nval])
+                tbl = _build_decoder_table(bits, vals)
+                if tc_th >> 4:
+                    huff_ac[tc_th & 15] = tbl
+                else:
+                    huff_dc[tc_th & 15] = tbl
+                i += 17 + nval
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, H, W, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append(dict(id=cid, h=hv >> 4, v=hv & 15, tq=tq))
+            frame = dict(H=H, W=W, comps=comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG not supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scomp = []
+            for c in range(ns):
+                cs, td_ta = seg[1 + 2 * c:3 + 2 * c]
+                scomp.append((cs, td_ta >> 4, td_ta & 15))
+            pos += seglen
+            return _decode_scan(data, pos, frame, scomp, qt, huff_dc,
+                                huff_ac, restart_interval)
+        pos += seglen
+    raise ValueError("no scan found")
+
+
+def _decode_scan(data, pos, frame, scomp, qt, huff_dc, huff_ac, dri):
+    H, W = frame["H"], frame["W"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (W + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+
+    rd = _BitReader(data[pos:])
+    coeff = []
+    for c in comps:
+        bw = mcux * c["h"]
+        bh = mcuy * c["v"]
+        coeff.append(np.zeros((bh, bw, 64), np.int32))
+    pred = [0] * len(comps)
+    by_id = {c[0]: k for k, (c) in enumerate(
+        [(cc["id"],) for cc in comps])}
+    order = [by_id[cs] for cs, _, _ in scomp]
+
+    nmcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and nmcu and nmcu % dri == 0:
+                # resync: skip to next RST marker
+                rd.nbits = 0
+                rd.bitbuf = 0
+                while rd.pos < len(rd.data) - 1:
+                    if rd.data[rd.pos] == 0xFF and \
+                            0xD0 <= rd.data[rd.pos + 1] <= 0xD7:
+                        rd.pos += 2
+                        break
+                    rd.pos += 1
+                pred = [0] * len(comps)
+            for si, (cs, td, ta) in enumerate(scomp):
+                ci = order[si]
+                c = comps[ci]
+                for v in range(c["v"]):
+                    for h in range(c["h"]):
+                        blk = np.zeros(64, np.int32)
+                        t = rd.decode_huffman(huff_dc[td])
+                        diff = _extend(rd.read(t), t)
+                        pred[ci] += diff
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rd.decode_huffman(huff_ac[ta])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break
+                            k += r
+                            blk[k] = _extend(rd.read(s), s)
+                            k += 1
+                        coeff[ci][my * c["v"] + v, mx * c["h"] + h] = blk
+            nmcu += 1
+
+    # dequantize + IDCT, batched on device
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]]
+        zz = np.zeros((coeff[ci].shape[0], coeff[ci].shape[1], 64),
+                      np.int32)
+        zz[..., _ZIGZAG] = coeff[ci] * q[None, None, :]
+        blocks = jnp.asarray(zz.reshape(-1, 8, 8), jnp.float32)
+        Cm = jnp.asarray(_DCTM, jnp.float32)
+        pix = Cm.T @ blocks @ Cm + 128.0
+        bh, bw = coeff[ci].shape[:2]
+        plane = np.asarray(pix).reshape(bh, bw, 8, 8).transpose(
+            0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        # upsample to full size with libjpeg's "fancy" triangular
+        # filter (3/4-1/4 weights, edges replicated)
+        sy = vmax // c["v"]
+        sx = hmax // c["h"]
+        if sx == 2:
+            pl = np.pad(plane, ((0, 0), (1, 1)), mode="edge")
+            left = (3 * pl[:, 1:-1] + pl[:, :-2]) / 4.0
+            right = (3 * pl[:, 1:-1] + pl[:, 2:]) / 4.0
+            plane = np.empty((plane.shape[0], plane.shape[1] * 2))
+            plane[:, 0::2] = left
+            plane[:, 1::2] = right
+        if sy == 2:
+            pl = np.pad(plane, ((1, 1), (0, 0)), mode="edge")
+            top = (3 * pl[1:-1] + pl[:-2]) / 4.0
+            bot = (3 * pl[1:-1] + pl[2:]) / 4.0
+            plane = np.empty((plane.shape[0] * 2, plane.shape[1]))
+            plane[0::2] = top
+            plane[1::2] = bot
+        planes.append(plane[:H, :W])
+
+    if len(planes) == 1:
+        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+    Y, Cb, Cr = planes
+    r = Y + 1.402 * (Cr - 128)
+    g = Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128)
+    b = Y + 1.772 * (Cb - 128)
+    return np.clip(np.rint(np.stack([b, g, r], -1)), 0,
+                   255).astype(np.uint8)
+
+
+# ------------------------------------------------------------------ encode
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code, length):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
+            self.out.append(self.acc & 0xFF)
+            self.n = 0
+            self.acc = 0
+
+
+def _encode_table(bits, values):
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _magnitude(v):
+    a = abs(int(v))
+    t = a.bit_length()
+    if v < 0:
+        v = v + (1 << t) - 1
+    return t, v & ((1 << t) - 1)
+
+
+def _quality_scale(q, base):
+    q = min(max(int(q), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - q * 2
+    t = (base * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int32)
+
+
+def jpeg_encode(img, quality=95):
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[..., None]
+    H, W, C = img.shape
+    gray = C == 1
+
+    qy = _quality_scale(quality, _QY)
+    qc = _quality_scale(quality, _QC)
+
+    f = img.astype(np.float64)
+    if gray:
+        planes = [f[..., 0]]
+        samp = [(1, 1)]
+        qts = [0]
+    else:
+        b, g, r = f[..., 0], f[..., 1], f[..., 2]
+        Y = 0.299 * r + 0.587 * g + 0.114 * b
+        Cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        Cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        # 4:2:0: chroma averaged over 2x2
+        H2 = (H + 1) // 2 * 2
+        W2 = (W + 1) // 2 * 2
+        pad = lambda p: np.pad(p, ((0, H2 - H), (0, W2 - W)), mode="edge")
+        Cb = pad(Cb).reshape(H2 // 2, 2, W2 // 2, 2).mean((1, 3))
+        Cr = pad(Cr).reshape(H2 // 2, 2, W2 // 2, 2).mean((1, 3))
+        planes = [Y, Cb, Cr]
+        samp = [(2, 2), (1, 1), (1, 1)]
+        qts = [0, 1, 1]
+
+    def to_blocks(p, bh, bw):
+        ph = bh * 8
+        pw = bw * 8
+        pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                    mode="edge")
+        return pp.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (W + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+
+    qcoef = []
+    for pi, p in enumerate(planes):
+        h, v = samp[pi]
+        bh, bw = mcuy * v, mcux * h
+        blocks = to_blocks(p - 128.0, bh, bw)      # (bh, bw, 8, 8)
+        Bj = jnp.asarray(blocks.reshape(-1, 8, 8), jnp.float32)
+        Cm = jnp.asarray(_DCTM, jnp.float32)
+        F = Cm @ Bj @ Cm.T
+        q = qy if qts[pi] == 0 else qc       # natural (row-major) order
+        Fn = np.asarray(F).reshape(-1, 64)
+        qz = np.rint(Fn / q[None, :].astype(np.float64)).astype(np.int32)
+        qcoef.append(qz.reshape(bh, bw, 64)[..., _ZIGZAG])
+
+    dc_tabs = [_encode_table(*_HT_DC_LUM), _encode_table(*_HT_DC_CHR)]
+    ac_tabs = [_encode_table(*_HT_AC_LUM), _encode_table(*_HT_AC_CHR)]
+
+    bw_ = _BitWriter()
+    pred = [0] * len(planes)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for pi in range(len(planes)):
+                h, v = samp[pi]
+                tdc = dc_tabs[0 if qts[pi] == 0 else 1]
+                tac = ac_tabs[0 if qts[pi] == 0 else 1]
+                for dv in range(v):
+                    for dh in range(h):
+                        blk = qcoef[pi][my * v + dv, mx * h + dh]
+                        diff = int(blk[0]) - pred[pi]
+                        pred[pi] = int(blk[0])
+                        t, bitsv = _magnitude(diff)
+                        code, ln = tdc[t]
+                        bw_.write(code, ln)
+                        if t:
+                            bw_.write(bitsv, t)
+                        run = 0
+                        last_nz = np.nonzero(blk[1:])[0]
+                        last = last_nz[-1] + 1 if len(last_nz) else 0
+                        for k in range(1, last + 1):
+                            val = int(blk[k])
+                            if val == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                code, ln = tac[0xF0]
+                                bw_.write(code, ln)
+                                run -= 16
+                            t, bitsv = _magnitude(val)
+                            code, ln = tac[(run << 4) | t]
+                            bw_.write(code, ln)
+                            bw_.write(bitsv, t)
+                            run = 0
+                        if last < 63:
+                            code, ln = tac[0x00]
+                            bw_.write(code, ln)
+    bw_.flush()
+
+    # assemble the file
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, q in ([(0, qy)] if gray else [(0, qy), (1, qc)]):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
+            + bytes(np.asarray(q, np.uint8).reshape(8, 8).ravel()
+                    [_ZIGZAG].tolist())
+    nc = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, H, W, nc)
+    for ci in range(nc):
+        h, v = samp[ci]
+        out += bytes([ci + 1, (h << 4) | v, qts[ci]])
+    tabs = [_HT_DC_LUM, _HT_AC_LUM] if gray else \
+        [_HT_DC_LUM, _HT_AC_LUM, _HT_DC_CHR, _HT_AC_CHR]
+    classes = [0x00, 0x10] if gray else [0x00, 0x10, 0x01, 0x11]
+    for (bits, vals), cls in zip(tabs, classes):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
+            + bytes([cls]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        td_ta = 0x00 if qts[ci] == 0 else 0x11
+        out += bytes([ci + 1, td_ta])
+    out += b"\x00\x3f\x00"
+    out += bytes(bw_.out)
+    out += b"\xff\xd9"
+    return np.frombuffer(bytes(out), np.uint8)
+
+

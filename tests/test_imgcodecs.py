@@ -64,3 +64,30 @@ def test_imread_grayscale_flag(tmp_path):
 
 def test_missing_file():
     assert tcv.imread("/nonexistent/file.png") is None
+
+
+def test_jpeg_cross_codec():
+    rng = np.random.default_rng(0)
+    img = cv2.GaussianBlur(rng.integers(0, 256, (64, 96, 3), np.uint8),
+                           (5, 5), 2)
+    # ours encode -> cv2 decode
+    ok, buf = tcv.imencode(".jpg", img, [1, 95])
+    assert ok
+    dec = cv2.imdecode(np.asarray(buf), cv2.IMREAD_COLOR)
+    assert dec is not None and dec.shape == img.shape
+    assert cv2.PSNR(img, dec) > 30
+    # cv2 encode -> ours decode, compare to cv2's own decode
+    ok, buf2 = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    ours = tcv.imdecode(buf2, tcv.IMREAD_COLOR)
+    ref = cv2.imdecode(buf2, cv2.IMREAD_COLOR)
+    d = np.abs(ref.astype(int) - ours.astype(int))
+    assert d.max() <= 3 and d.mean() < 1.0
+    # grayscale + odd size roundtrip through files
+    import tempfile, os
+    g = img[:61, :93, 0]
+    path = os.path.join(tempfile.mkdtemp(), "t.jpg")
+    assert tcv.imwrite(path, g, [1, 90])
+    back_cv = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    back_us = tcv.imread(path, tcv.IMREAD_GRAYSCALE)
+    assert cv2.PSNR(g, back_cv) > 35
+    assert np.abs(back_cv.astype(int) - back_us.astype(int)).max() <= 3
