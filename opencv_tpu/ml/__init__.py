@@ -4,3 +4,8 @@ from .classic import (  # noqa: F401
     LogisticRegression, LogisticRegression_create,
     ROW_SAMPLE, COL_SAMPLE,
 )
+from .svm import SVM, SVM_create  # noqa: F401
+from .trees import (  # noqa: F401
+    DTrees, DTrees_create, RTrees, RTrees_create, Boost, Boost_create,
+)
+from .nets import ANN_MLP, ANN_MLP_create, EM, EM_create  # noqa: F401

@@ -84,3 +84,58 @@ def test_pipeline_and_stream():
     assert len(outs) == 3 and outs[0].shape == (2, 32, 32, 1)
     ref = cv2.GaussianBlur(cv2.cvtColor(batches[0][0], cv2.COLOR_BGR2GRAY), (3, 3), 0)
     assert np.array_equal(np.asarray(outs[0])[0, :, :, 0], ref)
+
+
+def test_ml_classifiers_xor():
+    """SVM/trees/boost/MLP/EM (the 5.0 wheel has no cv2.ml —
+    accuracy-threshold self tests on XOR + blobs)."""
+    from opencv_tpu import ml
+    rng = np.random.default_rng(0)
+
+    def make_xor(n):
+        X = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+        return X, ((X[:, 0] > 0) ^ (X[:, 1] > 0)).astype(np.int32)
+
+    Xtr, ytr = make_xor(400)
+    Xte, yte = make_xor(200)
+
+    svm = ml.SVM_create()
+    svm.setKernel(ml.SVM.RBF)
+    svm.setC(5.0)
+    svm.setGamma(2.0)
+    svm.train(Xtr, 0, ytr)
+    _, p = svm.predict(Xte)
+    assert (p.ravel() == yte).mean() > 0.9
+    assert len(svm.getSupportVectors()) > 0
+
+    dt = ml.DTrees_create()
+    dt.setMaxDepth(8)
+    dt.train(Xtr, 0, ytr)
+    assert (dt.predict(Xte)[1].ravel() == yte).mean() > 0.95
+
+    rt = ml.RTrees_create()
+    rt.setTermCriteria((3, 30, 0))
+    rt.train(Xtr, 0, ytr)
+    assert (rt.predict(Xte)[1].ravel() == yte).mean() > 0.95
+
+    bo = ml.Boost_create()
+    bo.setWeakCount(80)
+    bo.setMaxDepth(2)
+    bo.train(Xtr, 0, ytr)
+    assert (bo.predict(Xte)[1].ravel() == yte).mean() > 0.95
+
+    mlp = ml.ANN_MLP_create()
+    mlp.setLayerSizes([2, 16, 1])
+    mlp.setTrainMethod(0, 0.2)
+    mlp.setTermCriteria((3, 400, 0))
+    mlp.train(Xtr, 0, ytr.astype(np.float32) * 2 - 1)
+    assert ((mlp.predict(Xte)[1].ravel() > 0) == yte).mean() > 0.85
+
+    em = ml.EM_create()
+    em.setClustersNumber(2)
+    blobs = np.concatenate([rng.normal((0, 0), 0.3, (100, 2)),
+                            rng.normal((3, 3), 0.5, (100, 2))])
+    ok, ll, lbl, resp = em.trainEM(blobs)
+    assert ok
+    a = lbl.ravel()[:100]
+    assert max((a == 0).mean(), (a == 1).mean()) > 0.98
