@@ -133,6 +133,10 @@ from .ops.segmentation import (
     FLOODFILL_MASK_ONLY,
 )
 from .ops.emd import EMD
+from .ops.lsd import (
+    createLineSegmentDetector, LineSegmentDetector,
+    LSD_REFINE_NONE, LSD_REFINE_STD, LSD_REFINE_ADV,
+)
 from .ops.grabcut import (
     grabCut, GC_BGD, GC_FGD, GC_PR_BGD, GC_PR_FGD,
     GC_INIT_WITH_RECT, GC_INIT_WITH_MASK, GC_EVAL,

@@ -119,3 +119,34 @@ def test_grabcut_matches_cv2():
     yy, xx = np.mgrid[0:H, 0:W]
     gt = ((xx - 50) / 22) ** 2 + ((yy - 40) / 16) ** 2 <= 1
     assert (fg_our & gt).sum() / (fg_our | gt).sum() > 0.9
+
+
+def test_lsd_matches_cv2_structure():
+    img = np.zeros((100, 140), np.uint8)
+    cv2.line(img, (10, 20), (120, 30), 255, 2)
+    cv2.line(img, (30, 80), (40, 10), 180, 2)
+    img = cv2.GaussianBlur(img, (3, 3), 1)
+    ref_lines, _, _, _ = cv2.createLineSegmentDetector().detect(img)
+    our_lines, w, p, nfa = tcv.createLineSegmentDetector().detect(img)
+    assert our_lines is not None and w.shape[0] == our_lines.shape[0]
+
+    def seg_dist(a, b):
+        d1 = np.hypot(a[0] - b[0], a[1] - b[1]) \
+            + np.hypot(a[2] - b[2], a[3] - b[3])
+        d2 = np.hypot(a[0] - b[2], a[1] - b[3]) \
+            + np.hypot(a[2] - b[0], a[3] - b[1])
+        return min(d1, d2) / 2
+
+    matched = total = 0
+    for r in ref_lines.reshape(-1, 4):
+        rlen = np.hypot(r[2] - r[0], r[3] - r[1])
+        if rlen <= 15:
+            continue
+        total += 1
+        best = min(seg_dist(r, o) for o in our_lines.reshape(-1, 4))
+        matched += best < max(5, 0.2 * rlen)
+    assert total and matched == total
+    # empty image -> no lines
+    flat = np.full((64, 64), 100, np.uint8)
+    none_lines, _, _, _ = tcv.createLineSegmentDetector().detect(flat)
+    assert none_lines is None
