@@ -13,7 +13,7 @@ from .geometry import (  # noqa: F401
     getOptimalNewCameraMatrix,
     RANSAC, LMEDS, FM_8POINT, FM_RANSAC, SOLVEPNP_ITERATIVE,
 )
-from .geometry import estimateAffine2D, estimateAffinePartial2D  # noqa: F401
+from .geometry import estimateAffine2D, estimateAffinePartial2D, stereoRectify  # noqa: F401
 from .stereo import StereoBM, StereoBM_create, StereoSGBM, StereoSGBM_create  # noqa: F401
 from .calibrate import calibrateCamera  # noqa: F401
 from .chessboard import (  # noqa: F401

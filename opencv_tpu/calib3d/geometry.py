@@ -525,3 +525,166 @@ def estimateAffinePartial2D(from_, to, inliers=None, method=RANSAC,
     return _estimate_affine(from_, to, _similarity_lsq, 2, method,
                             ransacReprojThreshold, maxIters, confidence,
                             refineIters)
+
+
+def _undistort_rectangles(K, dist, R, P, size):
+    """Sample a grid of undistorted-rectified points; return (inner,
+    outer) rectangles (calib3d getUndistortRectangles)."""
+    w, h = size
+    N = 9
+    xs, ys = np.meshgrid(np.linspace(0, w - 1, N), np.linspace(0, h - 1, N))
+    pts = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float64)
+    und = undistortPoints(pts.reshape(-1, 1, 2), K, dist, R=R, P=P)
+    u = np.asarray(und).reshape(-1, 2)
+    gx = u[:, 0].reshape(N, N)
+    gy = u[:, 1].reshape(N, N)
+    ox0, oy0 = u[:, 0].min(), u[:, 1].min()
+    ox1, oy1 = u[:, 0].max(), u[:, 1].max()
+    ix0 = gx[:, 0].max()
+    ix1 = gx[:, -1].min()
+    iy0 = gy[0].max()
+    iy1 = gy[-1].min()
+    inner = (ix0, iy0, ix1 - ix0, iy1 - iy0)
+    outer = (ox0, oy0, ox1 - ox0, oy1 - oy0)
+    return inner, outer
+
+
+def stereoRectify(cameraMatrix1, distCoeffs1, cameraMatrix2, distCoeffs2,
+                  imageSize, R, T, flags=1024, alpha=-1,
+                  newImageSize=(0, 0)):
+    """cv2.stereoRectify (calib3d/src/stereo_geom.cpp:116, Bouguet):
+    returns (R1, R2, P1, P2, Q, roi1, roi2)."""
+    K1 = np.asarray(cameraMatrix1, np.float64)
+    K2 = np.asarray(cameraMatrix2, np.float64)
+    d1 = np.asarray(distCoeffs1, np.float64).ravel() if distCoeffs1 is not None else np.zeros(5)
+    d2 = np.asarray(distCoeffs2, np.float64).ravel() if distCoeffs2 is not None else np.zeros(5)
+    matR = np.asarray(R, np.float64)
+    matT = np.asarray(T, np.float64).ravel()
+    nx, ny = imageSize
+
+    om = np.asarray(Rodrigues(matR)[0]).ravel() if matR.shape == (3, 3) \
+        else matR.ravel()
+    r_r, _ = Rodrigues(om * -0.5)
+    t = r_r @ matT
+    idx = 0 if abs(t[0]) > abs(t[1]) else 1
+    c = t[idx]
+    nt = np.linalg.norm(t)
+    uu = np.zeros(3)
+    uu[idx] = 1.0 if c > 0 else -1.0
+    ww = np.cross(t, uu)
+    nw = np.linalg.norm(ww)
+    if nw > 0:
+        ww *= np.arccos(abs(c) / nt) / nw
+    wR, _ = Rodrigues(ww)
+    R1o = wR @ r_r.T
+    R2o = wR @ r_r
+    t = R2o @ matT
+
+    newImgSize = newImageSize if newImageSize[0] * newImageSize[1] else \
+        (nx, ny)
+    ratio_x = newImgSize[0] / nx / 2
+    ratio_y = newImgSize[1] / ny / 2
+    ratio = ratio_x if idx == 1 else ratio_y
+    fc_new = (K1[idx ^ 1, idx ^ 1] + K2[idx ^ 1, idx ^ 1]) * ratio
+
+    cc_new = []
+    Z = np.zeros(3)
+    for k in range(2):
+        A = K1 if k == 0 else K2
+        Dk = d1 if k == 0 else d2
+        corners = np.array([[0, 0], [nx - 1, 0], [0, ny - 1],
+                            [nx - 1, ny - 1]], np.float64)
+        und = np.asarray(undistortPoints(
+            corners.reshape(-1, 1, 2), A, Dk)).reshape(-1, 2)
+        pts3 = np.concatenate([und, np.ones((4, 1))], axis=1)
+        A_tmp = np.array([[fc_new, 0, 0], [0, fc_new, 0], [0, 0, 1.0]])
+        Rk = R1o if k == 0 else R2o
+        proj, _ = projectPoints(pts3, np.asarray(Rodrigues(Rk)[0]).ravel(),
+                                Z, A_tmp, np.zeros(5))
+        avg = np.asarray(proj).reshape(-1, 2).mean(axis=0)
+        cc_new.append(np.array([(nx - 1) / 2 - avg[0],
+                                (ny - 1) / 2 - avg[1]]))
+
+    CALIB_ZERO_DISPARITY = 1024
+    if flags & CALIB_ZERO_DISPARITY:
+        m = (cc_new[0] + cc_new[1]) * 0.5
+        cc_new[0] = cc_new[1] = m
+    elif idx == 0:
+        my = (cc_new[0][1] + cc_new[1][1]) * 0.5
+        cc_new[0][1] = cc_new[1][1] = my
+    else:
+        mx = (cc_new[0][0] + cc_new[1][0]) * 0.5
+        cc_new[0][0] = cc_new[1][0] = mx
+
+    t_idx = t[idx]
+    P1o = np.zeros((3, 4))
+    P1o[0, 0] = P1o[1, 1] = fc_new
+    P1o[0, 2] = cc_new[0][0]
+    P1o[1, 2] = cc_new[0][1]
+    P1o[2, 2] = 1.0
+    P2o = P1o.copy()
+    P2o[0, 2] = cc_new[1][0]
+    P2o[1, 2] = cc_new[1][1]
+    P2o[idx, 3] = t_idx * fc_new
+
+    inner1, outer1 = _undistort_rectangles(K1, d1, R1o, P1o, (nx, ny))
+    inner2, outer2 = _undistort_rectangles(K2, d2, R2o, P2o, (nx, ny))
+
+    alpha = min(alpha, 1.0)
+    cx1_0, cy1_0 = cc_new[0]
+    cx2_0, cy2_0 = cc_new[1]
+    cx1 = newImgSize[0] * cx1_0 / nx
+    cy1 = newImgSize[1] * cy1_0 / ny
+    cx2 = newImgSize[0] * cx2_0 / nx
+    cy2 = newImgSize[1] * cy2_0 / ny
+    s = 1.0
+    if alpha >= 0:
+        def smax(inner, cx, cy, cx0, cy0):
+            return max(cx / (cx0 - inner[0]), cy / (cy0 - inner[1]),
+                       (newImgSize[0] - 1 - cx) / (inner[0] + inner[2] - cx0),
+                       (newImgSize[1] - 1 - cy) / (inner[1] + inner[3] - cy0))
+
+        def smin(outer, cx, cy, cx0, cy0):
+            return min(cx / (cx0 - outer[0]), cy / (cy0 - outer[1]),
+                       (newImgSize[0] - 1 - cx) / (outer[0] + outer[2] - cx0),
+                       (newImgSize[1] - 1 - cy) / (outer[1] + outer[3] - cy0))
+
+        s0 = max(smax(inner1, cx1, cy1, cx1_0, cy1_0),
+                 smax(inner2, cx2, cy2, cx2_0, cy2_0))
+        s1 = min(smin(outer1, cx1, cy1, cx1_0, cy1_0),
+                 smin(outer2, cx2, cy2, cx2_0, cy2_0))
+        s = s0 * (1 - alpha) + s1 * alpha
+
+    fc_new *= s
+    P2o[0, 0] = P2o[1, 1] = fc_new
+    P2o[0, 2] = cx2
+    P2o[1, 2] = cy2
+    P2o[idx, 3] *= s
+    P1o[0, 0] = P1o[1, 1] = fc_new
+    P1o[0, 2] = cx1
+    P1o[1, 2] = cy1
+    P1o[idx, 3] = 0.0
+
+    import math
+    roi1 = (math.ceil((inner1[0] - cx1_0) * s + cx1),
+            math.ceil((inner1[1] - cy1_0) * s + cy1),
+            math.floor(inner1[2] * s), math.floor(inner1[3] * s))
+    roi2 = (math.ceil((inner2[0] - cx2_0) * s + cx2),
+            math.ceil((inner2[1] - cy2_0) * s + cy2),
+            math.floor(inner2[2] * s), math.floor(inner2[3] * s))
+
+    def clip_roi(r):
+        x0 = max(r[0], 0)
+        y0 = max(r[1], 0)
+        x1 = min(r[0] + r[2], newImgSize[0])
+        y1 = min(r[1] + r[3], newImgSize[1])
+        return (x0, y0, max(x1 - x0, 0), max(y1 - y0, 0))
+
+    Qo = np.float64([
+        [1, 0, 0, -cx1],
+        [0, 1, 0, -cy1],
+        [0, 0, 0, fc_new],
+        [0, 0, -1.0 / t_idx,
+         ((cx1 - cx2) if idx == 0 else (cy1 - cy2)) / t_idx],
+    ])
+    return R1o, R2o, P1o, P2o, Qo, clip_roi(roi1), clip_roi(roi2)

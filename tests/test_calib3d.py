@@ -261,3 +261,18 @@ def test_calibrate_camera_matches_cv2():
     for a, b in zip(rv_o, rv_r):
         np.testing.assert_allclose(np.asarray(a).ravel(),
                                    np.asarray(b).ravel(), atol=1e-3)
+
+
+def test_stereo_rectify_matches_cv2():
+    K = np.array([[700., 0, 320], [0, 700, 240], [0, 0, 1]])
+    d = np.array([0.05, -0.1, 0.001, 0.001, 0.02])
+    R, _ = cv2.Rodrigues(np.array([0.01, 0.02, -0.005]))
+    T = np.array([[-0.12], [0.002], [0.003]])
+    for alpha in (-1, 0, 0.5, 1):
+        ref = cv2.stereoRectify(K, d, K, d, (640, 480), R, T, alpha=alpha)
+        ours = tcv.stereoRectify(K, d, K, d, (640, 480), R, T, alpha=alpha)
+        for a, b in zip(ref[:5], ours[:5]):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-4)
+        assert tuple(ours[5]) == tuple(ref[5])
+        assert tuple(ours[6]) == tuple(ref[6])
