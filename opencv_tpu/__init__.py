@@ -225,6 +225,15 @@ from .video import (
     MOTION_AFFINE,
     MOTION_HOMOGRAPHY,
 )
+from .videoio import (
+    VideoCapture, VideoWriter, VideoWriter_fourcc,
+    CAP_PROP_FRAME_WIDTH, CAP_PROP_FRAME_HEIGHT, CAP_PROP_FPS,
+    CAP_PROP_FRAME_COUNT, CAP_PROP_POS_FRAMES,
+)
+from .highgui import (
+    imshow, waitKey, pollKey, namedWindow, destroyWindow,
+    destroyAllWindows, WINDOW_NORMAL, WINDOW_AUTOSIZE,
+)
 from . import gapi
 from .gapi import pipeline, Stream
 from .stitching import Stitcher, Stitcher_create

@@ -1,0 +1,235 @@
+"""videoio (modules/videoio) — file-based backends.
+
+Camera/device IO is out of scope on TPU hosts; the file surface is
+real: MJPEG-in-AVI read/write (RIFF container around this framework's
+JPEG codec) and printf-style image sequences, which covers the
+reference's most portable interchange path (VideoWriter MJPG /
+VideoCapture CAP_IMAGES).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import struct
+
+import numpy as np
+
+from .imgcodecs import imread, imwrite, imdecode, imencode
+
+__all__ = ["VideoCapture", "VideoWriter", "VideoWriter_fourcc",
+           "CAP_PROP_FRAME_WIDTH", "CAP_PROP_FRAME_HEIGHT",
+           "CAP_PROP_FPS", "CAP_PROP_FRAME_COUNT", "CAP_PROP_POS_FRAMES"]
+
+CAP_PROP_POS_FRAMES = 1
+CAP_PROP_FRAME_WIDTH = 3
+CAP_PROP_FRAME_HEIGHT = 4
+CAP_PROP_FPS = 5
+CAP_PROP_FOURCC = 6
+CAP_PROP_FRAME_COUNT = 7
+
+
+def VideoWriter_fourcc(*args):
+    c = "".join(args)
+    return struct.unpack("<I", c.encode())[0]
+
+
+def _parse_avi(data):
+    """Minimal RIFF/AVI walk: returns (frames, fps, size)."""
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI ", "not an AVI"
+    fps = 25.0
+    size = (0, 0)
+    frames = []
+
+    def walk(pos, end):
+        nonlocal fps, size
+        while pos + 8 <= end:
+            ckid = data[pos:pos + 4]
+            cksz = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+            body = pos + 8
+            if ckid == b"LIST":
+                walk(body + 4, body + cksz)
+            elif ckid == b"avih":
+                usec = struct.unpack("<I", data[body:body + 4])[0]
+                if usec:
+                    fps = 1e6 / usec
+                w, h = struct.unpack("<II", data[body + 32:body + 40])
+                size = (w, h)
+            elif ckid[2:4] in (b"dc", b"db"):
+                frames.append(data[body:body + cksz])
+            pos = body + cksz + (cksz & 1)
+
+    walk(12, len(data))
+    return frames, fps, size
+
+
+class VideoCapture:
+    def __init__(self, source=None, apiPreference=0):
+        self._frames = None
+        self._files = None
+        self._pos = 0
+        self._fps = 25.0
+        self._size = (0, 0)
+        self._opened = False
+        if source is not None:
+            self.open(source)
+
+    def open(self, source, apiPreference=0):
+        self._pos = 0
+        if isinstance(source, (int, np.integer)):
+            return False  # no camera devices in this environment
+        s = str(source)
+        if s.lower().endswith(".avi") and os.path.exists(s):
+            with open(s, "rb") as f:
+                data = f.read()
+            self._frames, self._fps, self._size = _parse_avi(data)
+            self._files = None
+            self._opened = True
+            return True
+        if "%" in s:  # printf-style image sequence
+            files = []
+            i = 0
+            # find the first existing index (0 or 1 based)
+            for start in (0, 1):
+                if os.path.exists(s % start):
+                    i = start
+                    break
+            while os.path.exists(s % i):
+                files.append(s % i)
+                i += 1
+            self._files = files
+            self._opened = bool(files)
+            return self._opened
+        if os.path.exists(s):
+            self._files = [s]
+            self._opened = True
+            return True
+        matches = sorted(glob.glob(s))
+        self._files = matches
+        self._opened = bool(matches)
+        return self._opened
+
+    def isOpened(self):
+        return self._opened
+
+    def grab(self):
+        n = len(self._frames if self._frames is not None else self._files)
+        if self._pos < n:
+            self._pos += 1
+            return True
+        return False
+
+    def retrieve(self):
+        pos = self._pos - 1
+        if self._frames is not None:
+            img = imdecode(np.frombuffer(self._frames[pos], np.uint8), 1)
+        else:
+            img = imread(self._files[pos])
+        return img is not None, img
+
+    def read(self):
+        if not self.grab():
+            return False, None
+        return self.retrieve()
+
+    def get(self, prop):
+        if prop == CAP_PROP_FPS:
+            return self._fps
+        if prop == CAP_PROP_FRAME_COUNT:
+            return float(len(self._frames if self._frames is not None
+                             else self._files or []))
+        if prop == CAP_PROP_POS_FRAMES:
+            return float(self._pos)
+        if prop == CAP_PROP_FRAME_WIDTH:
+            return float(self._size[0])
+        if prop == CAP_PROP_FRAME_HEIGHT:
+            return float(self._size[1])
+        return 0.0
+
+    def set(self, prop, value):
+        if prop == CAP_PROP_POS_FRAMES:
+            self._pos = int(value)
+            return True
+        return False
+
+    def release(self):
+        self._opened = False
+
+
+class VideoWriter:
+    def __init__(self, filename=None, fourcc=0, fps=25.0, frameSize=(0, 0),
+                 isColor=True):
+        self._frames = []
+        self._path = None
+        self._fps = fps
+        self._size = frameSize
+        self._seq = False
+        self._opened = False
+        if filename:
+            self.open(filename, fourcc, fps, frameSize, isColor)
+
+    def open(self, filename, fourcc, fps, frameSize, isColor=True):
+        self._path = str(filename)
+        self._fps = float(fps) if fps else 25.0
+        self._size = tuple(int(v) for v in frameSize)
+        self._seq = "%" in self._path
+        self._frames = []
+        self._count = 0
+        self._opened = True
+        return True
+
+    def isOpened(self):
+        return self._opened
+
+    def write(self, frame):
+        if self._seq:
+            imwrite(self._path % self._count, np.asarray(frame))
+            self._count += 1
+            return
+        ok, buf = imencode(".jpg", np.asarray(frame), [1, 95])
+        self._frames.append(bytes(buf))
+
+    def release(self):
+        if not self._opened:
+            return
+        self._opened = False
+        if self._seq or not self._frames:
+            return
+        w, h = self._size
+        fps = self._fps
+
+        def chunk(ckid, body):
+            pad = b"\x00" if len(body) & 1 else b""
+            return ckid + struct.pack("<I", len(body)) + body + pad
+
+        n = len(self._frames)
+        maxbuf = max(len(f) for f in self._frames)
+        avih = struct.pack("<14I", int(1e6 / fps), 0, 0, 0x10, n, 0, 1,
+                           maxbuf, w, h, 0, 0, 0, 0)
+        strh = b"vids" + b"MJPG" + struct.pack(
+            "<IHHIIIIIIIII", 0, 0, 0, 0, 1, int(fps), 0, n, maxbuf,
+            0xFFFFFFFF, 0, 0) + struct.pack("<4H", 0, 0, w, h)
+        strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                           w * h * 3, 0, 0, 0, 0)
+        strl = b"LIST" + struct.pack(
+            "<I", 4 + len(chunk(b"strh", strh)) + len(chunk(b"strf", strf))
+        ) + b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+        hdrl_body = b"hdrl" + chunk(b"avih", avih) + strl
+        hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+
+        movi_items = b"".join(chunk(b"00dc", f) for f in self._frames)
+        movi = b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi" \
+            + movi_items
+
+        # idx1
+        idx = b""
+        off = 4
+        for f in self._frames:
+            idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+            off += 8 + len(f) + (len(f) & 1)
+        idx1 = chunk(b"idx1", idx)
+
+        body = b"AVI " + hdrl + movi + idx1
+        with open(self._path, "wb") as fo:
+            fo.write(b"RIFF" + struct.pack("<I", len(body)) + body)

@@ -91,3 +91,52 @@ def test_jpeg_cross_codec():
     back_us = tcv.imread(path, tcv.IMREAD_GRAYSCALE)
     assert cv2.PSNR(g, back_cv) > 35
     assert np.abs(back_cv.astype(int) - back_us.astype(int)).max() <= 3
+
+
+def test_videoio_mjpeg_avi_cross():
+    import tempfile, os
+    tmp = tempfile.mkdtemp()
+    rng = np.random.default_rng(0)
+    frames = [cv2.GaussianBlur(rng.integers(0, 256, (48, 64, 3), np.uint8),
+                               (5, 5), 2) for _ in range(5)]
+    # ours write -> cv2 read
+    path = os.path.join(tmp, "ours.avi")
+    vw = tcv.VideoWriter(path, tcv.VideoWriter_fourcc(*"MJPG"), 15, (64, 48))
+    for f in frames:
+        vw.write(f)
+    vw.release()
+    cap = cv2.VideoCapture(path)
+    assert cap.isOpened()
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
+    assert abs(cap.get(cv2.CAP_PROP_FPS) - 15) < 0.1
+    ok, f0 = cap.read()
+    assert ok and cv2.PSNR(frames[0], f0) > 28
+    # cv2 write -> ours read
+    path2 = os.path.join(tmp, "ref.avi")
+    vw2 = cv2.VideoWriter(path2, cv2.VideoWriter_fourcc(*"MJPG"), 15,
+                          (64, 48))
+    for f in frames:
+        vw2.write(f)
+    vw2.release()
+    cap2 = tcv.VideoCapture(path2)
+    assert cap2.isOpened()
+    assert int(cap2.get(tcv.CAP_PROP_FRAME_COUNT)) == 5
+    got = 0
+    while True:
+        ok, fr = cap2.read()
+        if not ok:
+            break
+        assert cv2.PSNR(frames[got], fr) > 28
+        got += 1
+    assert got == 5
+    # image sequences + highgui stubs
+    seq = os.path.join(tmp, "img%03d.png")
+    w3 = tcv.VideoWriter(seq, 0, 0, (64, 48))
+    for f in frames:
+        w3.write(f)
+    w3.release()
+    cap3 = tcv.VideoCapture(seq)
+    assert int(cap3.get(tcv.CAP_PROP_FRAME_COUNT)) == 5
+    tcv.imshow("w", frames[0])
+    assert tcv.waitKey(1) == -1
+    tcv.destroyAllWindows()
