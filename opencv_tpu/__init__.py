@@ -220,6 +220,8 @@ from .video import (
     CamShift,
     findTransformECC,
     computeECC,
+    DISOpticalFlow,
+    DISOpticalFlow_create,
     MOTION_TRANSLATION,
     MOTION_EUCLIDEAN,
     MOTION_AFFINE,

@@ -15,3 +15,4 @@ from .ecc import (  # noqa: F401
     findTransformECC, computeECC,
     MOTION_TRANSLATION, MOTION_EUCLIDEAN, MOTION_AFFINE, MOTION_HOMOGRAPHY,
 )
+from .dis import DISOpticalFlow, DISOpticalFlow_create  # noqa: F401

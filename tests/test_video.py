@@ -173,3 +173,23 @@ def test_find_transform_ecc_matches_cv2():
         np.testing.assert_allclose(M_o, M_r, atol=1e-3)
     assert abs(tcv.computeECC(img, warped)
                - cv2.computeECC(img, warped)) < 1e-3
+
+
+def test_dis_optical_flow():
+    rng = np.random.default_rng(0)
+    base = (cv2.GaussianBlur(rng.random((160, 200)).astype(np.float32),
+                             (0, 0), 4) * 255).astype(np.uint8)
+    dx, dy = 5.0, -3.0
+    M = np.float32([[1, 0, dx], [0, 1, dy]])
+    nxt = cv2.warpAffine(base, M, (200, 160))
+    ref_dis = cv2.DISOpticalFlow_create(cv2.DISOpticalFlow_PRESET_ULTRAFAST)
+    ref_dis.setVariationalRefinementIterations(0)
+    ref_flow = ref_dis.calc(base, nxt, None)
+    our_flow = tcv.DISOpticalFlow_create(
+        tcv.DISOpticalFlow.PRESET_ULTRAFAST).calc(base, nxt, None)
+    assert our_flow.shape == ref_flow.shape
+    inner = (slice(24, -24), slice(24, -24))
+    d = np.linalg.norm(ref_flow[inner] - our_flow[inner], axis=-1)
+    assert np.median(d) < 0.25, np.median(d)
+    epe = np.linalg.norm(our_flow[inner] - np.array([dx, dy]), axis=-1)
+    assert epe.mean() < 0.5, epe.mean()
