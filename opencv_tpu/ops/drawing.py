@@ -71,10 +71,66 @@ def _line_points(p0, p1):
     return np.asarray(ys), np.asarray(xs)
 
 
+def _blend(img, ys, xs, alpha, color):
+    """Alpha-composite `color` at integer coords with per-pixel coverage."""
+    H, W = img.shape[:2]
+    m = (ys >= 0) & (ys < H) & (xs >= 0) & (xs < W) & (alpha > 0)
+    ys, xs, a = ys[m], xs[m], alpha[m]
+    if img.ndim == 2:
+        c = color if np.isscalar(color) else np.asarray(color).reshape(-1)[0]
+        base = img[ys, xs].astype(np.float64)
+        img[ys, xs] = np.clip(base * (1 - a) + float(c) * a + 0.5, 0,
+                              255).astype(img.dtype)
+    else:
+        c = np.asarray(color, np.float64).reshape(-1)[:img.shape[2]]
+        base = img[ys, xs].astype(np.float64)
+        img[ys, xs] = np.clip(base * (1 - a)[:, None] + c[None, :]
+                              * a[:, None] + 0.5, 0, 255).astype(img.dtype)
+
+
+def _line_aa(img, pt1, pt2, color, thickness=1):
+    """Antialiased line: Wu-style fractional coverage along the minor
+    axis (the role of LineAA in drawing.cpp — the reference uses an
+    8-bit filtered profile; endpoints and coverage agree closely)."""
+    x0, y0 = float(pt1[0]), float(pt1[1])
+    x1, y1 = float(pt2[0]), float(pt2[1])
+    dx = x1 - x0
+    dy = y1 - y0
+    steep = abs(dy) > abs(dx)
+    if steep:
+        x0, y0, x1, y1 = y0, x0, y1, x1
+        dx, dy = dy, dx
+    if x1 < x0:
+        x0, x1 = x1, x0
+        y0, y1 = y1, y0
+    grad = dy / dx if dx != 0 else 0.0
+    n = int(np.floor(x1) - np.ceil(x0)) + 1
+    if n <= 0:
+        return
+    xs = np.ceil(x0) + np.arange(max(n, 0))
+    yc = y0 + (xs - x0) * grad
+    # triangular coverage over PERPENDICULAR distance (the reference's
+    # LineAA profile integrates to ~1.35 for 1-px lines)
+    cos_t = 1.0 / np.hypot(1.0, grad)
+    half = max(thickness / 2.0, 0.5) + 0.7
+    span = int(np.ceil(half / cos_t)) + 1
+    offs = np.arange(-span, span + 1)
+    yy = (np.floor(yc)[:, None] + offs[None, :]).astype(int)
+    dist = np.abs(yy + 0.0 - yc[:, None]) * cos_t
+    alpha = np.clip((half - dist) / 0.7, 0.0, 1.0)
+    xx = np.broadcast_to(xs.astype(int)[:, None], yy.shape)
+    if steep:
+        _blend(img, xx.ravel(), yy.ravel(), alpha.ravel(), color)
+    else:
+        _blend(img, yy.ravel(), xx.ravel(), alpha.ravel(), color)
+
+
 def line(img, pt1, pt2, color, thickness: int = 1, lineType: int = K.LINE_8,
          shift: int = 0):
     img = _as_np(img)
-    if thickness <= 1:
+    if lineType == K.LINE_AA:
+        _line_aa(img, pt1, pt2, color, thickness)
+    elif thickness <= 1:
         ys, xs = _line_points(pt1, pt2)
         _put(img, ys, xs, color)
     else:

@@ -47,25 +47,88 @@ def _from_complex(z):
     return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1).astype(jnp.float32)
 
 
+def _ccs_pack(F):
+    """Full complex spectrum (M, N) of a real input -> CCS-packed real
+    matrix (core/src/dxt.cpp packing layout)."""
+    F = np.asarray(F)
+    M, N = F.shape
+    out = np.zeros((M, N), np.float32)
+
+    def pack_col(dstcol, col):
+        out[0, dstcol] = col[0].real
+        half = (M - 1) // 2
+        for i in range(1, half + 1):
+            out[2 * i - 1, dstcol] = col[i].real
+            out[2 * i, dstcol] = col[i].imag
+        if M % 2 == 0:
+            out[M - 1, dstcol] = col[M // 2].real
+
+    pack_col(0, F[:, 0])
+    for k in range(1, (N - 1) // 2 + 1):
+        out[:, 2 * k - 1] = F[:, k].real
+        out[:, 2 * k] = F[:, k].imag
+    if N % 2 == 0:
+        pack_col(N - 1, F[:, N // 2])
+    return out
+
+
+def _ccs_unpack(P):
+    """CCS-packed real matrix -> full complex spectrum."""
+    P = np.asarray(P, np.float64)
+    M, N = P.shape
+    F = np.zeros((M, N), np.complex128)
+
+    def unpack_col(srccol):
+        col = np.zeros(M, np.complex128)
+        col[0] = P[0, srccol]
+        half = (M - 1) // 2
+        for i in range(1, half + 1):
+            col[i] = P[2 * i - 1, srccol] + 1j * P[2 * i, srccol]
+            col[M - i] = col[i].conjugate()
+        if M % 2 == 0:
+            col[M // 2] = P[M - 1, srccol]
+        return col
+
+    F[:, 0] = unpack_col(0)
+    for k in range(1, (N - 1) // 2 + 1):
+        F[:, k] = P[:, 2 * k - 1] + 1j * P[:, 2 * k]
+        F[:, N - k] = np.conj(np.roll(F[:, k][::-1], 1))
+    if N % 2 == 0:
+        F[:, N // 2] = unpack_col(N - 1)
+    return F
+
+
 def dft(src, flags: int = 0, nonzeroRows: int = 0):
-    """`cv::dft`. Real input returns 2-channel complex unless
-    DFT_REAL_OUTPUT (inverse) is requested."""
+    """`cv::dft`. Real input packs the spectrum in CCS format like the
+    reference unless DFT_COMPLEX_OUTPUT is given; inverse of a real
+    (CCS) array with DFT_REAL_OUTPUT unpacks it."""
     x = jnp.asarray(src)
     axes = (-1,) if flags & DFT_ROWS else (-2, -1)
-    z = _to_complex(x)
+    real_in = x.ndim == 2 or (x.ndim == 3 and x.shape[-1] == 1)
     if flags & DFT_INVERSE:
+        if real_in and not (flags & DFT_COMPLEX_INPUT) and x.ndim == 2 \
+                and not (flags & DFT_ROWS):
+            z = jnp.asarray(_ccs_unpack(np.asarray(x)))
+        else:
+            z = _to_complex(x)
         out = jnp.fft.ifftn(z, axes=axes)
         # cv2's idft WITHOUT DFT_SCALE is unnormalized: multiply back
         if not (flags & DFT_SCALE):
             n = np.prod([z.shape[a] for a in axes])
             out = out * n
-        if flags & DFT_REAL_OUTPUT:
+        if flags & DFT_REAL_OUTPUT or (real_in
+                                       and not (flags & DFT_COMPLEX_OUTPUT)
+                                       and not (flags & DFT_COMPLEX_INPUT)):
             return jnp.real(out).astype(jnp.float32)
         return _from_complex(out)
+    z = _to_complex(x)
     out = jnp.fft.fftn(z, axes=axes)
     if flags & DFT_SCALE:
         n = np.prod([z.shape[a] for a in axes])
         out = out / n
+    if real_in and not (flags & DFT_COMPLEX_OUTPUT) and x.ndim == 2 \
+            and not (flags & DFT_ROWS):
+        return jnp.asarray(_ccs_pack(np.asarray(out)))
     return _from_complex(out)
 
 

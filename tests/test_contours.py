@@ -163,3 +163,22 @@ def test_puttext_bottom_left_origin():
     assert up.any() and dn.any()
     # flipped rendering extends below the origin instead of above
     assert np.nonzero(up)[0].mean() < 30 < np.nonzero(dn)[0].mean()
+
+
+def test_line_aa_coverage():
+    for (p0, p1) in [((5, 10), (90, 40)), ((10, 5), (30, 85)),
+                     ((5, 5), (95, 95)), ((5, 50), (95, 50))]:
+        a = np.zeros((100, 100), np.uint8)
+        b = np.zeros((100, 100), np.uint8)
+        cv2.line(a, p0, p1, 255, 1, cv2.LINE_AA)
+        tcv.line(b, p0, p1, 255, 1, tcv.LINE_AA)
+        inter = ((a > 30) & (b > 30)).sum()
+        union = ((a > 30) | (b > 30)).sum()
+        assert inter / union > 0.95, (p0, p1, inter / union)
+        # intermediate intensities actually present (it IS antialiased)
+        mids = ((b > 40) & (b < 220)).sum()
+        assert mids > 20
+    # color AA blend on BGR
+    c = np.full((50, 50, 3), 30, np.uint8)
+    tcv.line(c, (5, 10), (45, 40), (0, 255, 0), 2, tcv.LINE_AA)
+    assert c[..., 1].max() > 200 and ((c[..., 1] > 60) & (c[..., 1] < 200)).any()

@@ -321,3 +321,17 @@ def test_rng_surface():
     b = np.zeros((100,), np.float64)
     tcv.randn(b, 0.0, 2.0)
     assert 1.0 < b.std() < 3.0
+
+
+def test_dft_ccs_packing():
+    rng = np.random.default_rng(7)
+    for shape in [(4, 6), (5, 6), (4, 7), (5, 7), (8, 8)]:
+        a = rng.random(shape).astype(np.float32)
+        ref = cv2.dft(a)
+        ours = np.asarray(tcv.dft(a))
+        np.testing.assert_allclose(ours, ref, atol=1e-3)
+        back_r = cv2.idft(ref, flags=cv2.DFT_SCALE | cv2.DFT_REAL_OUTPUT)
+        back_o = np.asarray(tcv.idft(ours,
+                                     flags=tcv.DFT_SCALE | tcv.DFT_REAL_OUTPUT))
+        np.testing.assert_allclose(back_o, back_r, atol=1e-4)
+        np.testing.assert_allclose(back_o, a, atol=1e-4)
