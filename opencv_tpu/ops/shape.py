@@ -242,6 +242,25 @@ def distanceTransform(src, distanceType: int, maskSize: int,
     x, meta = to_batched(src)
     fg = x[..., 0:1] != 0
     N, H, W, C = fg.shape
+    if maskSize == K.DIST_MASK_PRECISE and distanceType == K.DIST_L2:
+        # exact EDT: vertical nearest-zero sweep, then a per-row
+        # parabola min over columns — a (H, W, W) min-reduce on device
+        # (the reference's Felzenszwalb lower envelopes, distransform.cpp)
+        g = jnp.where(fg[..., 0], jnp.float32(1e9), 0.0)   # (N, H, W)
+        def vpass(gi):
+            def fwd(carry, row):
+                c = jnp.minimum(row, carry + 1.0)
+                return c, c
+            _, down = jax.lax.scan(fwd, jnp.full(gi.shape[-1:], 1e9), gi)
+            _, up = jax.lax.scan(fwd, jnp.full(gi.shape[-1:], 1e9),
+                                 gi[::-1])
+            return jnp.minimum(down, up[::-1])
+        g = jax.vmap(vpass)(g)
+        xs = jnp.arange(W, dtype=jnp.float32)
+        dx2 = (xs[:, None] - xs[None, :]) ** 2           # (W, W)
+        d2 = jnp.min(g[..., None, :] ** 2 + dx2[None, None], axis=-1)
+        out = jnp.sqrt(d2)[..., None]
+        return from_batched(out.astype(jnp.float32), meta)
     if maskSize == K.DIST_MASK_PRECISE or distanceType not in (
             K.DIST_L1, K.DIST_L2, K.DIST_C):
         maskSize = 5

@@ -266,3 +266,12 @@ def test_distance_transform(dt, ms):
     ref = cv2.distanceTransform(img, dt, ms)
     ours = np.asarray(tcv.distanceTransform(img, dt, ms))
     assert_near(ours, ref, atol=1e-3, msg=f"dist {dt} mask{ms}")
+
+
+def test_distance_transform_precise():
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 80)) > 0.02).astype(np.uint8) * 255
+    ref = cv2.distanceTransform(img, cv2.DIST_L2, cv2.DIST_MASK_PRECISE)
+    ours = np.asarray(tcv.distanceTransform(img, tcv.DIST_L2,
+                                            tcv.DIST_MASK_PRECISE))
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
