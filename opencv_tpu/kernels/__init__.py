@@ -1,1 +1,3 @@
-from .fused_preproc import gauss5_down2_u8, fused_gray_gauss5_down2  # noqa: F401
+from .fused_preproc import (  # noqa: F401
+    gauss5_down2_u8, gauss5_down2_u8_db, fused_gray_gauss5_down2,
+)
