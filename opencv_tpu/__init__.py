@@ -191,6 +191,7 @@ from .calib3d import (
 )
 from .calib3d import StereoBM, StereoBM_create, StereoSGBM, StereoSGBM_create
 from .calib3d import estimateAffine2D, estimateAffinePartial2D, stereoRectify
+from .calib3d import fisheye
 from .calib3d import (
     calibrateCamera, findChessboardCorners, drawChessboardCorners,
     cornerSubPix, CALIB_CB_ADAPTIVE_THRESH, CALIB_CB_NORMALIZE_IMAGE,

@@ -20,3 +20,4 @@ from .chessboard import (  # noqa: F401
     findChessboardCorners, drawChessboardCorners, cornerSubPix,
     CALIB_CB_ADAPTIVE_THRESH, CALIB_CB_NORMALIZE_IMAGE, CALIB_CB_FAST_CHECK,
 )
+from . import fisheye  # noqa: F401

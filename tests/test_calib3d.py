@@ -276,3 +276,32 @@ def test_stereo_rectify_matches_cv2():
                                        atol=1e-4)
         assert tuple(ours[5]) == tuple(ref[5])
         assert tuple(ours[6]) == tuple(ref[6])
+
+
+def test_fisheye_model_matches_cv2():
+    K = np.array([[400., 0, 320], [0, 390, 240], [0, 0, 1]])
+    D = np.array([0.1, -0.05, 0.01, -0.002])
+    rng = np.random.default_rng(0)
+    obj = rng.normal(0, 0.4, (30, 3)) + [0, 0, 2.5]
+    rvec = np.array([0.05, -0.1, 0.02])
+    tvec = np.array([0.1, -0.05, 0.3])
+    ref, _ = cv2.fisheye.projectPoints(obj.reshape(-1, 1, 3), rvec, tvec,
+                                       K, D)
+    ours, _ = tcv.fisheye.projectPoints(obj, rvec, tvec, K, D)
+    np.testing.assert_allclose(np.asarray(ours).reshape(-1, 2),
+                               np.asarray(ref).reshape(-1, 2), atol=1e-9)
+    pts = np.asarray(ref, np.float64).reshape(-1, 1, 2)
+    np.testing.assert_allclose(
+        np.asarray(tcv.fisheye.undistortPoints(pts, K, D)),
+        np.asarray(cv2.fisheye.undistortPoints(pts, K, D)), atol=1e-9)
+    m1r, m2r = cv2.fisheye.initUndistortRectifyMap(K, D, np.eye(3), K,
+                                                   (640, 480), cv2.CV_32FC1)
+    m1o, m2o = tcv.fisheye.initUndistortRectifyMap(K, D, np.eye(3), K,
+                                                   (640, 480))
+    np.testing.assert_array_equal(m1o, m1r)
+    np.testing.assert_array_equal(m2o, m2r)
+    Kn_r = cv2.fisheye.estimateNewCameraMatrixForUndistortRectify(
+        K, D, (640, 480), np.eye(3), balance=0.3)
+    Kn_o = tcv.fisheye.estimateNewCameraMatrixForUndistortRectify(
+        K, D, (640, 480), np.eye(3), balance=0.3)
+    np.testing.assert_allclose(Kn_o, Kn_r, atol=1e-9)
