@@ -167,6 +167,7 @@ from .photo import (
     edgePreservingFilter, detailEnhance, stylization, pencilSketch,
     RECURS_FILTER, NORMCONV_FILTER,
     seamlessClone, colorChange, illuminationChange, textureFlattening,
+    decolor,
     NORMAL_CLONE, MIXED_CLONE, MONOCHROME_TRANSFER,
 )
 from .persistence import FileStorage, FILE_STORAGE_READ, FILE_STORAGE_WRITE

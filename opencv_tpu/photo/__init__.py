@@ -16,3 +16,4 @@ from .cloning import (  # noqa: F401
     seamlessClone, colorChange, illuminationChange, textureFlattening,
     NORMAL_CLONE, MIXED_CLONE, MONOCHROME_TRANSFER,
 )
+from .decolor import decolor  # noqa: F401

@@ -113,3 +113,16 @@ def test_seamless_clone():
     img = dst[:80, :90]
     ours = tcv.seamlessClone(img, img.copy(), mask, (45, 40), 1)
     assert np.abs(ours.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_decolor_matches_cv2():
+    rng = np.random.default_rng(0)
+    img = np.zeros((90, 120, 3), np.uint8)
+    cv2.circle(img, (30, 40), 20, (40, 160, 220), -1)
+    cv2.rectangle(img, (60, 20), (110, 70), (200, 80, 40), -1)
+    img = cv2.GaussianBlur(img + rng.integers(0, 40, img.shape,
+                                              dtype=np.uint8), (5, 5), 1.5)
+    g_ref, b_ref = cv2.decolor(img)
+    g_our, b_our = tcv.decolor(img)
+    assert np.abs(g_ref.astype(int) - g_our.astype(int)).max() <= 4
+    assert np.abs(b_ref.astype(int) - b_our.astype(int)).mean() < 3
