@@ -139,3 +139,35 @@ def test_ml_classifiers_xor():
     assert ok
     a = lbl.ravel()[:100]
     assert max((a == 0).mean(), (a == 1).mean()) > 0.98
+
+
+def test_filestorage_yaml_xml_json_cross():
+    import tempfile, os
+    tmp = tempfile.mkdtemp()
+    M = np.arange(6, dtype=np.float64).reshape(2, 3) + 0.25
+    B = np.arange(4, dtype=np.uint8).reshape(2, 2)
+    for ext in ("yml", "xml", "json"):
+        p = os.path.join(tmp, "ours." + ext)
+        fs = tcv.FileStorage(p, tcv.FILE_STORAGE_WRITE)
+        fs.write("M", M)
+        fs.write("count", 42)
+        fs.write("name", "hello")
+        fs.write("B", B)
+        fs.release()
+        rfs = cv2.FileStorage(p, cv2.FILE_STORAGE_READ)
+        assert np.allclose(rfs.getNode("M").mat(), M), ext
+        assert rfs.getNode("count").real() == 42
+        assert rfs.getNode("name").string() == "hello"
+        assert np.array_equal(rfs.getNode("B").mat(), B)
+        p2 = os.path.join(tmp, "ref." + ext)
+        wfs = cv2.FileStorage(p2, cv2.FILE_STORAGE_WRITE)
+        wfs.write("M", M)
+        wfs.write("count", 42)
+        wfs.write("name", "hello")
+        wfs.write("B", B)
+        wfs.release()
+        ofs = tcv.FileStorage(p2, tcv.FILE_STORAGE_READ)
+        assert np.allclose(ofs.getNode("M").mat(), M), ext
+        assert ofs.getNode("count").real() == 42
+        assert ofs.getNode("name").string() == "hello"
+        assert np.array_equal(ofs.getNode("B").mat(), B)
