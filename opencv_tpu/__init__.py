@@ -241,7 +241,7 @@ from .highgui import (
 from . import gapi
 from .gapi import pipeline, Stream
 from .stitching import Stitcher, Stitcher_create
-from .objdetect import HOGDescriptor
+from .objdetect import HOGDescriptor, QRCodeDetector
 from .objdetect import aruco
 from . import ml
 from .features2d import (

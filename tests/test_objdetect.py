@@ -60,3 +60,38 @@ def test_aruco_detect_matches_cv2():
         for i, c in zip(i_o.ravel(), c_o):
             d = np.abs(ref_map[int(i)] - np.asarray(c)).max()
             assert d <= 1.0, (angle, int(i), d)
+
+
+def test_qrcode_detect_and_decode():
+    det = tcv.QRCodeDetector()
+    texts = ["HELLO TPU 123", "opencv_tpu round one", "1234567890",
+             "The quick brown fox jumps over the lazy dog 42!"]
+    for txt in texts:
+        enc = cv2.QRCodeEncoder_create()
+        code = enc.encode(txt)
+        big = cv2.resize(code, None, fx=8, fy=8,
+                         interpolation=cv2.INTER_NEAREST)
+        big = cv2.copyMakeBorder(big, 32, 32, 32, 32,
+                                 cv2.BORDER_CONSTANT, value=255)
+        out, pts, straight = det.detectAndDecode(big)
+        assert out == txt, (txt, out)
+        assert pts is not None and pts.shape == (1, 4, 2)
+        assert straight is not None
+        # cv2 detects at the same location (corner agreement)
+        ref_txt, ref_pts, _ = cv2.QRCodeDetector().detectAndDecode(big)
+        assert ref_txt == txt
+        d = np.abs(np.sort(pts.reshape(4, 2), axis=0)
+                   - np.sort(np.asarray(ref_pts).reshape(4, 2), axis=0))
+        assert d.max() < 6, d.max()
+    # noisy + slightly scaled
+    enc = cv2.QRCodeEncoder_create()
+    code = enc.encode("NOISE TEST 99")
+    big = cv2.resize(code, None, fx=7, fy=7,
+                     interpolation=cv2.INTER_NEAREST)
+    big = cv2.copyMakeBorder(big, 25, 25, 25, 25, cv2.BORDER_CONSTANT,
+                             value=255)
+    rng = np.random.default_rng(0)
+    noisy = np.clip(big.astype(int) + rng.integers(-25, 25, big.shape),
+                    0, 255).astype(np.uint8)
+    out, pts, _ = det.detectAndDecode(noisy)
+    assert out == "NOISE TEST 99"
