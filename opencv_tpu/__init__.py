@@ -238,6 +238,7 @@ from .highgui import (
     imshow, waitKey, pollKey, namedWindow, destroyWindow,
     destroyAllWindows, WINDOW_NORMAL, WINDOW_AUTOSIZE,
 )
+from . import dnn
 from . import gapi
 from .gapi import pipeline, Stream
 from .stitching import Stitcher, Stitcher_create

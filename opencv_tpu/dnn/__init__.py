@@ -1,0 +1,380 @@
+"""dnn (modules/dnn) — ONNX inference on the TPU compute path.
+
+The reader parses ONNX protobufs with a schema compiled from the
+reference's bundled `opencv-onnx.proto` (the public ONNX schema); the
+executor lowers each node to jnp/XLA ops — convs and GEMMs land on the
+MXU, the whole forward can be wrapped in `jax.jit`.  Covers the
+feed-forward CNN/MLP operator set (conv/pool/gemm/bn/activations/
+shape plumbing), which round-trips torch.onnx exports.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(__file__))
+from . import onnx_schema_pb2 as _onnx  # noqa: E402
+
+__all__ = ["readNetFromONNX", "blobFromImage", "blobFromImages", "Net",
+           "DNN_BACKEND_DEFAULT", "DNN_TARGET_CPU"]
+
+DNN_BACKEND_DEFAULT = 0
+DNN_TARGET_CPU = 0
+
+_DTYPES = {1: np.float32, 2: np.uint8, 3: np.int8, 4: np.uint16,
+           5: np.int16, 6: np.int32, 7: np.int64, 9: np.bool_,
+           10: np.float16, 11: np.float64}
+
+
+def _tensor_to_np(t):
+    dt = _DTYPES[t.data_type]
+    shape = tuple(t.dims)
+    if t.raw_data:
+        arr = np.frombuffer(t.raw_data, dt)
+    elif t.float_data:
+        arr = np.asarray(t.float_data, dt)
+    elif t.int64_data:
+        arr = np.asarray(t.int64_data, dt)
+    elif t.int32_data:
+        arr = np.asarray(t.int32_data, dt)
+    elif t.double_data:
+        arr = np.asarray(t.double_data, dt)
+    else:
+        arr = np.zeros(shape, dt)
+    return arr.reshape(shape) if shape else arr.reshape(())
+
+
+def _attrs(node):
+    out = {}
+    for a in node.attribute:
+        if a.type == _onnx.AttributeProto.INT:
+            out[a.name] = int(a.i)
+        elif a.type == _onnx.AttributeProto.FLOAT:
+            out[a.name] = float(a.f)
+        elif a.type == _onnx.AttributeProto.INTS:
+            out[a.name] = [int(v) for v in a.ints]
+        elif a.type == _onnx.AttributeProto.FLOATS:
+            out[a.name] = [float(v) for v in a.floats]
+        elif a.type == _onnx.AttributeProto.STRING:
+            out[a.name] = a.s.decode()
+        elif a.type == _onnx.AttributeProto.TENSOR:
+            out[a.name] = _tensor_to_np(a.t)
+    return out
+
+
+def _pool_pads(x, attrs, default=0):
+    pads = attrs.get("pads", [0, 0, 0, 0])
+    if len(pads) == 2:
+        pads = [pads[0], pads[1], pads[0], pads[1]]
+    return pads
+
+
+def _conv(x, w, b, attrs):
+    strides = attrs.get("strides", [1, 1])
+    pads = _pool_pads(x, attrs)
+    dil = attrs.get("dilations", [1, 1])
+    groups = attrs.get("group", 1)
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NCHW", "OIHW", "NCHW"))
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=strides,
+        padding=[(pads[0], pads[2]), (pads[1], pads[3])],
+        rhs_dilation=dil, dimension_numbers=dn,
+        feature_group_count=groups,
+        precision=jax.lax.Precision.HIGHEST)
+    if b is not None:
+        out = out + b.reshape(1, -1, 1, 1)
+    return out
+
+
+def _pool(x, attrs, kind):
+    ks = attrs["kernel_shape"]
+    strides = attrs.get("strides", ks)
+    pads = _pool_pads(x, attrs)
+    ceil = attrs.get("ceil_mode", 0)
+    window = (1, 1, ks[0], ks[1])
+    strides4 = (1, 1, strides[0], strides[1])
+    pad4 = [(0, 0), (0, 0), (pads[0], pads[2]), (pads[1], pads[3])]
+    if ceil:
+        # extend the trailing pad so the last partial window is kept
+        H, W = x.shape[2], x.shape[3]
+        for ax, (k, s, lo, hi) in enumerate(
+                [(ks[0], strides[0], pads[0], pads[2]),
+                 (ks[1], strides[1], pads[1], pads[3])]):
+            size = (H if ax == 0 else W) + lo + hi
+            rem = (size - k) % s
+            if rem:
+                pad4[2 + ax] = (lo, hi + (s - rem))
+    if kind == "max":
+        init = -jnp.inf
+        out = jax.lax.reduce_window(x, init, jax.lax.max, window,
+                                    strides4, pad4)
+        return out
+    # average (count_include_pad=0 default)
+    ones = jnp.ones_like(x)
+    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, strides4, pad4)
+    c = jax.lax.reduce_window(ones, 0.0, jax.lax.add, window, strides4,
+                              pad4)
+    if attrs.get("count_include_pad", 0):
+        c = jnp.full_like(c, float(ks[0] * ks[1]))
+    return s / c
+
+
+def _static(v):
+    """Materialize shape-plumbing values as numpy when possible."""
+    if isinstance(v, np.ndarray):
+        return v
+    try:
+        return np.asarray(v)
+    except Exception:
+        return None
+
+
+class Net:
+    def __init__(self, model):
+        self._graph = model.graph
+        self._init = {t.name: _tensor_to_np(t)
+                      for t in model.graph.initializer}
+        self._inputs = [i.name for i in model.graph.input
+                        if i.name not in self._init]
+        self._outputs = [o.name for o in model.graph.output]
+        self._input_blobs = {}
+
+    def setInput(self, blob, name=""):
+        key = name or (self._inputs[0] if self._inputs else "input")
+        self._input_blobs[key] = np.asarray(blob, np.float32)
+
+    def getLayerNames(self):
+        return [n.name or n.op_type for n in self._graph.node]
+
+    def getUnconnectedOutLayersNames(self):
+        return list(self._outputs)
+
+    def forward(self, outBlobNames=None):
+        vals = dict(self._init)
+        for k, v in self._input_blobs.items():
+            vals[k] = jnp.asarray(v)
+
+        for node in self._graph.node:
+            op = node.op_type
+            at = _attrs(node)
+            ins = [vals.get(i) if i else None for i in node.input]
+            x = ins[0] if ins else None
+            if op == "Conv":
+                y = _conv(jnp.asarray(x), jnp.asarray(ins[1]),
+                          None if len(ins) < 3 else jnp.asarray(ins[2]),
+                          at)
+            elif op == "Relu":
+                y = jnp.maximum(jnp.asarray(x), 0)
+            elif op == "LeakyRelu":
+                a = at.get("alpha", 0.01)
+                y = jnp.where(jnp.asarray(x) >= 0, x, a * jnp.asarray(x))
+            elif op == "Sigmoid":
+                y = jax.nn.sigmoid(jnp.asarray(x))
+            elif op == "Tanh":
+                y = jnp.tanh(jnp.asarray(x))
+            elif op == "Clip":
+                lo = ins[1] if len(ins) > 1 and ins[1] is not None \
+                    else at.get("min", -np.inf)
+                hi = ins[2] if len(ins) > 2 and ins[2] is not None \
+                    else at.get("max", np.inf)
+                y = jnp.clip(jnp.asarray(x), np.float32(np.asarray(lo)),
+                             np.float32(np.asarray(hi)))
+            elif op == "Softmax":
+                ax = at.get("axis", -1)
+                y = jax.nn.softmax(jnp.asarray(x), axis=ax)
+            elif op == "MaxPool":
+                y = _pool(jnp.asarray(x), at, "max")
+            elif op == "AveragePool":
+                y = _pool(jnp.asarray(x), at, "avg")
+            elif op == "GlobalAveragePool":
+                y = jnp.mean(jnp.asarray(x), axis=(2, 3), keepdims=True)
+            elif op == "Gemm":
+                A = jnp.asarray(x)
+                B = jnp.asarray(ins[1])
+                if at.get("transA", 0):
+                    A = A.T
+                if at.get("transB", 0):
+                    B = B.T
+                y = at.get("alpha", 1.0) * (A @ B)
+                if len(ins) > 2 and ins[2] is not None:
+                    y = y + at.get("beta", 1.0) * jnp.asarray(ins[2])
+            elif op == "MatMul":
+                y = jnp.asarray(x) @ jnp.asarray(ins[1])
+            elif op == "BatchNormalization":
+                g, be, mean, var = (jnp.asarray(v) for v in ins[1:5])
+                eps = at.get("epsilon", 1e-5)
+                shp = (1, -1) + (1,) * (jnp.asarray(x).ndim - 2)
+                y = (jnp.asarray(x) - mean.reshape(shp)) \
+                    / jnp.sqrt(var.reshape(shp) + eps) \
+                    * g.reshape(shp) + be.reshape(shp)
+            elif op in ("Add", "Sum"):
+                y = jnp.asarray(ins[0]) + jnp.asarray(ins[1])
+            elif op == "Sub":
+                y = jnp.asarray(ins[0]) - jnp.asarray(ins[1])
+            elif op == "Mul":
+                y = jnp.asarray(ins[0]) * jnp.asarray(ins[1])
+            elif op == "Div":
+                y = jnp.asarray(ins[0]) / jnp.asarray(ins[1])
+            elif op == "Concat":
+                y = jnp.concatenate([jnp.asarray(v) for v in ins],
+                                    axis=at.get("axis", 0))
+            elif op == "Flatten":
+                ax = at.get("axis", 1)
+                xx = jnp.asarray(x)
+                lead = int(np.prod(xx.shape[:ax])) if ax else 1
+                y = xx.reshape(lead, -1)
+            elif op == "Reshape":
+                shp = np.asarray(ins[1]).astype(int).tolist()
+                y = jnp.asarray(x).reshape(shp)
+            elif op == "Transpose":
+                y = jnp.transpose(jnp.asarray(x), at.get("perm"))
+            elif op == "Unsqueeze":
+                axes = at.get("axes") or np.asarray(ins[1]).tolist()
+                y = x
+                for a in sorted(int(v) for v in axes):
+                    y = jnp.expand_dims(jnp.asarray(y), a)
+            elif op == "Squeeze":
+                axes = at.get("axes") or (np.asarray(ins[1]).tolist()
+                                          if len(ins) > 1 else None)
+                y = jnp.squeeze(jnp.asarray(x),
+                                tuple(int(a) for a in axes)
+                                if axes else None)
+            elif op == "Shape":
+                y = np.asarray(jnp.asarray(x).shape, np.int64)
+            elif op == "Gather":
+                data = np.asarray(x) if not hasattr(x, "device") else x
+                idx = np.asarray(ins[1]).astype(int)
+                y = jnp.take(jnp.asarray(data), jnp.asarray(idx),
+                             axis=at.get("axis", 0))
+                if isinstance(data, np.ndarray) and data.dtype == np.int64:
+                    y = np.asarray(y)
+            elif op == "Constant":
+                y = at.get("value")
+            elif op == "ConstantOfShape":
+                val = at.get("value", np.zeros(1, np.float32))
+                y = np.full(np.asarray(x).astype(int),
+                            np.asarray(val).ravel()[0])
+            elif op == "Slice":
+                xx = jnp.asarray(x)
+                starts = np.asarray(ins[1]).astype(int)
+                ends = np.asarray(ins[2]).astype(int)
+                axes = np.asarray(ins[3]).astype(int) if len(ins) > 3 \
+                    and ins[3] is not None else np.arange(len(starts))
+                steps = np.asarray(ins[4]).astype(int) if len(ins) > 4 \
+                    and ins[4] is not None else np.ones(len(starts), int)
+                sl = [slice(None)] * xx.ndim
+                for s0, e0, a0, st in zip(starts, ends, axes, steps):
+                    sl[int(a0)] = slice(int(s0), int(e0), int(st))
+                y = xx[tuple(sl)]
+            elif op == "Pad":
+                pads = at.get("pads") or np.asarray(ins[1]).astype(
+                    int).tolist()
+                nd = jnp.asarray(x).ndim
+                pw = [(pads[i], pads[i + nd]) for i in range(nd)]
+                y = jnp.pad(jnp.asarray(x), pw,
+                            mode={"constant": "constant",
+                                  "reflect": "reflect",
+                                  "edge": "edge"}[at.get("mode",
+                                                         "constant")])
+            elif op in ("Resize", "Upsample"):
+                xx = jnp.asarray(x)
+                if len(ins) >= 4 and ins[3] is not None \
+                        and np.asarray(ins[3]).size:
+                    new = np.asarray(ins[3]).astype(int)
+                    oh, ow = int(new[2]), int(new[3])
+                else:
+                    scales = np.asarray(ins[2] if len(ins) > 2
+                                        else ins[1]).astype(float)
+                    oh = int(xx.shape[2] * scales[2])
+                    ow = int(xx.shape[3] * scales[3])
+                method = "nearest" if "nearest" in at.get(
+                    "mode", "nearest") else "linear"
+                y = jax.image.resize(xx, (xx.shape[0], xx.shape[1],
+                                          oh, ow),
+                                     method=method)
+            elif op == "Identity":
+                y = x
+            elif op == "Dropout":
+                y = x
+            elif op == "Cast":
+                y = jnp.asarray(x).astype(_DTYPES[at.get("to", 1)])
+            elif op == "ReduceMean":
+                axes = at.get("axes")
+                y = jnp.mean(jnp.asarray(x),
+                             axis=tuple(axes) if axes else None,
+                             keepdims=bool(at.get("keepdims", 1)))
+            elif op == "Erf":
+                y = jax.scipy.special.erf(jnp.asarray(x))
+            elif op == "Sqrt":
+                y = jnp.sqrt(jnp.asarray(x))
+            elif op == "Pow":
+                y = jnp.asarray(ins[0]) ** jnp.asarray(ins[1])
+            elif op == "Exp":
+                y = jnp.exp(jnp.asarray(x))
+            else:
+                raise NotImplementedError(f"ONNX op {op} not supported "
+                                          "in this round")
+            outs = list(node.output)
+            if len(outs) == 1:
+                vals[outs[0]] = y
+            else:
+                vals[outs[0]] = y  # extra outputs (e.g. Dropout mask)
+
+        if outBlobNames is None:
+            return np.asarray(vals[self._outputs[0]])
+        if isinstance(outBlobNames, str):
+            return np.asarray(vals[outBlobNames])
+        return [np.asarray(vals[n]) for n in outBlobNames]
+
+
+def readNetFromONNX(path):
+    model = _onnx.ModelProto()
+    with open(path, "rb") as f:
+        model.ParseFromString(f.read())
+    return Net(model)
+
+
+def blobFromImage(image, scalefactor=1.0, size=None, mean=None,
+                  swapRB=False, crop=False, ddepth=None):
+    return blobFromImages([image], scalefactor, size, mean, swapRB, crop,
+                          ddepth)
+
+
+def blobFromImages(images, scalefactor=1.0, size=None, mean=None,
+                   swapRB=False, crop=False, ddepth=None):
+    """cv2.dnn.blobFromImages: (N, C, H, W) float32 blob."""
+    from ..ops.resize import resize as cv_resize
+    from .. import constants as K
+    out = []
+    for img in images:
+        a = np.asarray(img).astype(np.float32)
+        if a.ndim == 2:
+            a = a[..., None]
+        if size is not None and tuple(size):
+            w, h = size
+            if crop:
+                ih, iw = a.shape[:2]
+                s = max(w / iw, h / ih)
+                a = np.asarray(cv_resize(a, (int(round(iw * s)),
+                                             int(round(ih * s))),
+                                         interpolation=K.INTER_LINEAR))
+                y0 = (a.shape[0] - h) // 2
+                x0 = (a.shape[1] - w) // 2
+                a = a[y0:y0 + h, x0:x0 + w]
+            else:
+                a = np.asarray(cv_resize(a, (w, h),
+                                         interpolation=K.INTER_LINEAR))
+        if swapRB and a.shape[-1] >= 3:
+            a = a[..., [2, 1, 0] + list(range(3, a.shape[-1]))]
+        if mean is not None:
+            m = np.asarray(mean, np.float32).reshape(1, 1, -1)
+            a = a - m[..., :a.shape[-1]]
+        a = a * scalefactor
+        out.append(np.transpose(a, (2, 0, 1)))
+    return np.stack(out).astype(np.float32)
