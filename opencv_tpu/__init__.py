@@ -224,6 +224,8 @@ from .video import (
     computeECC,
     DISOpticalFlow,
     DISOpticalFlow_create,
+    TrackerMIL,
+    TrackerMIL_create,
     MOTION_TRANSLATION,
     MOTION_EUCLIDEAN,
     MOTION_AFFINE,

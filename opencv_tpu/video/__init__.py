@@ -16,3 +16,4 @@ from .ecc import (  # noqa: F401
     MOTION_TRANSLATION, MOTION_EUCLIDEAN, MOTION_AFFINE, MOTION_HOMOGRAPHY,
 )
 from .dis import DISOpticalFlow, DISOpticalFlow_create  # noqa: F401
+from .trackers import TrackerMIL, TrackerMIL_create  # noqa: F401

@@ -193,3 +193,36 @@ def test_dis_optical_flow():
     assert np.median(d) < 0.25, np.median(d)
     epe = np.linalg.norm(our_flow[inner] - np.array([dx, dy]), axis=-1)
     assert epe.mean() < 0.5, epe.mean()
+
+
+def test_tracker_mil():
+    rng = np.random.default_rng(0)
+    H, W = 120, 160
+    bg = cv2.GaussianBlur(rng.integers(0, 256, (H, W), np.uint8),
+                          (0, 0), 4)
+    frames, boxes = [], []
+    for t in range(10):
+        f = bg.copy()
+        x, y = 20 + 4 * t, 30 + 2 * t
+        f[y:y + 24, x:x + 30] = 230
+        f[y + 6:y + 18, x + 8:x + 22] = 60
+        frames.append(np.stack([f] * 3, -1))
+        boxes.append((x, y, 30, 24))
+
+    def iou(a, b):
+        x0 = max(a[0], b[0])
+        y0 = max(a[1], b[1])
+        x1 = min(a[0] + a[2], b[0] + b[2])
+        y1 = min(a[1] + a[3], b[1] + b[3])
+        inter = max(0, x1 - x0) * max(0, y1 - y0)
+        return inter / (a[2] * a[3] + b[2] * b[3] - inter)
+
+    tr = tcv.TrackerMIL_create()
+    assert tr.init(frames[0], boxes[0])
+    ious = []
+    for f, gt in zip(frames[1:], boxes[1:]):
+        ok, bb = tr.update(f)
+        assert ok
+        ious.append(iou(bb, gt))
+    # same quality band as the reference tracker on this sequence
+    assert np.mean(ious) > 0.6, np.mean(ious)
