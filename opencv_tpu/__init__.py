@@ -244,6 +244,7 @@ from . import dnn
 from . import gapi
 from .gapi import pipeline, Stream
 from .stitching import Stitcher, Stitcher_create
+from .blenders import MultiBandBlender, FeatherBlender
 from .objdetect import HOGDescriptor, QRCodeDetector
 from .objdetect import aruco
 from . import ml
@@ -259,6 +260,8 @@ from .features2d import (
     SimpleBlobDetector_Params,
     MSER,
     MSER_create,
+    GFTTDetector,
+    GFTTDetector_create,
     ORB,
     ORB_create,
     SIFT,

@@ -8,3 +8,4 @@ from .blob import (  # noqa: F401
     SimpleBlobDetector, SimpleBlobDetector_create, SimpleBlobDetector_Params,
 )
 from .mser import MSER, MSER_create  # noqa: F401
+from .gftt import GFTTDetector, GFTTDetector_create  # noqa: F401

@@ -79,13 +79,23 @@ class Stitcher:
         mask_b = warped_b.sum(axis=-1) > 0 if warped_b.ndim == 3 \
             else warped_b > 0
         both = mask_a & mask_b
-        out = canvas.copy()
-        out[mask_b & ~mask_a] = warped_b[mask_b & ~mask_a]
-        # feather 50/50 in the overlap
-        if both.any():
-            blend = (canvas[both].astype(np.uint16)
-                     + warped_b[both].astype(np.uint16) + 1) // 2
-            out[both] = blend.astype(out.dtype)
+        if not both.any():
+            out = canvas.copy()
+            out[mask_b] = warped_b[mask_b]
+            return out
+        # multiband (Burt-Adelson) blending over the full canvas
+        from .blenders import blend_multiband
+        from .ops.shape import distanceTransform
+        from . import constants as K2
+        da = np.asarray(distanceTransform(
+            (mask_a.astype(np.uint8)) * 255, K2.DIST_L1, 3))
+        db = np.asarray(distanceTransform(
+            (mask_b.astype(np.uint8)) * 255, K2.DIST_L1, 3))
+        wa = np.where(mask_a, np.where(both, (da >= db).astype(np.float32),
+                                       1.0), 0.0)
+        wb = np.where(mask_b, 1.0 - wa, 0.0)
+        out = blend_multiband([canvas, warped_b], [wa, wb], num_bands=4)
+        out[~(mask_a | mask_b)] = 0
         return out
 
 

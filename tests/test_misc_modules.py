@@ -171,3 +171,32 @@ def test_filestorage_yaml_xml_json_cross():
         assert ofs.getNode("count").real() == 42
         assert ofs.getNode("name").string() == "hello"
         assert np.array_equal(ofs.getNode("B").mat(), B)
+
+
+def test_multiband_blender():
+    rng = np.random.default_rng(0)
+    H, W = 100, 140
+    a = np.zeros((H, W, 3), np.uint8)
+    b = np.zeros((H, W, 3), np.uint8)
+    a[:] = (180, 60, 40)
+    b[:] = (40, 80, 200)
+    # seam down the middle with soft weights
+    wa = np.zeros((H, W), np.float32)
+    wb = np.zeros((H, W), np.float32)
+    wa[:, :80] = 1.0
+    wb[:, 60:] = 1.0
+    from opencv_tpu.blenders import blend_multiband
+    out = blend_multiband([a, b], [wa, wb], num_bands=4)
+    assert out.shape == a.shape
+    # pure regions keep their color, the seam transitions smoothly
+    assert np.abs(out[50, 10].astype(int) - a[50, 10].astype(int)).max() <= 2
+    assert np.abs(out[50, 130].astype(int) - b[50, 130].astype(int)).max() <= 2
+    mid = out[50, 60:80, 2].astype(int)
+    assert (np.diff(mid) >= -12).all()  # monotone-ish blue ramp
+    # class surface
+    bl = tcv.MultiBandBlender(num_bands=4)
+    bl.prepare((0, 0, W, H))
+    bl.feed(a, np.full((H, W), 255, np.uint8), (0, 0))
+    bl.feed(b, np.full((H, W), 255, np.uint8), (0, 0))
+    res, mask = bl.blend()
+    assert res.shape == a.shape and mask.shape == (H, W)
