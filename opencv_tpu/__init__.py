@@ -246,6 +246,7 @@ from .gapi import pipeline, Stream
 from .stitching import Stitcher, Stitcher_create
 from .blenders import MultiBandBlender, FeatherBlender
 from .objdetect import HOGDescriptor, QRCodeDetector
+from .objdetect.hog import groupRectangles
 from .objdetect import aruco
 from . import ml
 from .features2d import (

@@ -1,3 +1,3 @@
-from .hog import HOGDescriptor  # noqa: F401
+from .hog import HOGDescriptor, groupRectangles  # noqa: F401
 from . import aruco  # noqa: F401
 from .qrcode import QRCodeDetector  # noqa: F401

@@ -95,3 +95,39 @@ def test_qrcode_detect_and_decode():
                     0, 255).astype(np.uint8)
     out, pts, _ = det.detectAndDecode(noisy)
     assert out == "NOISE TEST 99"
+
+
+def test_hog_people_detection():
+    """HOG detectMultiScale with the bundled INRIA people SVM (the 5.0
+    wheel dropped HOGDescriptor; validated on real people in the
+    reference's sample images)."""
+    import os
+    path = "/root/reference/samples/data/basketball1.png"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference sample data unavailable")
+    img = cv2.imread(path)
+    hog = tcv.HOGDescriptor()
+    assert hog.getDescriptorSize() == 3780
+    det = tcv.HOGDescriptor.getDefaultPeopleDetector()
+    assert len(det) == 3781
+    hog.setSVMDetector(det)
+    rects, weights = hog.detectMultiScale(img, hitThreshold=0.0,
+                                          winStride=(8, 8))
+    assert len(rects) >= 1
+    # detections land on the players (right half of the court view)
+    for (x, y, w, h) in rects:
+        assert 300 < x + w / 2 < 640 and 150 < y + h / 2 < 450, (x, y, w, h)
+    # pure noise: no detections
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, (256, 192, 3), np.uint8)
+    r2, _ = hog.detectMultiScale(noise, hitThreshold=0.0)
+    assert len(r2) == 0
+
+
+def test_group_rectangles():
+    rects = [(10, 10, 50, 100), (12, 11, 50, 100), (9, 10, 52, 98),
+             (200, 50, 40, 80)]
+    out, w = tcv.groupRectangles(rects, 1, 0.2)
+    assert len(out) == 1 and w[0] == 3
+    assert abs(out[0][0] - 10) <= 2
