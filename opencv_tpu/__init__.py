@@ -245,7 +245,7 @@ from . import gapi
 from .gapi import pipeline, Stream
 from .stitching import Stitcher, Stitcher_create
 from .blenders import MultiBandBlender, FeatherBlender
-from .objdetect import HOGDescriptor, QRCodeDetector
+from .objdetect import HOGDescriptor, QRCodeDetector, CascadeClassifier
 from .objdetect.hog import groupRectangles
 from .objdetect import aruco
 from . import ml

@@ -131,3 +131,25 @@ def test_group_rectangles():
     out, w = tcv.groupRectangles(rects, 1, 0.2)
     assert len(out) == 1 and w[0] == 3
     assert abs(out[0][0] - 10) <= 2
+
+
+def test_haar_cascade_face_detection():
+    import os
+    xml = ("/root/reference/data/haarcascades/"
+           "haarcascade_frontalface_default.xml")
+    lena = "/root/reference/samples/data/lena.jpg"
+    if not (os.path.exists(xml) and os.path.exists(lena)):
+        import pytest
+        pytest.skip("reference data unavailable")
+    cc = tcv.CascadeClassifier(xml)
+    assert not cc.empty()
+    img = cv2.imread(lena)
+    faces = cc.detectMultiScale(img, 1.2, 3, minSize=(60, 60))
+    assert len(faces) >= 1
+    # the classic lena face: centered around (290, 290), size ~170
+    centers = [(x + w / 2, y + h / 2) for (x, y, w, h) in faces]
+    assert any(abs(cx - 290) < 60 and abs(cy - 285) < 60
+               for cx, cy in centers), faces
+    # flat image: no faces
+    flat = np.full((200, 200), 128, np.uint8)
+    assert len(cc.detectMultiScale(flat, 1.2, 3)) == 0
