@@ -192,6 +192,9 @@ from .calib3d import (
 )
 from .calib3d import StereoBM, StereoBM_create, StereoSGBM, StereoSGBM_create
 from .calib3d import estimateAffine2D, estimateAffinePartial2D, stereoRectify
+from .calib3d import (
+    findEssentialMat, recoverPose, decomposeHomographyMat, solvePnPRansac,
+)
 from .calib3d import fisheye
 from .calib3d import (
     calibrateCamera, findChessboardCorners, drawChessboardCorners,

@@ -14,6 +14,9 @@ from .geometry import (  # noqa: F401
     RANSAC, LMEDS, FM_8POINT, FM_RANSAC, SOLVEPNP_ITERATIVE,
 )
 from .geometry import estimateAffine2D, estimateAffinePartial2D, stereoRectify  # noqa: F401
+from .geometry import (  # noqa: F401
+    findEssentialMat, recoverPose, decomposeHomographyMat, solvePnPRansac,
+)
 from .stereo import StereoBM, StereoBM_create, StereoSGBM, StereoSGBM_create  # noqa: F401
 from .calibrate import calibrateCamera  # noqa: F401
 from .chessboard import (  # noqa: F401

@@ -688,3 +688,236 @@ def stereoRectify(cameraMatrix1, distCoeffs1, cameraMatrix2, distCoeffs2,
          ((cx1 - cx2) if idx == 0 else (cy1 - cy2)) / t_idx],
     ])
     return R1o, R2o, P1o, P2o, Qo, clip_roi(roi1), clip_roi(roi2)
+
+
+# ------------------------------------------------- two-view geometry
+
+FM_LMEDS = 4
+
+
+def findEssentialMat(points1, points2, cameraMatrix=None, method=RANSAC,
+                     prob=0.999, threshold=1.0, maxIters=1000):
+    """Essential matrix via normalized 8-point + constraint projection
+    inside a RANSAC loop (the reference uses Nister 5-point; on
+    well-conditioned data both converge to the same E up to scale)."""
+    p1 = np.asarray(points1, np.float64).reshape(-1, 2)
+    p2 = np.asarray(points2, np.float64).reshape(-1, 2)
+    K = np.asarray(cameraMatrix, np.float64) if cameraMatrix is not None \
+        else np.eye(3)
+    Kinv = np.linalg.inv(K)
+    n1 = (np.column_stack([p1, np.ones(len(p1))]) @ Kinv.T)[:, :2]
+    n2 = (np.column_stack([p2, np.ones(len(p2))]) @ Kinv.T)[:, :2]
+    n = len(n1)
+
+    def fit(idx):
+        F = _fundamental_8pt(n1[idx], n2[idx])
+        # project onto the essential manifold: equal singular values
+        U, S, Vt = np.linalg.svd(F)
+        s = (S[0] + S[1]) / 2
+        return U @ np.diag([s, s, 0.0]) @ Vt
+
+    def err(E):
+        x1 = np.column_stack([n1, np.ones(n)])
+        x2 = np.column_stack([n2, np.ones(n)])
+        Ex1 = x1 @ E.T
+        Etx2 = x2 @ E
+        x2Ex1 = np.sum(x2 * Ex1, axis=1)
+        # Sampson distance in normalized coords
+        d = x2Ex1 ** 2 / (Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2
+                          + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2 + 1e-12)
+        return d
+
+    thr_n = (threshold / ((K[0, 0] + K[1, 1]) / 2)) ** 2
+    if n < 8:
+        return None, None
+    rng = np.random.default_rng(0)
+    best = None
+    for _ in range(maxIters if method in (RANSAC, LMEDS) else 1):
+        idx = rng.choice(n, 8, replace=False) \
+            if method in (RANSAC, LMEDS) else np.arange(n)
+        try:
+            E = fit(idx)
+        except np.linalg.LinAlgError:
+            continue
+        inl = err(E) < thr_n
+        if best is None or inl.sum() > best[0]:
+            best = (inl.sum(), E, inl)
+        if method not in (RANSAC, LMEDS):
+            break
+    cnt, E, inl = best
+    if cnt >= 8:
+        E = fit(np.nonzero(inl)[0])
+        inl = err(E) < thr_n
+    return E / np.linalg.norm(E), inl.astype(np.uint8).reshape(-1, 1)
+
+
+def _triangulate_cheirality(R, t, n1, n2):
+    """Count points in front of both cameras for candidate (R, t)."""
+    P1 = np.hstack([np.eye(3), np.zeros((3, 1))])
+    P2 = np.hstack([R, t.reshape(3, 1)])
+    good = 0
+    mask = np.zeros(len(n1), bool)
+    for i, (a, b) in enumerate(zip(n1, n2)):
+        A = np.array([
+            a[0] * P1[2] - P1[0],
+            a[1] * P1[2] - P1[1],
+            b[0] * P2[2] - P2[0],
+            b[1] * P2[2] - P2[1],
+        ])
+        _, _, Vt = np.linalg.svd(A)
+        X = Vt[-1]
+        X = X / X[3]
+        z1 = X[2]
+        z2 = (P2 @ X)[2]
+        if z1 > 0 and z2 > 0 and abs(X[2]) < 50:
+            good += 1
+            mask[i] = True
+    return good, mask
+
+
+def recoverPose(E, points1, points2, cameraMatrix=None, mask=None):
+    """cv2.recoverPose: pick the (R, t) with best cheirality.
+    Returns (ngood, R, t, mask)."""
+    p1 = np.asarray(points1, np.float64).reshape(-1, 2)
+    p2 = np.asarray(points2, np.float64).reshape(-1, 2)
+    K = np.asarray(cameraMatrix, np.float64) if cameraMatrix is not None \
+        else np.eye(3)
+    Kinv = np.linalg.inv(K)
+    n1 = (np.column_stack([p1, np.ones(len(p1))]) @ Kinv.T)[:, :2]
+    n2 = (np.column_stack([p2, np.ones(len(p2))]) @ Kinv.T)[:, :2]
+    E = np.asarray(E, np.float64)
+    U, _, Vt = np.linalg.svd(E)
+    if np.linalg.det(U) < 0:
+        U = -U
+    if np.linalg.det(Vt) < 0:
+        Vt = -Vt
+    W = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[:, 2]
+    best = None
+    for R, tt in [(R1, t), (R1, -t), (R2, t), (R2, -t)]:
+        good, m = _triangulate_cheirality(R, tt, n1, n2)
+        if best is None or good > best[0]:
+            best = (good, R, tt, m)
+    good, R, tt, m = best
+    return good, R, tt.reshape(3, 1), m.astype(np.uint8).reshape(-1, 1)
+
+
+def decomposeHomographyMat(H, K):
+    """Homography decomposition H ~ R + t n^T (the role of
+    calib3d/src/homography_decomp.cpp): candidate plane normals from
+    the symmetric matrix S = H^T H - I, then (R, t) per normal by
+    orthogonal-Procrustes iteration; returns (n, Rs, ts, normals)."""
+    K = np.asarray(K, np.float64)
+    Hn = np.linalg.inv(K) @ np.asarray(H, np.float64) @ K
+    _, S, _ = np.linalg.svd(Hn)
+    Hn = Hn / S[1]
+    if np.linalg.det(Hn) < 0:
+        Hn = -Hn
+
+    Ss = Hn.T @ Hn - np.eye(3)
+    if np.abs(Ss).max() < 1e-7:  # pure rotation
+        U, _, Vt = np.linalg.svd(Hn)
+        R = U @ Vt
+        return 1, [R], [np.zeros((3, 1))], [np.zeros((3, 1))]
+
+    def minor(M, row, col):
+        idxr = [i for i in range(3) if i != row]
+        idxc = [i for i in range(3) if i != col]
+        m = M[np.ix_(idxr, idxc)]
+        return -(m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0])
+
+    M00 = minor(Ss, 0, 0)
+    M11 = minor(Ss, 1, 1)
+    M22 = minor(Ss, 2, 2)
+    rt00 = np.sqrt(max(M00, 0))
+    rt11 = np.sqrt(max(M11, 0))
+    rt22 = np.sqrt(max(M22, 0))
+    e01 = 1.0 if minor(Ss, 1, 2) >= 0 else -1.0
+    e02 = 1.0 if minor(Ss, 1, 1) >= 0 else -1.0
+    e12 = 1.0 if minor(Ss, 0, 0) >= 0 else -1.0
+
+    k = int(np.argmax(np.abs(np.diag(Ss))))
+    if k == 0:
+        na = np.array([Ss[0, 0], Ss[0, 1] + rt22, Ss[0, 2] + e12 * rt11])
+        nb = np.array([Ss[0, 0], Ss[0, 1] - rt22, Ss[0, 2] - e12 * rt11])
+    elif k == 1:
+        na = np.array([Ss[0, 1] + rt22, Ss[1, 1], Ss[1, 2] - e02 * rt00])
+        nb = np.array([Ss[0, 1] - rt22, Ss[1, 1], Ss[1, 2] + e02 * rt00])
+    else:
+        na = np.array([Ss[0, 2] + e01 * rt11, Ss[1, 2] + rt00, Ss[2, 2]])
+        nb = np.array([Ss[0, 2] - e01 * rt11, Ss[1, 2] - rt00, Ss[2, 2]])
+
+    Rs, ts, ns = [], [], []
+    for nvec in (na, nb):
+        nn = np.linalg.norm(nvec)
+        if nn < 1e-12:
+            continue
+        for sgn in (1.0, -1.0):
+            nv = sgn * nvec / nn
+            # fixed-point: R from Procrustes of (H - t n^T), t = (H-R) n
+            t = np.zeros(3)
+            R = Hn.copy()
+            for _ in range(100):
+                M = Hn - np.outer(t, nv)
+                U, _, Vt = np.linalg.svd(M)
+                D = np.diag([1, 1, np.linalg.det(U @ Vt)])
+                R = U @ D @ Vt
+                t_new = (Hn - R) @ nv
+                if np.linalg.norm(t_new - t) < 1e-13:
+                    t = t_new
+                    break
+                t = t_new
+            if np.abs(Hn - (R + np.outer(t, nv))).max() < 1e-6:
+                # dedup
+                dup = any(np.abs(R - R0).max() < 1e-8
+                          and np.abs(t.reshape(3, 1) - t0).max() < 1e-8
+                          for R0, t0 in zip(Rs, ts))
+                if not dup:
+                    Rs.append(R)
+                    ts.append(t.reshape(3, 1))
+                    ns.append(nv.reshape(3, 1))
+    if not Rs:
+        U, _, Vt = np.linalg.svd(Hn)
+        R = U @ Vt
+        return 1, [R], [np.zeros((3, 1))], [np.zeros((3, 1))]
+    return len(Rs), Rs, ts, ns
+
+
+def solvePnPRansac(objectPoints, imagePoints, cameraMatrix, distCoeffs,
+                   rvec=None, tvec=None, useExtrinsicGuess=False,
+                   iterationsCount=100, reprojectionError=8.0,
+                   confidence=0.99, inliers=None, flags=SOLVEPNP_ITERATIVE):
+    """cv2.solvePnPRansac: returns (retval, rvec, tvec, inliers)."""
+    obj = np.asarray(objectPoints, np.float64).reshape(-1, 3)
+    img = np.asarray(imagePoints, np.float64).reshape(-1, 2)
+    n = len(obj)
+    if n < 4:
+        return False, None, None, None
+    rng = np.random.default_rng(0)
+
+    def reproj(rv, tv):
+        proj, _ = projectPoints(obj, rv, tv, cameraMatrix, distCoeffs)
+        return np.linalg.norm(np.asarray(proj).reshape(-1, 2) - img,
+                              axis=1)
+
+    best = None
+    for _ in range(iterationsCount):
+        idx = rng.choice(n, min(6, n), replace=False)
+        ok, rv, tv = solvePnP(obj[idx], img[idx], cameraMatrix,
+                              distCoeffs)
+        if not ok:
+            continue
+        e = reproj(rv, tv)
+        inl = e < reprojectionError
+        if best is None or inl.sum() > best[0]:
+            best = (inl.sum(), rv, tv, inl)
+    if best is None or best[0] < 4:
+        return False, None, None, None
+    _, rv, tv, inl = best
+    ok, rv, tv = solvePnP(obj[inl], img[inl], cameraMatrix, distCoeffs,
+                          rvec=rv, tvec=tv, useExtrinsicGuess=True)
+    e = reproj(rv, tv)
+    inl = e < reprojectionError
+    return True, rv, tv, np.nonzero(inl)[0].reshape(-1, 1).astype(np.int32)

@@ -305,3 +305,41 @@ def test_fisheye_model_matches_cv2():
     Kn_o = tcv.fisheye.estimateNewCameraMatrixForUndistortRectify(
         K, D, (640, 480), np.eye(3), balance=0.3)
     np.testing.assert_allclose(Kn_o, Kn_r, atol=1e-9)
+
+
+def test_two_view_geometry():
+    rng = np.random.default_rng(0)
+    K = np.array([[600., 0, 320], [0, 600, 240], [0, 0, 1]])
+    R_gt, _ = cv2.Rodrigues(np.array([0.05, -0.15, 0.03]))
+    t_gt = np.array([0.3, -0.1, 0.05])
+    t_gt /= np.linalg.norm(t_gt)
+    pts3 = rng.uniform(-1, 1, (60, 3)) + [0, 0, 4]
+    p1 = pts3 @ K.T
+    p1 = p1[:, :2] / p1[:, 2:3]
+    pc2 = pts3 @ R_gt.T + t_gt
+    p2 = pc2 @ K.T
+    p2 = p2[:, :2] / p2[:, 2:3]
+    p1 += rng.normal(0, 0.3, p1.shape)
+    p2 += rng.normal(0, 0.3, p2.shape)
+
+    E_o, m_o = tcv.findEssentialMat(p1, p2, K, tcv.RANSAC, 0.999, 1.0)
+    assert m_o.sum() > 50
+    n_o, R_o, t_o, _ = tcv.recoverPose(E_o, p1, p2, K)
+    assert np.abs(R_o - R_gt).max() < 0.02
+    assert np.abs(np.abs(t_o.ravel()) - np.abs(t_gt)).max() < 0.05
+
+    n_gt = np.array([0.1, -0.2, 0.97])
+    n_gt /= np.linalg.norm(n_gt)
+    H_gt = K @ (R_gt + np.outer(t_gt, n_gt) / 3.0) @ np.linalg.inv(K)
+    nr, Rs_r, ts_r, _ = cv2.decomposeHomographyMat(H_gt, K)
+    no, Rs_o, ts_o, _ = tcv.decomposeHomographyMat(H_gt, K)
+    assert no == nr == 4
+    assert min(np.abs(np.asarray(R) - R_gt).max() for R in Rs_o) < 1e-6
+
+    imgp = p1.copy()
+    imgp[::6] += 40  # outliers
+    okr, rv_r, tv_r, in_r = cv2.solvePnPRansac(pts3, imgp, K, np.zeros(5))
+    oko, rv_o, tv_o, in_o = tcv.solvePnPRansac(pts3, imgp, K, np.zeros(5))
+    assert oko and len(in_o) == len(in_r)
+    np.testing.assert_allclose(np.asarray(rv_o).ravel(),
+                               np.asarray(rv_r).ravel(), atol=1e-3)
