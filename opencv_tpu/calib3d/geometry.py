@@ -710,11 +710,13 @@ def findEssentialMat(points1, points2, cameraMatrix=None, method=RANSAC,
     n = len(n1)
 
     def fit(idx):
+        """Returns (F rank-2 for gating, E projected onto the
+        essential manifold).  Gating uses F: the equal-singular-value
+        projection perturbs residuals far above the noise floor."""
         F = _fundamental_8pt(n1[idx], n2[idx])
-        # project onto the essential manifold: equal singular values
         U, S, Vt = np.linalg.svd(F)
         s = (S[0] + S[1]) / 2
-        return U @ np.diag([s, s, 0.0]) @ Vt
+        return F, U @ np.diag([s, s, 0.0]) @ Vt
 
     def err(E):
         x1 = np.column_stack([n1, np.ones(n)])
@@ -732,22 +734,27 @@ def findEssentialMat(points1, points2, cameraMatrix=None, method=RANSAC,
         return None, None
     rng = np.random.default_rng(0)
     best = None
+    # over-determined samples stabilize the 8-point minimal stage
+    ssize = min(max(8, n // 4), 15, n)
     for _ in range(maxIters if method in (RANSAC, LMEDS) else 1):
-        idx = rng.choice(n, 8, replace=False) \
+        idx = rng.choice(n, ssize, replace=False) \
             if method in (RANSAC, LMEDS) else np.arange(n)
         try:
-            E = fit(idx)
+            F, E = fit(idx)
         except np.linalg.LinAlgError:
             continue
-        inl = err(E) < thr_n
+        inl = err(F) < thr_n
         if best is None or inl.sum() > best[0]:
-            best = (inl.sum(), E, inl)
+            best = (inl.sum(), F, E, inl)
         if method not in (RANSAC, LMEDS):
             break
-    cnt, E, inl = best
-    if cnt >= 8:
-        E = fit(np.nonzero(inl)[0])
-        inl = err(E) < thr_n
+    cnt, F, E, inl = best
+    # iterated least-squares refit on the inlier set
+    for _ in range(3):
+        if inl.sum() < 8:
+            break
+        F, E = fit(np.nonzero(inl)[0])
+        inl = err(F) < thr_n
     return E / np.linalg.norm(E), inl.astype(np.uint8).reshape(-1, 1)
 
 
