@@ -197,7 +197,8 @@ from .calib3d import (
 )
 from .calib3d import fisheye
 from .calib3d import (
-    calibrateCamera, findChessboardCorners, drawChessboardCorners,
+    calibrateCamera, stereoCalibrate, findChessboardCorners,
+    drawChessboardCorners,
     cornerSubPix, CALIB_CB_ADAPTIVE_THRESH, CALIB_CB_NORMALIZE_IMAGE,
     CALIB_CB_FAST_CHECK,
 )

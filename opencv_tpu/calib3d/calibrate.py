@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from .geometry import findHomography, Rodrigues
 
-__all__ = ["calibrateCamera", "stereoCalibrate_stub"]
+__all__ = ["calibrateCamera", "stereoCalibrate"]
 
 
 def _rodrigues_jnp(r):
@@ -182,5 +182,147 @@ def calibrateCamera(objectPoints, imagePoints, imageSize, cameraMatrix=None,
     return rms, K, dist, rv_out, tv_out
 
 
-def stereoCalibrate_stub(*a, **k):
-    raise NotImplementedError("stereoCalibrate lands in a later round")
+def _params_views(params, i):
+    rv = jax.lax.dynamic_slice(params, (6 + 6 * i,), (3,))
+    tv = jax.lax.dynamic_slice(params, (9 + 6 * i,), (3,))
+    return rv, tv
+
+
+def _project_fixedK(K, dist, rv, tv, obj):
+    R = _rodrigues_jnp(rv)
+    X = obj @ R.T + tv
+    x = X[:, 0] / X[:, 2]
+    y = X[:, 1] / X[:, 2]
+    k1, k2, p1, p2, k3 = dist
+    r2 = x * x + y * y
+    radial = 1 + k1 * r2 + k2 * r2 * r2 + k3 * r2 ** 3
+    xt = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    yt = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    return jnp.stack([K[0, 0] * xt + K[0, 2], K[1, 1] * yt + K[1, 2]],
+                     axis=-1)
+
+
+def _compose_jnp(rv1, tv1, rv2, tv2):
+    """Pose composition: (R2 R1, R2 t1 + t2) as jnp."""
+    R1 = _rodrigues_jnp(rv1)
+    R2 = _rodrigues_jnp(rv2)
+    R = R2 @ R1
+    t = R2 @ tv1 + tv2
+    # rotation matrix -> vector (jnp-safe, away from theta=0/pi handled
+    # by the optimizer staying near the init)
+    tr = jnp.clip((jnp.trace(R) - 1) / 2, -1 + 1e-9, 1 - 1e-9)
+    theta = jnp.arccos(tr)
+    axis = jnp.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                      R[1, 0] - R[0, 1]])
+    axis = axis / (2 * jnp.sin(theta) + 1e-12)
+    return axis * theta, t
+
+
+def stereoCalibrate(objectPoints, imagePoints1, imagePoints2,
+                    cameraMatrix1, distCoeffs1, cameraMatrix2, distCoeffs2,
+                    imageSize, R=None, T=None, flags=256,
+                    criteria=(3, 100, 1e-10)):
+    """cv2.stereoCalibrate with CALIB_FIX_INTRINSIC (the default):
+    optimize the inter-camera pose + per-view poses by LM with
+    jax.jacfwd Jacobians.  Returns (rms, K1, d1, K2, d2, R, T, E, F)."""
+    objs = [np.asarray(o, np.float64).reshape(-1, 3) for o in objectPoints]
+    img1 = [np.asarray(p, np.float64).reshape(-1, 2) for p in imagePoints1]
+    img2 = [np.asarray(p, np.float64).reshape(-1, 2) for p in imagePoints2]
+    K1 = np.asarray(cameraMatrix1, np.float64)
+    K2 = np.asarray(cameraMatrix2, np.float64)
+    d1 = np.pad(np.asarray(distCoeffs1, np.float64).ravel(), (0, 5))[:5]
+    d2 = np.pad(np.asarray(distCoeffs2, np.float64).ravel(), (0, 5))[:5]
+    nviews = len(objs)
+
+    # init: per-view poses from PnP on cam1; (R, T) from the median
+    # relative pose cam1 -> cam2
+    from .geometry import solvePnP, Rodrigues
+    view_params = []
+    rel_rs = []
+    rel_ts = []
+    for o, pa, pb in zip(objs, img1, img2):
+        _, rv1, tv1 = solvePnP(o, pa, K1, d1)
+        _, rv2, tv2 = solvePnP(o, pb, K2, d2)
+        rv1 = np.asarray(rv1).ravel()
+        tv1 = np.asarray(tv1).ravel()
+        rv2 = np.asarray(rv2).ravel()
+        tv2 = np.asarray(tv2).ravel()
+        view_params.extend([*rv1, *tv1])
+        R1m, _ = Rodrigues(rv1)
+        R2m, _ = Rodrigues(rv2)
+        Rrel = R2m @ R1m.T
+        trel = tv2 - Rrel @ tv1
+        rr, _ = Rodrigues(Rrel)
+        rel_rs.append(np.asarray(rr).ravel())
+        rel_ts.append(trel)
+    rel_r = np.median(rel_rs, axis=0)
+    rel_t = np.median(rel_ts, axis=0)
+
+    params = jnp.asarray(np.concatenate([[*rel_r, *rel_t], view_params]))
+    objd = [jnp.asarray(o) for o in objs]
+    t1d = [jnp.asarray(p) for p in img1]
+    t2d = [jnp.asarray(p) for p in img2]
+    K1j = jnp.asarray(K1)
+    K2j = jnp.asarray(K2)
+    d1j = jnp.asarray(d1)
+    d2j = jnp.asarray(d2)
+
+    def residual(p):
+        rr = p[:3]
+        tt = p[3:6]
+        outs = []
+        for i in range(nviews):
+            rv, tv = _params_views(p, i)
+            outs.append((_project_fixedK(K1j, d1j, rv, tv, objd[i])
+                         - t1d[i]).ravel())
+            rv2, tv2 = _compose_jnp(rv, tv, rr, tt)
+            outs.append((_project_fixedK(K2j, d2j, rv2, tv2, objd[i])
+                         - t2d[i]).ravel())
+        return jnp.concatenate(outs)
+
+    res_fn = jax.jit(residual)
+    jac_fn = jax.jit(jax.jacfwd(residual))
+    lam = 1e-3
+    r = np.asarray(res_fn(params))
+    cost = float(r @ r)
+    for _ in range(int(criteria[1]) if len(criteria) > 1 else 100):
+        J = np.asarray(jac_fn(params))
+        JtJ = J.T @ J
+        g = J.T @ r
+        improved = 0.0
+        for _ in range(10):
+            try:
+                step = np.linalg.solve(
+                    JtJ + lam * np.diag(np.diag(JtJ) + 1e-12), g)
+            except np.linalg.LinAlgError:
+                lam *= 10
+                continue
+            cand = params - jnp.asarray(step)
+            rc = np.asarray(res_fn(cand))
+            cc = float(rc @ rc)
+            if cc < cost:
+                params = cand
+                r = rc
+                lam = max(lam * 0.3, 1e-12)
+                improved = cost - cc
+                cost = cc
+                break
+            lam *= 10
+        else:
+            break
+        if improved < 1e-12 * max(cost, 1.0):
+            break
+
+    p = np.asarray(params)
+    Rm, _ = Rodrigues(p[:3])
+    Tm = p[3:6].reshape(3, 1)
+    tx = np.array([[0, -Tm[2, 0], Tm[1, 0]],
+                   [Tm[2, 0], 0, -Tm[0, 0]],
+                   [-Tm[1, 0], Tm[0, 0], 0]])
+    E = tx @ Rm
+    F = np.linalg.inv(K2).T @ E @ np.linalg.inv(K1)
+    if abs(F[2, 2]) > 1e-12:
+        F = F / F[2, 2]
+    npts = 2 * sum(len(o) for o in objs)
+    rms = float(np.sqrt(cost / npts))
+    return rms, K1, d1.reshape(1, 5), K2, d2.reshape(1, 5), Rm, Tm, E, F

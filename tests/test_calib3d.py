@@ -343,3 +343,38 @@ def test_two_view_geometry():
     assert oko and len(in_o) == len(in_r)
     np.testing.assert_allclose(np.asarray(rv_o).ravel(),
                                np.asarray(rv_r).ravel(), atol=1e-3)
+
+
+def test_stereo_calibrate_matches_cv2():
+    rng = np.random.default_rng(0)
+    K1 = np.array([[700., 0, 320], [0, 690, 240], [0, 0, 1]])
+    K2 = np.array([[710., 0, 315], [0, 705, 245], [0, 0, 1]])
+    d1 = np.array([0.05, -0.1, 0.001, 0.001, 0.0])
+    d2 = np.array([-0.02, 0.05, -0.001, 0.002, 0.0])
+    R_gt, _ = cv2.Rodrigues(np.array([0.02, 0.25, -0.01]))
+    T_gt = np.array([-0.2, 0.01, 0.02])
+    obj = np.array([[x, y, 0.0] for y in range(6) for x in range(8)],
+                   np.float32) * 0.04
+    objpts, i1, i2 = [], [], []
+    for k in range(8):
+        rv = rng.normal(0, 0.3, 3)
+        tv = np.array([rng.normal(0, 0.1), rng.normal(0, 0.1),
+                       0.7 + 0.1 * k])
+        p1, _ = cv2.projectPoints(obj, rv, tv, K1, d1)
+        Rv, _ = cv2.Rodrigues(rv)
+        rv2, _ = cv2.Rodrigues(R_gt @ Rv)
+        p2, _ = cv2.projectPoints(obj, rv2, R_gt @ tv + T_gt, K2, d2)
+        objpts.append(obj)
+        i1.append((p1.reshape(-1, 2)
+                   + rng.normal(0, 0.15, (len(obj), 2))).astype(np.float32))
+        i2.append((p2.reshape(-1, 2)
+                   + rng.normal(0, 0.15, (len(obj), 2))).astype(np.float32))
+    ret = cv2.stereoCalibrate(objpts, i1, i2, K1, d1, K2, d2, (640, 480),
+                              flags=cv2.CALIB_FIX_INTRINSIC)
+    rms_r, _, _, _, _, R_r, T_r, E_r, F_r = ret
+    rms_o, _, _, _, _, R_o, T_o, E_o, F_o = tcv.stereoCalibrate(
+        objpts, i1, i2, K1, d1, K2, d2, (640, 480))
+    assert abs(rms_o - rms_r) < 1e-3
+    np.testing.assert_allclose(R_o, R_r, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(T_o).ravel(),
+                               np.asarray(T_r).ravel(), atol=1e-4)
