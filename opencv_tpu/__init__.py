@@ -133,6 +133,13 @@ from .ops.segmentation import (
     FLOODFILL_MASK_ONLY,
 )
 from .ops.emd import EMD
+from . import ops as _ops_pkg
+from .ops import scissors as _scissors
+
+
+class segmentation:  # cv2.segmentation namespace
+    IntelligentScissorsMB = _scissors.IntelligentScissorsMB
+
 from .ops.lsd import (
     createLineSegmentDetector, LineSegmentDetector,
     LSD_REFINE_NONE, LSD_REFINE_STD, LSD_REFINE_ADV,

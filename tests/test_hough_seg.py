@@ -150,3 +150,28 @@ def test_lsd_matches_cv2_structure():
     flat = np.full((64, 64), 100, np.uint8)
     none_lines, _, _, _ = tcv.createLineSegmentDetector().detect(flat)
     assert none_lines is None
+
+
+def test_intelligent_scissors():
+    img = np.zeros((80, 100), np.uint8)
+    cv2.circle(img, (50, 40), 25, 255, 3)
+    ref = cv2.segmentation.IntelligentScissorsMB()
+    ref.setEdgeFeatureCannyParameters(32, 100)
+    ref.setGradientMagnitudeMaxLimit(200)
+    ref.applyImage(img)
+    ref.buildMap((25, 40))
+    c_ref = ref.getContour((75, 40)).reshape(-1, 2)
+
+    ours = tcv.segmentation.IntelligentScissorsMB()
+    ours.setEdgeFeatureCannyParameters(32, 100)
+    ours.setGradientMagnitudeMaxLimit(200)
+    ours.applyImage(img)
+    ours.buildMap((25, 40))
+    c_our = ours.getContour((75, 40)).reshape(-1, 2)
+    # both live-wires hug the circle; paths agree within ~1px
+    def mean_min_dist(a, b):
+        d = np.linalg.norm(a[:, None] - b[None], axis=-1)
+        return d.min(axis=1).mean()
+    assert mean_min_dist(c_our, c_ref) < 0.5
+    assert mean_min_dist(c_ref, c_our) < 0.5
+    assert tuple(c_our[0]) == (25, 40) and tuple(c_our[-1]) == (75, 40)
