@@ -112,7 +112,7 @@ from .ops.shape import (
     connectedComponentsWithStats,
     distanceTransform,
 )
-from .ops.hough import HoughLines, HoughLinesP, HoughCircles
+from .ops.hough import HoughLines, HoughLinesP, HoughCircles, HoughLinesPointSet
 from .ops.misc import (
     getRectSubPix,
     matchShapes,

@@ -175,3 +175,31 @@ def HoughCircles(image, method: int, dp: float, minDist: float,
     if not centers:
         return None
     return np.asarray(centers, np.float32).reshape(1, -1, 3)
+
+
+def HoughLinesPointSet(point, lines_max, threshold, min_rho, max_rho,
+                       rho_step, min_theta, max_theta, theta_step):
+    """cv2.HoughLinesPointSet (hough.cpp): vote a (rho, theta) grid from
+    a 2-D point set; returns (N, 1, 3) [votes, rho, theta] sorted by
+    votes descending."""
+    pts = np.asarray(point, np.float64).reshape(-1, 2)
+    thetas = np.arange(min_theta, max_theta, theta_step)
+    nrho = int(round((max_rho - min_rho) / rho_step)) + 1
+    rho = pts[:, 0:1] * np.cos(thetas)[None, :] \
+        + pts[:, 1:2] * np.sin(thetas)[None, :]
+    ri = np.round((rho - min_rho) / rho_step).astype(int)
+    valid = (ri >= 0) & (ri < nrho)
+    acc = np.zeros((nrho, len(thetas)), np.int64)
+    ti = np.broadcast_to(np.arange(len(thetas))[None, :], ri.shape)
+    np.add.at(acc, (ri[valid], ti[valid]), 1)
+    flat = acc.ravel()
+    order = np.argsort(-flat, kind="stable")
+    out = []
+    for k in order[:max(lines_max, 0)]:
+        v = flat[k]
+        if v < threshold:
+            break
+        r_i, t_i = divmod(k, len(thetas))
+        out.append([float(v), min_rho + r_i * rho_step,
+                    min_theta + t_i * theta_step])
+    return np.asarray(out, np.float32).reshape(-1, 1, 3)

@@ -175,3 +175,16 @@ def test_intelligent_scissors():
     assert mean_min_dist(c_our, c_ref) < 0.5
     assert mean_min_dist(c_ref, c_our) < 0.5
     assert tuple(c_our[0]) == (25, 40) and tuple(c_our[-1]) == (75, 40)
+
+
+def test_hough_lines_point_set():
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 1, 40)
+    pts = np.stack([10 + 80 * t, 20 + 40 * t], -1) \
+        + rng.normal(0, 0.3, (40, 2))
+    pts32 = pts.astype(np.float32).reshape(-1, 1, 2)
+    args = (5, 1, 0.0, 150.0, 1.0, 0.0, np.pi, np.pi / 180)
+    ref = cv2.HoughLinesPointSet(pts32, *args).reshape(-1, 3)
+    ours = tcv.HoughLinesPointSet(pts32, *args).reshape(-1, 3)
+    # top line identical (votes, rho, theta)
+    np.testing.assert_allclose(ours[0], ref[0], atol=1e-5)
