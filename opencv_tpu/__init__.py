@@ -252,6 +252,7 @@ from .highgui import (
     destroyAllWindows, WINDOW_NORMAL, WINDOW_AUTOSIZE,
 )
 from . import dnn
+from . import videostab
 from . import gapi
 from .gapi import pipeline, Stream
 from .stitching import Stitcher, Stitcher_create

@@ -226,3 +226,28 @@ def test_tracker_mil():
         ious.append(iou(bb, gt))
     # same quality band as the reference tracker on this sequence
     assert np.mean(ious) > 0.6, np.mean(ious)
+
+
+def test_videostab_one_pass():
+    rng = np.random.default_rng(0)
+    base = cv2.GaussianBlur(rng.integers(0, 256, (160, 200), np.uint8),
+                            (0, 0), 2)
+    frames = []
+    for i in range(14):
+        dx = 1.5 * i + rng.normal(0, 2.5)
+        dy = rng.normal(0, 2.5)
+        M = np.float32([[1, 0, dx], [0, 1, dy]])
+        frames.append(cv2.warpAffine(base, M, (200, 160),
+                                     borderMode=cv2.BORDER_REPLICATE))
+    out = tcv.videostab.OnePassStabilizer(radius=5).stabilize(frames)
+
+    def jitter_std(seq):
+        js = []
+        for a, b in zip(seq[:-1], seq[1:]):
+            s, _ = cv2.phaseCorrelate(
+                a[20:-20, 20:-20].astype(np.float32),
+                b[20:-20, 20:-20].astype(np.float32))
+            js.append(np.hypot(s[0], s[1]))
+        return np.std(js)
+
+    assert jitter_std(out) < jitter_std(frames) / 2.5
