@@ -275,6 +275,8 @@ from .features2d import (
     MSER_create,
     GFTTDetector,
     GFTTDetector_create,
+    BRISK,
+    BRISK_create,
     ORB,
     ORB_create,
     SIFT,

@@ -9,3 +9,4 @@ from .blob import (  # noqa: F401
 )
 from .mser import MSER, MSER_create  # noqa: F401
 from .gftt import GFTTDetector, GFTTDetector_create  # noqa: F401
+from .brisk import BRISK, BRISK_create  # noqa: F401

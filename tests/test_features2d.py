@@ -206,3 +206,28 @@ def test_mser_ground_truth():
     # flat image -> nothing
     assert not tcv.MSER_create().detectRegions(
         np.full((64, 64), 128, np.uint8))[0]
+
+
+def test_brisk_rotation_matching():
+    """BRISK (no oracle in the 5.0 wheel): descriptors must match
+    consistently across a 30-degree rotation."""
+    rng = np.random.default_rng(0)
+    img = (cv2.GaussianBlur(rng.random((160, 220)).astype(np.float32),
+                            (0, 0), 1.2) * 255).astype(np.uint8)
+    M = cv2.getRotationMatrix2D((110, 80), 30, 1.0)
+    rot = cv2.warpAffine(img, M, (220, 160))
+    b = tcv.BRISK_create(thresh=25, octaves=2)
+    k1, d1 = b.detectAndCompute(img)
+    k2, d2 = b.detectAndCompute(rot)
+    assert len(k1) > 50 and len(k2) > 50
+    assert d1.shape[1] == b.descriptorSize() == 64
+    bf = tcv.BFMatcher(6, crossCheck=True)
+    matches = bf.match(d1, d2)
+    good = 0
+    for m in matches:
+        p1 = np.array(k1[m.queryIdx].pt)
+        p2 = np.array(k2[m.trainIdx].pt)
+        pred = M[:, :2] @ p1 + M[:, 2]
+        good += np.hypot(*(pred - p2)) < 4
+    assert len(matches) > 30
+    assert good / len(matches) > 0.6, good / len(matches)
