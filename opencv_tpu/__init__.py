@@ -35,6 +35,9 @@ from .ops.resize import resize
 from .ops.warp import (
     warpAffine,
     warpPerspective,
+    warpPolar,
+    WARP_POLAR_LINEAR,
+    WARP_POLAR_LOG,
     remap,
     invertAffineTransform,
     getRotationMatrix2D,
@@ -201,6 +204,10 @@ from .calib3d import StereoBM, StereoBM_create, StereoSGBM, StereoSGBM_create
 from .calib3d import estimateAffine2D, estimateAffinePartial2D, stereoRectify
 from .calib3d import (
     findEssentialMat, recoverPose, decomposeHomographyMat, solvePnPRansac,
+)
+from .calib3d.geometry import (
+    convertPointsToHomogeneous, convertPointsFromHomogeneous,
+    sampsonDistance, estimateAffine3D, estimateTranslation3D,
 )
 from .calib3d import fisheye
 from .calib3d import (

@@ -928,3 +928,91 @@ def solvePnPRansac(objectPoints, imagePoints, cameraMatrix, distCoeffs,
     e = reproj(rv, tv)
     inl = e < reprojectionError
     return True, rv, tv, np.nonzero(inl)[0].reshape(-1, 1).astype(np.int32)
+
+
+def convertPointsToHomogeneous(src):
+    p = np.asarray(src, np.float64)
+    flat = p.reshape(-1, p.shape[-1])
+    out = np.concatenate([flat, np.ones((len(flat), 1))], axis=1)
+    return out.reshape(-1, 1, p.shape[-1] + 1).astype(np.float32 if
+        np.asarray(src).dtype == np.float32 else np.float64)
+
+
+def convertPointsFromHomogeneous(src):
+    p = np.asarray(src, np.float64)
+    flat = p.reshape(-1, p.shape[-1])
+    w = flat[:, -1:]
+    w = np.where(np.abs(w) > 1e-12, w, 1.0)
+    out = flat[:, :-1] / w
+    return out.reshape(-1, 1, p.shape[-1] - 1).astype(np.float32 if
+        np.asarray(src).dtype == np.float32 else np.float64)
+
+
+def sampsonDistance(pt1, pt2, F):
+    x1 = np.asarray(pt1, np.float64).ravel()
+    x2 = np.asarray(pt2, np.float64).ravel()
+    F = np.asarray(F, np.float64)
+    Fx1 = F @ x1
+    Ftx2 = F.T @ x2
+    v = x2 @ F @ x1
+    return float(v * v / (Fx1[0] ** 2 + Fx1[1] ** 2
+                          + Ftx2[0] ** 2 + Ftx2[1] ** 2))
+
+
+def estimateAffine3D(src, dst, ransacThreshold=3.0, confidence=0.99):
+    """cv2.estimateAffine3D: 3D affine via RANSAC + LSQ.
+    Returns (retval, (3,4) f64, inliers)."""
+    a = np.asarray(src, np.float64).reshape(-1, 3)
+    b = np.asarray(dst, np.float64).reshape(-1, 3)
+    n = len(a)
+
+    def fit(idx):
+        A = np.concatenate([a[idx], np.ones((len(idx), 1))], axis=1)
+        sol, *_ = np.linalg.lstsq(A, b[idx], rcond=None)
+        return sol.T          # (3, 4)
+
+    def errs(M):
+        pred = a @ M[:, :3].T + M[:, 3]
+        return np.linalg.norm(pred - b, axis=1)
+
+    if n < 4:
+        return 0, None, None
+    rng = np.random.default_rng(0)
+    best = None
+    for _ in range(200):
+        idx = rng.choice(n, 4, replace=False)
+        try:
+            M = fit(idx)
+        except np.linalg.LinAlgError:
+            continue
+        inl = errs(M) <= ransacThreshold
+        if best is None or inl.sum() > best[0]:
+            best = (inl.sum(), inl)
+    cnt, inl = best
+    if cnt < 4:
+        return 0, None, np.zeros((n, 1), np.uint8)
+    M = fit(np.nonzero(inl)[0])
+    inl = errs(M) <= ransacThreshold
+    M = fit(np.nonzero(inl)[0])
+    return 1, M, inl.astype(np.uint8).reshape(-1, 1)
+
+
+def estimateTranslation3D(src, dst, ransacThreshold=3.0, confidence=0.99):
+    a = np.asarray(src, np.float64).reshape(-1, 3)
+    b = np.asarray(dst, np.float64).reshape(-1, 3)
+    n = len(a)
+    if n < 1:
+        return 0, None, None
+    rng = np.random.default_rng(0)
+    best = None
+    for _ in range(200):
+        idx = rng.choice(n, 1)
+        t = (b[idx] - a[idx]).ravel()
+        inl = np.linalg.norm(a + t - b, axis=1) <= ransacThreshold
+        if best is None or inl.sum() > best[0]:
+            best = (inl.sum(), inl)
+    _, inl = best
+    t = (b[inl] - a[inl]).mean(axis=0)
+    inl = np.linalg.norm(a + t - b, axis=1) <= ransacThreshold
+    t = (b[inl] - a[inl]).mean(axis=0)
+    return 1, t.reshape(3, 1), inl.astype(np.uint8).reshape(-1, 1)

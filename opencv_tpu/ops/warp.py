@@ -442,3 +442,58 @@ def remap(src, map1, map2=None, interpolation: int = K.INTER_LINEAR,
 
     y = _remap_linear_float(x, mapx, mapy, borderMode, borderValue)
     return from_batched(y, meta)
+
+
+WARP_POLAR_LINEAR = 0
+WARP_POLAR_LOG = 256
+
+
+def warpPolar(src, dsize, center, maxRadius, flags):
+    """cv2.warpPolar (imgproc/src/imgwarp.cpp warpPolar): remap into
+    polar (or semilog) space; WARP_INVERSE_MAP maps back."""
+    import numpy as _np
+    img = _np.asarray(src)
+    H, W = img.shape[:2]
+    dw, dh = dsize
+    if dw <= 0 or dh <= 0:
+        dw = int(round(maxRadius))
+        dh = int(round(maxRadius * _np.pi))
+        dsize = (dw, dh)
+    semilog = bool(flags & WARP_POLAR_LOG)
+    inverse = bool(flags & K.WARP_INVERSE_MAP)
+    interp = flags & 0xF
+
+    if not inverse:
+        rhos, phis = _np.meshgrid(_np.arange(dw, dtype=_np.float64),
+                                  _np.arange(dh, dtype=_np.float64))
+        angle = phis * (2 * _np.pi / dh)
+        if semilog:
+            kmag = _np.log(maxRadius) / dw
+            mag = _np.exp(rhos * kmag) - 1.0
+        else:
+            mag = rhos * (maxRadius / dw)
+        mapx = (center[0] + mag * _np.cos(angle)).astype(_np.float32)
+        mapy = (center[1] + mag * _np.sin(angle)).astype(_np.float32)
+        return remap(src, mapx, mapy, interp,
+                     borderMode=K.BORDER_CONSTANT)
+    # inverse: the input is the POLAR image; dsize is the output size.
+    # wrap one angle row top/bottom like the reference (ANGLE_BORDER)
+    pw = img.shape[1]
+    ph = img.shape[0]
+    wrapped = _np.concatenate([img[-1:], img, img[:1]], axis=0)
+    out_h, out_w = dsize[1], dsize[0]
+    xs2, ys2 = _np.meshgrid(_np.arange(out_w, dtype=_np.float64),
+                            _np.arange(out_h, dtype=_np.float64))
+    dx = xs2 - center[0]
+    dy = ys2 - center[1]
+    mag = _np.hypot(dx, dy)
+    angle = _np.arctan2(dy, dx) % (2 * _np.pi)
+    if semilog:
+        kmag = _np.log(maxRadius) / pw
+        rho = _np.log(mag + 1.0) / kmag
+    else:
+        rho = mag * (pw / maxRadius)
+    phi = angle * (ph / (2 * _np.pi)) + 1.0
+    return remap(wrapped, rho.astype(_np.float32),
+                 phi.astype(_np.float32), interp,
+                 borderMode=K.BORDER_CONSTANT)

@@ -378,3 +378,33 @@ def test_stereo_calibrate_matches_cv2():
     np.testing.assert_allclose(R_o, R_r, atol=1e-4)
     np.testing.assert_allclose(np.asarray(T_o).ravel(),
                                np.asarray(T_r).ravel(), atol=1e-4)
+
+
+def test_points_3d_estimators_and_misc():
+    rng = np.random.default_rng(0)
+    p = rng.random((10, 2)).astype(np.float32)
+    np.testing.assert_allclose(tcv.convertPointsToHomogeneous(p),
+                               cv2.convertPointsToHomogeneous(p), atol=1e-6)
+    h = rng.random((10, 3)).astype(np.float32) + 0.5
+    np.testing.assert_allclose(tcv.convertPointsFromHomogeneous(h),
+                               cv2.convertPointsFromHomogeneous(h),
+                               atol=1e-5)
+    a = rng.random((30, 3)) * 10
+    Mgt = np.hstack([cv2.Rodrigues(np.array([0.1, 0.2, -0.1]))[0] * 1.2,
+                     [[1], [2], [-0.5]]])
+    b = a @ Mgt[:, :3].T + Mgt[:, 3]
+    b[::7] += 20
+    r_ref, M_ref, in_ref = cv2.estimateAffine3D(a, b)
+    r_our, M_our, in_our = tcv.estimateAffine3D(a, b)
+    np.testing.assert_allclose(M_our, M_ref, atol=1e-5)
+    assert int(in_our.sum()) == int(np.asarray(in_ref).sum())
+    r, t, inl = tcv.estimateTranslation3D(a, a + [1, -2, 3])
+    np.testing.assert_allclose(t.ravel(), [1, -2, 3], atol=1e-9)
+    F = np.asarray(cv2.findFundamentalMat(
+        rng.random((10, 2)) * 100, rng.random((10, 2)) * 100,
+        cv2.FM_8POINT)[0])
+    x1 = np.array([10., 20, 1])
+    x2 = np.array([30., 40, 1])
+    assert abs(tcv.sampsonDistance(x1, x2, F)
+               - cv2.sampsonDistance(x1.reshape(1, 3),
+                                     x2.reshape(1, 3), F)) < 1e-8

@@ -100,3 +100,27 @@ def test_transform_builders():
     M = tcv.getRotationMatrix2D((5, 5), 33, 1.2)
     assert_near(tcv.invertAffineTransform(M),
                 cv2.invertAffineTransform(M), atol=1e-10)
+
+
+def test_warp_polar():
+    rng = np.random.default_rng(0)
+    img = cv2.GaussianBlur(rng.integers(0, 256, (120, 160), np.uint8),
+                           (5, 5), 2)
+    for fl in (cv2.WARP_POLAR_LINEAR, cv2.WARP_POLAR_LOG):
+        ref = cv2.warpPolar(img, (80, 180), (80, 60), 70,
+                            fl + cv2.INTER_LINEAR)
+        ours = np.asarray(tcv.warpPolar(img, (80, 180), (80, 60), 70,
+                                        fl + tcv.INTER_LINEAR))
+        d = np.abs(ref.astype(int) - ours.astype(int))
+        assert d.mean() < 0.6 and (d > 2).mean() < 0.01, (fl, d.mean())
+        # inverse (inside the valid circle; the reference leaves
+        # out-of-circle pixels as stale buffer content)
+        back_r = cv2.warpPolar(ref, (160, 120), (80, 60), 70,
+                               fl + cv2.INTER_LINEAR + cv2.WARP_INVERSE_MAP)
+        back_o = np.asarray(tcv.warpPolar(
+            ref, (160, 120), (80, 60), 70,
+            fl + tcv.INTER_LINEAR + tcv.WARP_INVERSE_MAP))
+        yy, xx = np.mgrid[0:120, 0:160]
+        inside = np.hypot(xx - 80, yy - 60) < 65
+        d2 = np.abs(back_r.astype(int) - back_o.astype(int))[inside]
+        assert d2.max() <= 1
