@@ -96,6 +96,9 @@ from .ops.contours import (
     findContours, contourArea, arcLength, boundingRect, minAreaRect,
     boxPoints, convexHull, approxPolyDP, isContourConvex,
     pointPolygonTest, minEnclosingCircle, fitEllipse, HuMoments,
+    rotatedRectangleIntersection, intersectConvexConvex,
+    minEnclosingTriangle, INTERSECT_NONE, INTERSECT_PARTIAL,
+    INTERSECT_FULL,
 )
 from .ops.drawing import (
     line, rectangle, circle, ellipse, polylines, fillPoly,

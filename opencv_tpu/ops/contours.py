@@ -23,7 +23,9 @@ from .. import constants as K
 __all__ = ["findContours", "contourArea", "arcLength", "boundingRect",
            "minAreaRect", "boxPoints", "convexHull", "approxPolyDP",
            "isContourConvex", "pointPolygonTest", "minEnclosingCircle",
-           "fitEllipse", "HuMoments"]
+           "fitEllipse", "HuMoments", "rotatedRectangleIntersection",
+           "intersectConvexConvex", "minEnclosingTriangle",
+           "INTERSECT_NONE", "INTERSECT_PARTIAL", "INTERSECT_FULL"]
 
 # Moore neighborhood in OpenCV's clockwise order starting East
 _NB = [(0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1), (1, 0), (1, 1)]
@@ -512,3 +514,145 @@ def HuMoments(m):
     hu[6] = (3 * n21 - n03) * t0 * (t0 * t0 - 3 * t1 * t1) \
         - (n30 - 3 * n12) * t1 * (3 * t0 * t0 - t1 * t1)
     return hu.reshape(7, 1)
+
+
+INTERSECT_NONE = 0
+INTERSECT_PARTIAL = 1
+INTERSECT_FULL = 2
+
+
+def _clip_poly(subject, clip):
+    """Sutherland-Hodgman clip of polygon `subject` by convex `clip`."""
+    def inside(p, a, b):
+        return (b[0] - a[0]) * (p[1] - a[1]) \
+            - (b[1] - a[1]) * (p[0] - a[0]) >= -1e-9
+
+    def isect(p1, p2, a, b):
+        d1 = np.asarray(p2) - p1
+        d2 = np.asarray(b) - a
+        denom = d1[0] * d2[1] - d1[1] * d2[0]
+        if abs(denom) < 1e-12:
+            return p2
+        t = ((a[0] - p1[0]) * d2[1] - (a[1] - p1[1]) * d2[0]) / denom
+        return (p1[0] + t * d1[0], p1[1] + t * d1[1])
+
+    out = [tuple(p) for p in subject]
+    n = len(clip)
+    for i in range(n):
+        a = clip[i]
+        b = clip[(i + 1) % n]
+        cur = out
+        out = []
+        for j in range(len(cur)):
+            p1 = cur[j - 1]
+            p2 = cur[j]
+            if inside(p2, a, b):
+                if not inside(p1, a, b):
+                    out.append(isect(p1, p2, a, b))
+                out.append(p2)
+            elif inside(p1, a, b):
+                out.append(isect(p1, p2, a, b))
+        if not out:
+            return []
+    return out
+
+
+def _ccw(poly):
+    p = np.asarray(poly, np.float64)
+    area = 0.5 * np.sum(p[:, 0] * np.roll(p[:, 1], -1)
+                        - np.roll(p[:, 0], -1) * p[:, 1])
+    return p if area >= 0 else p[::-1]
+
+
+def rotatedRectangleIntersection(rect1, rect2):
+    """cv2.rotatedRectangleIntersection: returns (status, points)."""
+    q1 = _ccw(np.asarray(boxPoints(rect1), np.float64))
+    q2 = _ccw(np.asarray(boxPoints(rect2), np.float64))
+    inter = _clip_poly(q1, q2)
+    if not inter:
+        return INTERSECT_NONE, None
+    pts = np.asarray(inter, np.float32)
+    # dedup nearly-identical vertices like the reference
+    keep = [0]
+    for i in range(1, len(pts)):
+        if np.linalg.norm(pts[i] - pts[keep[-1]]) > 1e-5:
+            keep.append(i)
+    if len(keep) > 1 and np.linalg.norm(pts[keep[-1]] - pts[keep[0]]) <= 1e-5:
+        keep = keep[:-1]
+    pts = pts[keep]
+    a_int = abs(contourArea(pts))
+    a1 = abs(contourArea(q1.astype(np.float32)))
+    a2 = abs(contourArea(q2.astype(np.float32)))
+    status = INTERSECT_FULL if abs(a_int - min(a1, a2)) < 1e-4 * min(a1, a2) \
+        else INTERSECT_PARTIAL
+    return status, pts.reshape(-1, 1, 2)
+
+
+def intersectConvexConvex(p1, p2, handleNested=True):
+    """cv2.intersectConvexConvex: returns (area, points)."""
+    q1 = _ccw(np.asarray(p1, np.float64).reshape(-1, 2))
+    q2 = _ccw(np.asarray(p2, np.float64).reshape(-1, 2))
+    inter = _clip_poly(q1, q2)
+    if not inter:
+        return 0.0, None
+    pts = np.asarray(inter, np.float32)
+    return float(abs(contourArea(pts))), pts.reshape(-1, 1, 2)
+
+
+def minEnclosingTriangle(points):
+    """cv2.minEnclosingTriangle (returns (area, triangle (3,1,2) f32)).
+
+    Searches triangles whose sides are flush with hull edges; the true
+    optimum can also have midpoint-tangent sides (O'Rourke), so the
+    area may exceed the reference's by a few percent."""
+    pts = np.asarray(points, np.float64).reshape(-1, 2)
+    hull = np.asarray(convexHull(pts.astype(np.float32))).reshape(-1, 2)
+    n = len(hull)
+    if n < 3:
+        return 0.0, None
+    best = None
+
+    def line_from(a, b):
+        d = b - a
+        return a, d / (np.linalg.norm(d) + 1e-300)
+
+    # brute-force over triples of flush edges (hull is tiny in practice)
+    import itertools
+    for i, j, k in itertools.combinations(range(n), 3):
+        trio = []
+        ok = True
+        lines = []
+        for e in (i, j, k):
+            a = hull[e]
+            b = hull[(e + 1) % n]
+            lines.append(line_from(a, b))
+        # triangle vertices = pairwise line intersections
+        tri = []
+        for (a1, d1), (a2, d2) in itertools.combinations(lines, 2):
+            denom = d1[0] * d2[1] - d1[1] * d2[0]
+            if abs(denom) < 1e-12:
+                ok = False
+                break
+            t = ((a2[0] - a1[0]) * d2[1] - (a2[1] - a1[1]) * d2[0]) / denom
+            tri.append(a1 + t * d1)
+        if not ok or len(tri) != 3:
+            continue
+        tri = np.asarray(tri)
+        # must contain all hull points
+        def side(p, a, b):
+            return (b[0] - a[0]) * (p[:, 1] - a[1]) \
+                - (b[1] - a[1]) * (p[:, 0] - a[0])
+        s0 = side(hull, tri[0], tri[1])
+        s1 = side(hull, tri[1], tri[2])
+        s2 = side(hull, tri[2], tri[0])
+        ccw = contourArea(tri.astype(np.float32))
+        sgn = 1 if ccw >= 0 else -1
+        if (sgn * s0 >= -1e-6).all() and (sgn * s1 >= -1e-6).all() \
+                and (sgn * s2 >= -1e-6).all():
+            area = abs(ccw)
+            if best is None or area < best[0]:
+                best = (area, tri)
+    if best is None:
+        return 0.0, None
+    area, tri = best
+    return float(area), tri.astype(np.float32).reshape(3, 1, 2)

@@ -182,3 +182,37 @@ def test_line_aa_coverage():
     c = np.full((50, 50, 3), 30, np.uint8)
     tcv.line(c, (5, 10), (45, 40), (0, 255, 0), 2, tcv.LINE_AA)
     assert c[..., 1].max() > 200 and ((c[..., 1] > 60) & (c[..., 1] < 200)).any()
+
+
+def test_rotated_rect_intersection_and_convex():
+    r1 = ((50, 50), (40, 20), 30.0)
+    r2 = ((60, 55), (30, 30), -10.0)
+    sr, pr = cv2.rotatedRectangleIntersection(r1, r2)
+    so, po = tcv.rotatedRectangleIntersection(r1, r2)
+    assert so == sr
+    ar = cv2.contourArea(cv2.convexHull(np.asarray(pr, np.float32)))
+    ao = cv2.contourArea(cv2.convexHull(np.asarray(po, np.float32)))
+    assert abs(ar - ao) < 1e-2
+    # disjoint
+    s0, p0 = tcv.rotatedRectangleIntersection(((0, 0), (4, 4), 0.0),
+                                              ((100, 100), (4, 4), 0.0))
+    assert s0 == tcv.INTERSECT_NONE and p0 is None
+    # contained -> FULL
+    sf, _ = tcv.rotatedRectangleIntersection(((50, 50), (40, 40), 0.0),
+                                             ((50, 50), (10, 10), 15.0))
+    assert sf == tcv.INTERSECT_FULL
+
+    p1 = np.array([[10, 10], [60, 15], [55, 50], [15, 45]], np.float32)
+    p2 = np.array([[30, 5], [80, 30], [40, 60]], np.float32)
+    a_ref, _ = cv2.intersectConvexConvex(p1, p2)
+    a_our, _ = tcv.intersectConvexConvex(p1, p2)
+    assert abs(a_ref - a_our) < 1e-2
+
+    pts = np.random.default_rng(0).random((20, 2)).astype(np.float32) * 100
+    a_ref, t_ref = cv2.minEnclosingTriangle(pts.reshape(-1, 1, 2))
+    a_our, t_our = tcv.minEnclosingTriangle(pts)
+    assert a_ref <= a_our <= a_ref * 1.15  # flush-edge search bound
+    # triangle actually encloses the points
+    for p in pts:
+        assert cv2.pointPolygonTest(np.asarray(t_our, np.float32), 
+                                    (float(p[0]), float(p[1])), False) >= 0
