@@ -54,9 +54,12 @@ def _cross_corr(x, t):
 
 
 def matchTemplate(image, templ, method: int, mask=None):
-    """cv2-compatible matchTemplate; result is (H-th+1)×(W-tw+1) float32."""
+    """cv2-compatible matchTemplate; result is (H-th+1)×(W-tw+1) float32.
+    Masks follow the reference's semantics (templmatch.cpp): u8 masks
+    are binary, float masks are weights; supported for TM_SQDIFF and
+    TM_CCORR_NORMED."""
     if mask is not None:
-        raise NotImplementedError("masked matchTemplate not yet implemented")
+        return _match_template_masked(image, templ, method, mask)
     x, meta = to_batched(image)
     t, _ = to_batched(templ)
     t3 = t[0]  # (th, tw, C)
@@ -101,3 +104,37 @@ def matchTemplate(image, templ, method: int, mask=None):
         raise ValueError(f"unknown matchTemplate method {method}")
 
     return from_batched(out, meta)
+
+
+def _match_template_masked(image, templ, method, mask):
+    x, meta = to_batched(image)
+    t, _ = to_batched(templ)
+    t3 = t[0].astype(jnp.float32)
+    th, tw, C = t3.shape
+    m = np.asarray(mask)
+    if m.dtype == np.uint8:
+        m = (m != 0).astype(np.float32)
+    else:
+        m = m.astype(np.float32)
+    if m.ndim == 2:
+        m = m[..., None]
+    if m.shape[-1] == 1 and C > 1:
+        m = np.repeat(m, C, axis=-1)
+    mj = jnp.asarray(m)
+    m2 = mj * mj
+
+    xf = x.astype(jnp.float32)
+    corr_m2T = _cross_corr(xf, (m2 * t3))
+    corr_m2 = _cross_corr(xf * xf, m2)
+
+    if method == K.TM_SQDIFF:
+        const = jnp.sum(m2 * t3 * t3)
+        out = const - 2.0 * corr_m2T + corr_m2
+    elif method == K.TM_CCORR_NORMED:
+        tnorm = jnp.sqrt(jnp.sum(m2 * t3 * t3))
+        out = corr_m2T / (tnorm * jnp.sqrt(corr_m2) + 1e-12)
+    else:
+        raise NotImplementedError(
+            "masked matchTemplate: TM_SQDIFF / TM_CCORR_NORMED only")
+    out = out.astype(jnp.float32)
+    return from_batched(out, meta) if out.ndim == 4 else np.asarray(out[0, :, :, 0])

@@ -99,3 +99,18 @@ def test_emd_matches_cv2():
             # optimal plans may differ on ties; marginals must agree
             np.testing.assert_allclose(fo.sum(1), fl.sum(1), atol=1e-4)
             np.testing.assert_allclose(fo.sum(0), fl.sum(0), atol=1e-4)
+
+
+def test_match_template_masked():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (40, 50), np.uint8)
+    tmpl = img[10:20, 15:27].copy()
+    mask = np.zeros((10, 12), np.uint8)
+    mask[2:8, 3:9] = 255
+    for m in (cv2.TM_SQDIFF, cv2.TM_CCORR_NORMED):
+        r = cv2.matchTemplate(img, tmpl, m, mask=mask)
+        o = np.asarray(tcv.matchTemplate(img, tmpl, m, mask=mask))
+        assert o.shape == r.shape
+        rel = np.abs(r - o).max() / max(np.abs(r).max(), 1)
+        assert rel < 1e-5
+        assert np.argmin(o) == np.argmin(r)
