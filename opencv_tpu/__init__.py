@@ -118,7 +118,10 @@ from .ops.shape import (
     connectedComponentsWithStats,
     distanceTransform,
 )
-from .ops.hough import HoughLines, HoughLinesP, HoughCircles, HoughLinesPointSet
+from .ops.hough import (
+    HoughLines, HoughLinesP, HoughCircles, HoughLinesPointSet,
+    GeneralizedHoughBallard, createGeneralizedHoughBallard,
+)
 from .ops.misc import (
     getRectSubPix,
     matchShapes,

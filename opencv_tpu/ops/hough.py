@@ -203,3 +203,111 @@ def HoughLinesPointSet(point, lines_max, threshold, min_rho, max_rho,
         out.append([float(v), min_rho + r_i * rho_step,
                     min_theta + t_i * theta_step])
     return np.asarray(out, np.float32).reshape(-1, 1, 3)
+
+
+class GeneralizedHoughBallard:
+    """imgproc/src/generalized_hough.cpp (Ballard R-table voting).
+    Template edge displacements grouped by gradient orientation; scene
+    votes accumulate per-bin via broadcast scatter-adds."""
+
+    def __init__(self):
+        self.canny_low = 50
+        self.canny_high = 100
+        self.levels = 360
+        self.votes_threshold = 100
+        self.min_dist = 1.0
+        self.dp = 1.0
+        self._rtable = None
+
+    def setCannyLowThresh(self, v):
+        self.canny_low = int(v)
+
+    def setCannyHighThresh(self, v):
+        self.canny_high = int(v)
+
+    def setLevels(self, v):
+        self.levels = int(v)
+
+    def setVotesThreshold(self, v):
+        self.votes_threshold = int(v)
+
+    def setMinDist(self, v):
+        self.min_dist = float(v)
+
+    def setDp(self, v):
+        self.dp = float(v)
+
+    def _edges_angles(self, img):
+        from .canny import Canny
+        from .deriv import Sobel
+        from .. import constants as K
+        g = np.asarray(img)
+        if g.ndim == 3:
+            from .color import cvtColor
+            g = np.asarray(cvtColor(g, K.COLOR_BGR2GRAY))
+        edges = np.asarray(Canny(g, self.canny_low, self.canny_high))
+        gx = np.asarray(Sobel(g, K.CV_32F, 1, 0, ksize=3))
+        gy = np.asarray(Sobel(g, K.CV_32F, 0, 1, ksize=3))
+        ang = np.arctan2(gy, gx) % (2 * np.pi)
+        return edges, ang
+
+    def setTemplate(self, templ, templCenter=None):
+        edges, ang = self._edges_angles(templ)
+        ys, xs = np.nonzero(edges)
+        h, w = edges.shape
+        if templCenter is None:
+            cx, cy = w // 2, h // 2
+        else:
+            cx, cy = templCenter
+        bins = (ang[ys, xs] * self.levels / (2 * np.pi)).astype(int) \
+            % self.levels
+        self._rtable = {}
+        for b, x, y in zip(bins, xs, ys):
+            self._rtable.setdefault(b, []).append((cx - x, cy - y))
+        self._rtable = {b: np.asarray(v) for b, v in self._rtable.items()}
+
+    def detect(self, image):
+        edges, ang = self._edges_angles(image)
+        H, W = edges.shape
+        ys, xs = np.nonzero(edges)
+        bins = (ang[ys, xs] * self.levels / (2 * np.pi)).astype(int) \
+            % self.levels
+        aw = int(np.ceil(W / self.dp))
+        ah = int(np.ceil(H / self.dp))
+        acc = np.zeros((ah, aw), np.int32)
+        for b, disp in self._rtable.items():
+            sel = bins == b
+            if not sel.any():
+                continue
+            vx = (xs[sel][:, None] + disp[None, :, 0]) / self.dp
+            vy = (ys[sel][:, None] + disp[None, :, 1]) / self.dp
+            vxi = np.round(vx).astype(int).ravel()
+            vyi = np.round(vy).astype(int).ravel()
+            ok = (vxi >= 0) & (vxi < aw) & (vyi >= 0) & (vyi < ah)
+            np.add.at(acc, (vyi[ok], vxi[ok]), 1)
+        # peaks
+        order = np.argsort(-acc.ravel(), kind="stable")
+        out = []
+        votes = []
+        for k in order:
+            v = acc.flat[k]
+            if v < self.votes_threshold:
+                break
+            y, x = divmod(k, aw)
+            px, py = x * self.dp, y * self.dp
+            if any(np.hypot(px - o[0], py - o[1]) < self.min_dist
+                   for o in out):
+                continue
+            out.append((px, py))
+            votes.append(int(v))
+        if not out:
+            return None, None
+        pos = np.asarray([[x, y, 1.0, 0.0] for (x, y) in out],
+                         np.float32).reshape(1, -1, 4)
+        vt = np.asarray([[v, 0, 0] for v in votes],
+                        np.int32).reshape(1, -1, 3)
+        return pos, vt
+
+
+def createGeneralizedHoughBallard():
+    return GeneralizedHoughBallard()

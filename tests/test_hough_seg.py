@@ -188,3 +188,21 @@ def test_hough_lines_point_set():
     ours = tcv.HoughLinesPointSet(pts32, *args).reshape(-1, 3)
     # top line identical (votes, rho, theta)
     np.testing.assert_allclose(ours[0], ref[0], atol=1e-5)
+
+
+def test_generalized_hough_ballard():
+    tpl = np.zeros((40, 40), np.uint8)
+    cv2.rectangle(tpl, (10, 10), (30, 30), 255, 2)
+    scene = np.zeros((120, 160), np.uint8)
+    cv2.rectangle(scene, (60, 50), (80, 70), 255, 2)
+    gh_r = cv2.createGeneralizedHoughBallard()
+    gh_r.setTemplate(tpl)
+    pos_r, v_r = gh_r.detect(scene)
+    gh_o = tcv.createGeneralizedHoughBallard()
+    gh_o.setTemplate(tpl)
+    gh_o.setVotesThreshold(60)
+    gh_o.setMinDist(10)
+    pos_o, v_o = gh_o.detect(scene)
+    np.testing.assert_allclose(pos_o.reshape(-1, 4)[0],
+                               pos_r.reshape(-1, 4)[0], atol=1e-6)
+    assert v_o.reshape(-1, 3)[0][0] == v_r.reshape(-1, 3)[0][0]
