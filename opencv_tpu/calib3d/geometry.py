@@ -163,8 +163,58 @@ def undistort(src, cameraMatrix, distCoeffs, dst=None, newCameraMatrix=None):
 
 def getOptimalNewCameraMatrix(cameraMatrix, distCoeffs, imageSize, alpha,
                               newImgSize=None, centerPrincipalPoint=False):
+    """calib3d/src/calibration_base.cpp:1565: interpolate between the
+    projections that map the inscribed / circumscribed undistort
+    rectangles to the viewport."""
     Km = np.asarray(cameraMatrix, np.float64).reshape(3, 3).copy()
-    return Km, (0, 0, imageSize[0], imageSize[1])
+    w, h = imageSize
+    nw, nh = newImgSize if newImgSize and newImgSize[0] else (w, h)
+    inner, outer = _undistort_rectangles(Km, distCoeffs, None, None,
+                                         (w, h))
+    if centerPrincipalPoint:
+        cx0 = Km[0, 2]
+        cy0 = Km[1, 2]
+        cx = (nw - 1) * 0.5
+        cy = (nh - 1) * 0.5
+        innK, outK = _undistort_rectangles(Km, distCoeffs, None, Km,
+                                           (w, h))
+        s0 = max(cx / (cx0 - innK[0]), cy / (cy0 - innK[1]),
+                 cx / (innK[0] + innK[2] - cx0),
+                 cy / (innK[1] + innK[3] - cy0))
+        s1 = min(cx / (cx0 - outK[0]), cy / (cy0 - outK[1]),
+                 cx / (outK[0] + outK[2] - cx0),
+                 cy / (outK[1] + outK[3] - cy0))
+        s = s0 * (1 - alpha) + s1 * alpha
+        M = Km.copy()
+        M[0, 0] *= s
+        M[1, 1] *= s
+        M[0, 2] = cx
+        M[1, 2] = cy
+        roi = (int(np.ceil((innK[0] - cx0) * s + cx)),
+               int(np.ceil((innK[1] - cy0) * s + cy)),
+               int(np.floor(innK[2] * s)), int(np.floor(innK[3] * s)))
+    else:
+        fx0 = (nw - 1) / inner[2]
+        fy0 = (nh - 1) / inner[3]
+        cx0 = -fx0 * inner[0]
+        cy0 = -fy0 * inner[1]
+        fx1 = (nw - 1) / outer[2]
+        fy1 = (nh - 1) / outer[3]
+        cx1 = -fx1 * outer[0]
+        cy1 = -fy1 * outer[1]
+        M = Km.copy()
+        M[0, 0] = fx0 * (1 - alpha) + fx1 * alpha
+        M[1, 1] = fy0 * (1 - alpha) + fy1 * alpha
+        M[0, 2] = cx0 * (1 - alpha) + cx1 * alpha
+        M[1, 2] = cy0 * (1 - alpha) + cy1 * alpha
+        innM, _ = _undistort_rectangles(Km, distCoeffs, None, M, (w, h))
+        roi = (int(np.ceil(innM[0])), int(np.ceil(innM[1])),
+               int(np.floor(innM[2])), int(np.floor(innM[3])))
+    x0 = max(roi[0], 0)
+    y0 = max(roi[1], 0)
+    x1 = min(roi[0] + roi[2], nw)
+    y1 = min(roi[1] + roi[3], nh)
+    return M, (x0, y0, max(x1 - x0, 0), max(y1 - y0, 0))
 
 
 def perspectiveTransform(src, m):

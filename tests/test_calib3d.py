@@ -408,3 +408,21 @@ def test_points_3d_estimators_and_misc():
     assert abs(tcv.sampsonDistance(x1, x2, F)
                - cv2.sampsonDistance(x1.reshape(1, 3),
                                      x2.reshape(1, 3), F)) < 1e-8
+
+
+def test_get_optimal_new_camera_matrix():
+    """calibration_base.cpp:1565 inner/outer rect interpolation."""
+    K = np.array([[600., 0, 320], [0, 590, 240], [0, 0, 1]])
+    d = np.array([0.1, -0.2, 0.001, 0.002, 0.05])
+    for alpha in (0.0, 0.5, 1.0):
+        for cpp in (False, True):
+            ref, roi_r = cv2.getOptimalNewCameraMatrix(
+                K, d, (640, 480), alpha, centerPrincipalPoint=cpp)
+            ours, roi_o = tcv.getOptimalNewCameraMatrix(
+                K, d, (640, 480), alpha, centerPrincipalPoint=cpp)
+            assert np.abs(ref - ours).max() < 1e-3
+            assert max(abs(a - b) for a, b in zip(roi_r, roi_o)) <= 1
+    # newImgSize path
+    ref, _ = cv2.getOptimalNewCameraMatrix(K, d, (640, 480), 0.3, (320, 240))
+    ours, _ = tcv.getOptimalNewCameraMatrix(K, d, (640, 480), 0.3, (320, 240))
+    assert np.abs(ref - ours).max() < 1e-3
