@@ -290,6 +290,18 @@ from .features2d import (
     GFTTDetector_create,
     BRISK,
     BRISK_create,
+    AKAZE,
+    AKAZE_create,
+    KAZE,
+    KAZE_create,
+    AKAZE_DESCRIPTOR_KAZE_UPRIGHT,
+    AKAZE_DESCRIPTOR_KAZE,
+    AKAZE_DESCRIPTOR_MLDB_UPRIGHT,
+    AKAZE_DESCRIPTOR_MLDB,
+    KAZE_DIFF_PM_G1,
+    KAZE_DIFF_PM_G2,
+    KAZE_DIFF_WEICKERT,
+    KAZE_DIFF_CHARBONNIER,
     ORB,
     ORB_create,
     SIFT,

@@ -7,6 +7,8 @@ import pytest
 from common import cv2, assert_exact
 
 import opencv_tpu as tcv
+
+LENA = "/root/reference/samples/data/lena.jpg"
 from opencv_tpu.features2d import FAST
 
 
@@ -231,3 +233,80 @@ def test_brisk_rotation_matching():
         good += np.hypot(*(pred - p2)) < 4
     assert len(matches) > 30
     assert good / len(matches) > 0.6, good / len(matches)
+
+
+def test_akaze_detect_and_match_rotation():
+    """AKAZE self-validation (the cv2 5.0 wheel dropped AKAZE;
+    reference: features2d/src/kaze/AKAZEFeatures.cpp): keypoints on
+    lena must match across a 30-degree rotation with high geometric
+    inlier rate through the MLDB descriptors."""
+    img = np.asarray(tcv.imread(LENA, 0))[::2, ::2]
+    a = tcv.AKAZE_create()
+    kp1, d1 = a.detectAndCompute(img, None)
+    assert len(kp1) > 50
+    assert d1.shape == (len(kp1), 61) and d1.dtype == np.uint8
+
+    H, W = img.shape
+    M = np.asarray(tcv.getRotationMatrix2D((W / 2, H / 2), 30.0, 1.0))
+    rot = np.asarray(tcv.warpAffine(img, M.astype(np.float32), (W, H)))
+    kp2, d2 = a.detectAndCompute(rot, None)
+
+    b1 = np.unpackbits(d1, axis=1)
+    b2 = np.unpackbits(d2, axis=1)
+    dist = (b1[:, None, :] != b2[None, :, :]).sum(-1)
+    nn = dist.argmin(1)
+    s = np.sort(dist, axis=1)
+    ok = s[:, 0] < 0.8 * np.maximum(s[:, 1], 1)
+    p1 = np.array([k.pt for k in kp1])
+    p2 = np.array([kp2[i].pt for i in nn])
+    proj = p1 @ M[:, :2].T + M[:, 2]
+    good = np.hypot(*(proj - p2).T) < 3.0
+    assert ok.sum() > 40
+    assert (good & ok).sum() / ok.sum() > 0.8
+
+
+def test_akaze_upright_and_params():
+    img = np.asarray(tcv.imread(LENA, 0))[::2, ::2]
+    a = tcv.AKAZE_create(descriptor_type=tcv.AKAZE_DESCRIPTOR_MLDB_UPRIGHT,
+                         threshold=0.003)
+    kps, desc = a.detectAndCompute(img, None)
+    assert len(kps) > 10
+    assert all(k.angle == 0.0 for k in kps)
+    assert a.getThreshold() == 0.003
+    assert a.descriptorSize() == 61
+
+
+def test_kaze_detect_and_match_rotation():
+    """KAZE self-validation (cv2 5.0 dropped KAZE; reference:
+    features2d/src/kaze/KAZEFeatures.cpp): MSURF-64 descriptors are
+    unit-norm and match across rotation."""
+    img = np.asarray(tcv.imread(LENA, 0))[::2, ::2]
+    k = tcv.KAZE_create()
+    kp1, d1 = k.detectAndCompute(img, None)
+    assert len(kp1) > 50
+    assert d1.shape[1] == 64 and d1.dtype == np.float32
+    assert np.allclose(np.linalg.norm(d1, axis=1), 1.0, atol=1e-4)
+
+    H, W = img.shape
+    M = np.asarray(tcv.getRotationMatrix2D((W / 2, H / 2), 25.0, 1.0))
+    rot = np.asarray(tcv.warpAffine(img, M.astype(np.float32), (W, H)))
+    kp2, d2 = k.detectAndCompute(rot, None)
+    dist = ((d1[:, None, :] - d2[None, :, :]) ** 2).sum(-1)
+    nn = dist.argmin(1)
+    s = np.sort(dist, axis=1)
+    ok = s[:, 0] < 0.7 * np.maximum(s[:, 1], 1e-12)
+    p1 = np.array([kp.pt for kp in kp1])
+    p2 = np.array([kp2[i].pt for i in nn])
+    proj = p1 @ M[:, :2].T + M[:, 2]
+    good = np.hypot(*(proj - p2).T) < 3.0
+    assert ok.sum() > 40
+    assert (good & ok).sum() / ok.sum() > 0.8
+
+
+def test_kaze_extended_upright():
+    img = np.asarray(tcv.imread(LENA, 0))[::2, ::2]
+    k = tcv.KAZE_create(extended=True, upright=True)
+    kps, desc = k.detectAndCompute(img, None)
+    assert desc.shape[1] == 128
+    assert k.descriptorSize() == 128
+    assert k.defaultNorm() == tcv.NORM_L2
