@@ -224,9 +224,12 @@ def imdecode(buf, flags: int = IMREAD_COLOR):
     elif data[:2] == b"\xff\xd8":
         from .jpeg import jpeg_decode
         img = jpeg_decode(data)
+    elif data[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import tiff_decode
+        img = tiff_decode(data)
     else:
         raise ValueError("unsupported image format "
-                         "(PNG/BMP/PNM/JPEG available)")
+                         "(PNG/BMP/PNM/JPEG/TIFF available)")
     if flags == IMREAD_GRAYSCALE and img.ndim == 3:
         from ..ops.color import cvtColor
         from .. import constants as K
@@ -265,6 +268,9 @@ def imencode(ext: str, img, params=None):
                 if p[i] == 1:  # IMWRITE_JPEG_QUALITY
                     quality = int(p[i + 1])
         data = bytes(jpeg_encode(img, quality))
+    elif ext in (".tif", ".tiff"):
+        from .tiff import tiff_encode
+        data = tiff_encode(img)
     else:
         raise ValueError(f"unsupported extension {ext}")
     return True, np.frombuffer(data, np.uint8)

@@ -140,3 +140,37 @@ def test_videoio_mjpeg_avi_cross():
     tcv.imshow("w", frames[0])
     assert tcv.waitKey(1) == -1
     tcv.destroyAllWindows()
+
+
+def test_tiff_roundtrip_vs_cv2():
+    """TIFF strips (grfmt_tiff.cpp role): our Deflate+predictor encode
+    must be read bit-exactly by libtiff/cv2 and vice versa for cv2's
+    default LZW files, across depths and channel counts."""
+    rng = np.random.RandomState(0)
+    cases = [rng.randint(0, 256, (37, 53, 3), np.uint8),
+             rng.randint(0, 65536, (25, 31), np.uint16),
+             rng.randint(0, 256, (20, 22, 4), np.uint8),
+             rng.randint(0, 256, (40, 40), np.uint8),
+             rng.randint(0, 65536, (15, 17, 3), np.uint16)]
+    for im in cases:
+        ok, buf = tcv.imencode(".tiff", im)
+        assert ok
+        back = cv2.imdecode(np.asarray(buf), -1)
+        assert np.array_equal(back, im)
+        ok, buf2 = cv2.imencode(".tiff", im)
+        ours = np.asarray(tcv.imdecode(np.frombuffer(bytes(buf2),
+                                                     np.uint8), -1))
+        assert np.array_equal(ours, im)
+
+
+def test_tiff_compressions_from_cv2():
+    """Decode all strip compressions cv2/libtiff can emit: none,
+    PackBits, LZW (early-change), Deflate."""
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (33, 47, 3), np.uint8)
+    for comp in (1, 32773, 5, 32946):
+        ok, buf = cv2.imencode(".tiff", img,
+                               [cv2.IMWRITE_TIFF_COMPRESSION, comp])
+        ours = np.asarray(tcv.imdecode(np.frombuffer(bytes(buf),
+                                                     np.uint8), -1))
+        assert np.array_equal(ours, img), f"compression {comp}"
