@@ -270,6 +270,7 @@ from . import gapi
 from .gapi import pipeline, Stream
 from .stitching import Stitcher, Stitcher_create
 from .blenders import MultiBandBlender, FeatherBlender
+from .stitch_warpers import PyRotationWarper
 from .objdetect import HOGDescriptor, QRCodeDetector, CascadeClassifier
 from .objdetect.hog import groupRectangles
 from .objdetect import aruco
