@@ -175,6 +175,12 @@ from .photo import (
     createTonemap,
     createTonemapDrago,
     createTonemapReinhard,
+    fastNlMeansDenoisingMulti,
+    denoise_TVL1,
+    createAlignMTB,
+    createMergeRobertson,
+    createCalibrateRobertson,
+    createTonemapMantiuk,
     inpaint,
     INPAINT_NS,
     INPAINT_TELEA,

@@ -1,4 +1,7 @@
-from .denoise import fastNlMeansDenoising, fastNlMeansDenoisingColored  # noqa: F401
+from .denoise import (  # noqa: F401
+    fastNlMeansDenoising, fastNlMeansDenoisingColored,
+    fastNlMeansDenoisingMulti, denoise_TVL1,
+)
 from .hdr import (  # noqa: F401
     createMergeMertens, MergeMertens,
     createMergeDebevec, MergeDebevec,
@@ -6,6 +9,10 @@ from .hdr import (  # noqa: F401
     createTonemap, Tonemap,
     createTonemapDrago, TonemapDrago,
     createTonemapReinhard, TonemapReinhard,
+    createAlignMTB, AlignMTB,
+    createMergeRobertson, MergeRobertson,
+    createCalibrateRobertson, CalibrateRobertson,
+    createTonemapMantiuk, TonemapMantiuk,
 )
 from .inpaint import inpaint, INPAINT_NS, INPAINT_TELEA  # noqa: F401
 from .npr import (  # noqa: F401

@@ -8,6 +8,8 @@ from common import cv2, rand_img
 
 import opencv_tpu as tcv
 
+LENA = "/root/reference/samples/data/lena.jpg"
+
 
 def test_nl_means_denoising():
     rng = np.random.default_rng(0)
@@ -126,3 +128,73 @@ def test_decolor_matches_cv2():
     g_our, b_our = tcv.decolor(img)
     assert np.abs(g_ref.astype(int) - g_our.astype(int)).max() <= 4
     assert np.abs(b_ref.astype(int) - b_our.astype(int)).mean() < 3
+
+
+def test_align_mtb_shift():
+    """AlignMTB (photo/src/align.cpp): calculateShift must agree with
+    cv2 exactly on median-threshold bitmaps."""
+    g = cv2.cvtColor(cv2.imread(LENA), cv2.COLOR_BGR2GRAY)[::4, ::4]
+    sh = np.roll(g, (3, 5), axis=(0, 1))
+    ref = cv2.createAlignMTB().calculateShift(g, sh)
+    ours = tcv.createAlignMTB().calculateShift(g, sh)
+    assert tuple(ref) == tuple(ours)
+
+
+def test_robertson_merge_and_calibrate():
+    """MergeRobertson/CalibrateRobertson (merge.cpp, calibrate.cpp):
+    bit-close agreement including cv2's NaN-for-unseen-intensity
+    IEEE semantics."""
+    lena = cv2.imread(LENA)[::4, ::4]
+    times = np.array([0.25, 1.0, 4.0], np.float32)
+    ldr = [np.clip(lena.astype(np.float64) * s, 0, 255).astype(np.uint8)
+           for s in (0.4, 1.0, 1.8)]
+    out_r = cv2.createMergeRobertson().process(ldr, times)
+    out_o = tcv.createMergeRobertson().process(ldr, times)
+    assert np.abs(out_r - out_o).max() < 1e-5
+    resp_r = cv2.createCalibrateRobertson().process(ldr, times)
+    resp_o = tcv.createCalibrateRobertson().process(ldr, times)
+    assert np.array_equal(np.isnan(resp_r), np.isnan(resp_o))
+    m = ~np.isnan(resp_r)
+    assert np.abs(resp_r[m] - resp_o[m]).max() < 1e-3
+
+
+def test_tonemap_mantiuk():
+    """TonemapMantiuk (tonemap.cpp): gradient-domain CG solve matches
+    cv2 to float precision."""
+    lena = cv2.imread(LENA)[::4, ::4]
+    times = np.array([0.25, 1.0, 4.0], np.float32)
+    ldr = [np.clip(lena.astype(np.float64) * s, 0, 255).astype(np.uint8)
+           for s in (0.4, 1.0, 1.8)]
+    hdr = cv2.createMergeRobertson().process(ldr, times).astype(np.float32)
+    o_r = cv2.createTonemapMantiuk(2.2, 0.7, 1.0).process(hdr)
+    o_o = tcv.createTonemapMantiuk(2.2, 0.7, 1.0).process(hdr)
+    assert np.abs(o_r - o_o).max() < 1e-4
+
+
+def test_denoise_tvl1_exact():
+    """denoise_TVL1 (denoise_tvl1.cpp): primal-dual iterations are
+    bit-exact vs cv2."""
+    rng = np.random.RandomState(0)
+    g = cv2.cvtColor(cv2.imread(LENA), cv2.COLOR_BGR2GRAY)[::4, ::4]
+    noisy = np.clip(g.astype(np.float64) + rng.normal(0, 20, g.shape),
+                    0, 255).astype(np.uint8)
+    ref = np.empty_like(noisy)
+    cv2.denoise_TVL1([noisy], ref, 1.0, 30)
+    ours = tcv.denoise_TVL1([noisy], None, 1.0, 30)
+    assert np.abs(ref.astype(int) - ours.astype(int)).max() <= 1
+
+
+def test_fast_nl_means_multi():
+    """fastNlMeansDenoisingMulti: must denoise at least as well as
+    cv2's output (same weight-kernel family, different LUT rounding)."""
+    rng = np.random.RandomState(0)
+    g = cv2.cvtColor(cv2.imread(LENA), cv2.COLOR_BGR2GRAY)[::4, ::4]
+    frames = [np.clip(g.astype(np.float64) + rng.normal(0, 15, g.shape),
+                      0, 255).astype(np.uint8) for _ in range(3)]
+    ref = cv2.fastNlMeansDenoisingMulti(frames, 1, 3, None, 10, 7, 21)
+    ours = np.asarray(tcv.fastNlMeansDenoisingMulti(frames, 1, 3, 10, 7, 21))
+    e_ref = np.abs(ref.astype(int) - g.astype(int)).mean()
+    e_our = np.abs(ours.astype(int) - g.astype(int)).mean()
+    e_noisy = np.abs(frames[1].astype(int) - g.astype(int)).mean()
+    assert e_our < e_noisy * 0.8
+    assert e_our < e_ref * 1.1
