@@ -20,7 +20,8 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(__file__))
 from . import onnx_schema_pb2 as _onnx  # noqa: E402
 
-__all__ = ["readNetFromONNX", "blobFromImage", "blobFromImages", "Net",
+__all__ = ["readNetFromONNX", "readNetFromCaffe", "readNetFromTensorflow",
+           "blobFromImage", "blobFromImages", "Net",
            "DNN_BACKEND_DEFAULT", "DNN_TARGET_CPU"]
 
 DNN_BACKEND_DEFAULT = 0
@@ -81,9 +82,13 @@ def _conv(x, w, b, attrs):
     groups = attrs.get("group", 1)
     dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
                                         ("NCHW", "OIHW", "NCHW"))
+    if attrs.get("auto_pad", "").startswith("SAME"):
+        padding = "SAME"
+    else:
+        padding = [(pads[0], pads[2]), (pads[1], pads[3])]
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=strides,
-        padding=[(pads[0], pads[2]), (pads[1], pads[3])],
+        padding=padding,
         rhs_dilation=dil, dimension_numbers=dn,
         feature_group_count=groups,
         precision=jax.lax.Precision.HIGHEST)
@@ -97,6 +102,17 @@ def _pool(x, attrs, kind):
     strides = attrs.get("strides", ks)
     pads = _pool_pads(x, attrs)
     ceil = attrs.get("ceil_mode", 0)
+    if attrs.get("auto_pad", "").startswith("SAME"):
+        window = (1, 1, ks[0], ks[1])
+        strides4 = (1, 1, strides[0], strides[1])
+        if kind == "max":
+            return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                         window, strides4, "SAME")
+        s = jax.lax.reduce_window(x, 0.0, jax.lax.add, window,
+                                  strides4, "SAME")
+        c = jax.lax.reduce_window(jnp.ones_like(x), 0.0, jax.lax.add,
+                                  window, strides4, "SAME")
+        return s / c
     window = (1, 1, ks[0], ks[1])
     strides4 = (1, 1, strides[0], strides[1])
     pad4 = [(0, 0), (0, 0), (pads[0], pads[2]), (pads[1], pads[3])]
@@ -194,6 +210,26 @@ class Net:
                 y = _pool(jnp.asarray(x), at, "avg")
             elif op == "GlobalAveragePool":
                 y = jnp.mean(jnp.asarray(x), axis=(2, 3), keepdims=True)
+            elif op == "GlobalMaxPool":
+                y = jnp.max(jnp.asarray(x), axis=(2, 3), keepdims=True)
+            elif op == "Max":
+                y = jnp.maximum(jnp.asarray(ins[0]), jnp.asarray(ins[1]))
+            elif op == "Min":
+                y = jnp.minimum(jnp.asarray(ins[0]), jnp.asarray(ins[1]))
+            elif op == "LRN":
+                # cross-channel local response normalization
+                # (dnn/src/layers/lrn_layer.cpp semantics)
+                xx = jnp.asarray(x)
+                size = at["size"]
+                alpha = at.get("alpha", 1e-4)
+                beta = at.get("beta", 0.75)
+                bias = at.get("bias", 1.0)
+                half = size // 2
+                sq = xx * xx
+                pad = [(0, 0), (half, size - 1 - half), (0, 0), (0, 0)]
+                sp = jnp.pad(sq, pad)
+                den = sum(sp[:, k:k + xx.shape[1]] for k in range(size))
+                y = xx / (bias + (alpha / size) * den) ** beta
             elif op == "Gemm":
                 A = jnp.asarray(x)
                 B = jnp.asarray(ins[1])
@@ -378,3 +414,6 @@ def blobFromImages(images, scalefactor=1.0, size=None, mean=None,
         a = a * scalefactor
         out.append(np.transpose(a, (2, 0, 1)))
     return np.stack(out).astype(np.float32)
+
+
+from .importers import readNetFromCaffe, readNetFromTensorflow  # noqa: E402,F401

@@ -132,3 +132,124 @@ def test_dnn_blob_from_image():
                              (104, 117, 123), swapRB=True, crop=False)
     assert ours.shape == ref.shape
     assert np.abs(ours - ref).max() < 1e-2  # resize path f32 vs exact
+
+
+def test_read_net_from_caffe():
+    """Caffe importer (dnn/src/caffe/caffe_importer.cpp role):
+    prototxt+caffemodel forward must match a manual torch computation
+    (cv2 5.0 dropped readNetFromCaffe)."""
+    import torch
+    import torch.nn.functional as F
+    from opencv_tpu.dnn import opencv_caffe_pb2 as cpb
+    proto = """
+name: "tiny"
+input: "data"
+input_dim: 1
+input_dim: 3
+input_dim: 8
+input_dim: 8
+layer { name: "conv1" type: "Convolution" bottom: "data" top: "conv1"
+  convolution_param { num_output: 4 kernel_size: 3 pad: 1 stride: 1 } }
+layer { name: "relu1" type: "ReLU" bottom: "conv1" top: "conv1" }
+layer { name: "pool1" type: "Pooling" bottom: "conv1" top: "pool1"
+  pooling_param { pool: MAX kernel_size: 2 stride: 2 } }
+layer { name: "fc1" type: "InnerProduct" bottom: "pool1" top: "fc1"
+  inner_product_param { num_output: 5 } }
+layer { name: "prob" type: "Softmax" bottom: "fc1" top: "prob" }
+"""
+    rng = np.random.RandomState(0)
+    wnet = cpb.NetParameter()
+
+    def add_blob(layer, arr):
+        blob = layer.blobs.add()
+        blob.shape.dim.extend(arr.shape)
+        blob.data.extend(arr.astype(np.float32).ravel().tolist())
+
+    lyr = wnet.layer.add()
+    lyr.name = "conv1"
+    Wc = rng.randn(4, 3, 3, 3).astype(np.float32) * 0.2
+    bc = rng.randn(4).astype(np.float32) * 0.1
+    add_blob(lyr, Wc)
+    add_blob(lyr, bc)
+    lyr = wnet.layer.add()
+    lyr.name = "fc1"
+    Wf = rng.randn(5, 4 * 4 * 4).astype(np.float32) * 0.1
+    bf = rng.randn(5).astype(np.float32) * 0.1
+    add_blob(lyr, Wf)
+    add_blob(lyr, bf)
+
+    net = tcv.dnn.readNetFromCaffe(proto, wnet.SerializeToString())
+    x = rng.randn(1, 3, 8, 8).astype(np.float32)
+    net.setInput(x, "data")
+    out = np.asarray(net.forward())
+
+    tx = torch.tensor(x)
+    y = F.relu(F.conv2d(tx, torch.tensor(Wc), torch.tensor(bc), padding=1))
+    y = F.max_pool2d(y, 2, 2, ceil_mode=True)
+    y = y.reshape(1, -1) @ torch.tensor(Wf).T + torch.tensor(bf)
+    y = F.softmax(y, dim=1)
+    assert np.abs(out - y.numpy()).max() < 1e-5
+
+
+def test_read_net_from_tensorflow(tmp_path):
+    """TF importer (dnn/src/tensorflow/tf_importer.cpp role): frozen
+    GraphDef with SAME conv, FusedBatchNorm, and pooling must match
+    cv2.dnn.readNetFromTensorflow."""
+    from opencv_tpu.dnn import graph_pb2 as g2
+    rng = np.random.RandomState(0)
+    gd = g2.GraphDef()
+
+    def add(op, name, inputs=(), **attrs):
+        n = gd.node.add()
+        n.op = op
+        n.name = name
+        n.input.extend(inputs)
+        for k, v in attrs.items():
+            a = n.attr[k]
+            if isinstance(v, bytes):
+                a.s = v
+            elif isinstance(v, float):
+                a.f = v
+            elif isinstance(v, list):
+                a.list.i.extend(v)
+            elif isinstance(v, np.ndarray):
+                a.tensor.dtype = 1
+                for d in v.shape:
+                    a.tensor.tensor_shape.dim.add().size = d
+                a.tensor.tensor_content = v.tobytes()
+        return n
+
+    W = rng.randn(3, 3, 3, 4).astype(np.float32) * 0.2
+    bias = rng.randn(4).astype(np.float32) * 0.1
+    gamma = rng.rand(4).astype(np.float32) + 0.5
+    beta = rng.randn(4).astype(np.float32) * 0.1
+    mean = rng.randn(4).astype(np.float32) * 0.1
+    var = rng.rand(4).astype(np.float32) + 0.5
+    n = add("Placeholder", "input")
+    n.attr["dtype"].type = 1
+    add("Const", "W", **{"value": W})
+    add("Conv2D", "conv", ["input", "W"], strides=[1, 2, 2, 1],
+        padding=b"SAME")
+    add("Const", "b", **{"value": bias})
+    add("BiasAdd", "bias", ["conv", "b"])
+    add("Const", "g", **{"value": gamma})
+    add("Const", "be", **{"value": beta})
+    add("Const", "m", **{"value": mean})
+    add("Const", "v", **{"value": var})
+    n = add("FusedBatchNorm", "bn", ["bias", "g", "be", "m", "v"])
+    n.attr["epsilon"].f = 1e-3
+    add("Relu", "relu", ["bn"])
+    add("MaxPool", "pool", ["relu"], ksize=[1, 2, 2, 1],
+        strides=[1, 2, 2, 1], padding=b"SAME")
+    path = str(tmp_path / "tiny_tf.pb")
+    with open(path, "wb") as f:
+        f.write(gd.SerializeToString())
+
+    ref_net = cv2.dnn.readNetFromTensorflow(path)
+    x = rng.randn(1, 3, 10, 10).astype(np.float32)
+    ref_net.setInput(x)
+    ref = ref_net.forward()
+    our = tcv.dnn.readNetFromTensorflow(path)
+    our.setInput(x, "input")
+    ours = np.asarray(our.forward())
+    assert np.abs(ref - ours.reshape(ref.shape)).max() < 1e-5
