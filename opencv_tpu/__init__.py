@@ -211,11 +211,14 @@ from .calib3d import (
     FM_8POINT,
     FM_RANSAC,
     SOLVEPNP_ITERATIVE,
+    SOLVEPNP_EPNP, SOLVEPNP_P3P, SOLVEPNP_AP3P, SOLVEPNP_DLS,
+    SOLVEPNP_UPNP, SOLVEPNP_IPPE, SOLVEPNP_IPPE_SQUARE, SOLVEPNP_SQPNP,
 )
 from .calib3d import StereoBM, StereoBM_create, StereoSGBM, StereoSGBM_create
 from .calib3d import estimateAffine2D, estimateAffinePartial2D, stereoRectify
 from .calib3d import (
     findEssentialMat, recoverPose, decomposeHomographyMat, solvePnPRansac,
+    solveP3P,
 )
 from .calib3d.geometry import (
     convertPointsToHomogeneous, convertPointsFromHomogeneous,

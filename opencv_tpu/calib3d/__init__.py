@@ -12,10 +12,13 @@ from .geometry import (  # noqa: F401
     perspectiveTransform,
     getOptimalNewCameraMatrix,
     RANSAC, LMEDS, FM_8POINT, FM_RANSAC, SOLVEPNP_ITERATIVE,
+    SOLVEPNP_EPNP, SOLVEPNP_P3P, SOLVEPNP_AP3P, SOLVEPNP_DLS,
+    SOLVEPNP_UPNP, SOLVEPNP_IPPE, SOLVEPNP_IPPE_SQUARE, SOLVEPNP_SQPNP,
 )
 from .geometry import estimateAffine2D, estimateAffinePartial2D, stereoRectify  # noqa: F401
 from .geometry import (  # noqa: F401
     findEssentialMat, recoverPose, decomposeHomographyMat, solvePnPRansac,
+    solveP3P,
 )
 from .stereo import StereoBM, StereoBM_create, StereoSGBM, StereoSGBM_create  # noqa: F401
 from .calibrate import calibrateCamera, stereoCalibrate  # noqa: F401

@@ -19,11 +19,13 @@ from .. import constants as K
 
 __all__ = ["Rodrigues", "projectPoints", "undistortPoints",
            "initUndistortRectifyMap", "undistort", "findHomography",
-           "findFundamentalMat", "solvePnP", "triangulatePoints",
+           "findFundamentalMat", "solvePnP", "solveP3P", "triangulatePoints",
            "computeCorrespondEpilines", "perspectiveTransform",
            "getOptimalNewCameraMatrix",
            "RANSAC", "LMEDS", "FM_8POINT", "FM_RANSAC",
-           "SOLVEPNP_ITERATIVE"]
+           "SOLVEPNP_ITERATIVE", "SOLVEPNP_EPNP", "SOLVEPNP_P3P",
+           "SOLVEPNP_AP3P", "SOLVEPNP_DLS", "SOLVEPNP_UPNP",
+           "SOLVEPNP_IPPE", "SOLVEPNP_IPPE_SQUARE", "SOLVEPNP_SQPNP"]
 
 RANSAC = 8
 LMEDS = 4
@@ -31,6 +33,14 @@ FM_7POINT = 1
 FM_8POINT = 2
 FM_RANSAC = 8
 SOLVEPNP_ITERATIVE = 0
+SOLVEPNP_EPNP = 1
+SOLVEPNP_P3P = 2
+SOLVEPNP_DLS = 3
+SOLVEPNP_UPNP = 4
+SOLVEPNP_AP3P = 5
+SOLVEPNP_IPPE = 6
+SOLVEPNP_IPPE_SQUARE = 7
+SOLVEPNP_SQPNP = 8
 
 
 def Rodrigues(src, jacobian=None):
@@ -368,13 +378,39 @@ def findFundamentalMat(points1, points2, method: int = FM_RANSAC,
 def solvePnP(objectPoints, imagePoints, cameraMatrix, distCoeffs,
              rvec=None, tvec=None, useExtrinsicGuess: bool = False,
              flags: int = SOLVEPNP_ITERATIVE):
-    """Iterative PnP: DLT initialization + Gauss-Newton refinement on the
-    reprojection error (solvepnp.cpp ITERATIVE semantics)."""
+    """PnP dispatch (solvepnp.cpp): ITERATIVE = DLT/homography init +
+    Gauss-Newton; EPNP/P3P/AP3P/IPPE/SQPNP via the dedicated solvers in
+    [[pnp]], picking the minimum-reprojection candidate."""
     obj = np.asarray(objectPoints, np.float64).reshape(-1, 3)
     img = np.asarray(imagePoints, np.float64).reshape(-1, 2)
     Km = np.asarray(cameraMatrix, np.float64).reshape(3, 3)
     und = undistortPoints(img, Km, distCoeffs).reshape(-1, 2).astype(np.float64)
     n = len(obj)
+
+    if flags in (SOLVEPNP_EPNP, SOLVEPNP_P3P, SOLVEPNP_AP3P,
+                 SOLVEPNP_IPPE, SOLVEPNP_IPPE_SQUARE, SOLVEPNP_SQPNP,
+                 SOLVEPNP_DLS, SOLVEPNP_UPNP):
+        from . import pnp as _pnp
+        if flags in (SOLVEPNP_P3P, SOLVEPNP_AP3P):
+            cands = _pnp.solve_p3p(obj, und)
+        elif flags in (SOLVEPNP_IPPE, SOLVEPNP_IPPE_SQUARE):
+            cands = _pnp.solve_ippe(obj, und)
+        elif flags == SOLVEPNP_SQPNP:
+            cands = _pnp.solve_sqpnp(obj, und)
+        else:   # EPNP; DLS/UPNP map to EPnP like modern reference builds
+            cands = _pnp.solve_epnp(obj, und)
+        if not cands:
+            return False, None, None
+        best = None
+        for Rm, t in cands:
+            pc = obj @ Rm.T + t
+            with np.errstate(divide="ignore", invalid="ignore"):
+                pr = pc[:, :2] / pc[:, 2:3]
+            e = float(np.nansum((pr - und) ** 2))
+            if best is None or e < best[0]:
+                best = (e, Rm, t)
+        rv, _ = Rodrigues(best[1])
+        return True, rv.reshape(3, 1), best[2].reshape(3, 1)
 
     # DLT init (needs n >= 6); for n >= 4 planar use homography init
     if useExtrinsicGuess and rvec is not None and tvec is not None:
@@ -1066,3 +1102,22 @@ def estimateTranslation3D(src, dst, ransacThreshold=3.0, confidence=0.99):
     inl = np.linalg.norm(a + t - b, axis=1) <= ransacThreshold
     t = (b[inl] - a[inl]).mean(axis=0)
     return 1, t.reshape(3, 1), inl.astype(np.uint8).reshape(-1, 1)
+
+
+def solveP3P(objectPoints, imagePoints, cameraMatrix, distCoeffs,
+             flags=SOLVEPNP_P3P):
+    """cv::solveP3P: all P3P candidates as (count, rvecs, tvecs)."""
+    from . import pnp as _pnp
+    obj = np.asarray(objectPoints, np.float64).reshape(-1, 3)
+    img = np.asarray(imagePoints, np.float64).reshape(-1, 2)
+    Km = np.asarray(cameraMatrix, np.float64).reshape(3, 3)
+    und = undistortPoints(img, Km, distCoeffs).reshape(-1, 2).astype(
+        np.float64)
+    cands = _pnp.solve_p3p(obj, und)
+    rvecs = []
+    tvecs = []
+    for Rm, t in cands:
+        rv, _ = Rodrigues(Rm)
+        rvecs.append(rv.reshape(3, 1))
+        tvecs.append(t.reshape(3, 1))
+    return len(rvecs), rvecs, tvecs

@@ -426,3 +426,55 @@ def test_get_optimal_new_camera_matrix():
     ref, _ = cv2.getOptimalNewCameraMatrix(K, d, (640, 480), 0.3, (320, 240))
     ours, _ = tcv.getOptimalNewCameraMatrix(K, d, (640, 480), 0.3, (320, 240))
     assert np.abs(ref - ours).max() < 1e-3
+
+
+def test_solvepnp_variants():
+    """PnP solver family (epnp.cpp/p3p.cpp/ap3p.cpp/ippe.cpp/
+    sqpnp.cpp): every flag must recover the pose with sub-1e-3 px
+    reprojection error on clean synthetic data, agreeing with cv2's
+    returned best solution."""
+    rng = np.random.RandomState(1)
+    K = np.array([[800., 0, 320], [0, 780, 240], [0, 0, 1]])
+    d = np.array([0.05, -0.1, 0.001, 0.002, 0.0])
+    rvec_gt = np.array([0.2, -0.3, 0.1])
+    tvec_gt = np.array([0.1, -0.2, 3.0])
+    cases = [("SOLVEPNP_EPNP", 10, False), ("SOLVEPNP_P3P", 4, False),
+             ("SOLVEPNP_AP3P", 4, False), ("SOLVEPNP_IPPE", 8, True),
+             ("SOLVEPNP_IPPE_SQUARE", 4, "square"),
+             ("SOLVEPNP_SQPNP", 10, False)]
+    for flag_name, n, planar in cases:
+        if planar == "square":
+            obj = np.array([[-1, 1, 0], [1, 1, 0], [1, -1, 0],
+                            [-1, -1, 0]], np.float64)
+        else:
+            obj = rng.rand(n, 3) * 2 - 1
+            if planar:
+                obj[:, 2] = 0
+        img, _ = cv2.projectPoints(obj, rvec_gt, tvec_gt, K, d)
+        img = img.reshape(-1, 2)
+        okr, rv_r, tv_r = cv2.solvePnP(obj, img, K, d,
+                                       flags=getattr(cv2, flag_name))
+        oko, rv_o, tv_o = tcv.solvePnP(obj, img, K, d,
+                                       flags=getattr(tcv, flag_name))
+        assert okr and oko, flag_name
+        p, _ = cv2.projectPoints(obj, np.asarray(rv_o, np.float64).ravel(),
+                                 np.asarray(tv_o, np.float64).ravel(), K, d)
+        err = np.abs(p.reshape(-1, 2) - img).max()
+        assert err < 1e-3, (flag_name, err)
+
+
+def test_solve_p3p_multiple_solutions():
+    rng = np.random.RandomState(3)
+    K = np.array([[800., 0, 320], [0, 780, 240], [0, 0, 1]])
+    obj = rng.rand(3, 3) * 2 - 1
+    rvec_gt = np.array([0.1, 0.2, -0.1])
+    tvec_gt = np.array([0.0, 0.1, 4.0])
+    img, _ = cv2.projectPoints(obj, rvec_gt, tvec_gt, K, None)
+    n_r, rv_r, tv_r = cv2.solveP3P(obj, img.reshape(-1, 2), K, None,
+                                   flags=cv2.SOLVEPNP_P3P)
+    n_o, rv_o, tv_o = tcv.solveP3P(obj, img.reshape(-1, 2), K, None)
+    assert n_o >= 1
+    # ground-truth pose must appear among our candidates
+    best = min(np.abs(np.asarray(r).ravel() - rvec_gt).max()
+               for r in rv_o)
+    assert best < 1e-3
