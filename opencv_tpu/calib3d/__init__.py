@@ -12,6 +12,8 @@ from .geometry import (  # noqa: F401
     perspectiveTransform,
     getOptimalNewCameraMatrix,
     RANSAC, LMEDS, FM_8POINT, FM_RANSAC, SOLVEPNP_ITERATIVE,
+    USAC_DEFAULT, USAC_PARALLEL, USAC_FM_8PTS, USAC_FAST,
+    USAC_ACCURATE, USAC_PROSAC, USAC_MAGSAC,
     SOLVEPNP_EPNP, SOLVEPNP_P3P, SOLVEPNP_AP3P, SOLVEPNP_DLS,
     SOLVEPNP_UPNP, SOLVEPNP_IPPE, SOLVEPNP_IPPE_SQUARE, SOLVEPNP_SQPNP,
 )

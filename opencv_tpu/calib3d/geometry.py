@@ -23,6 +23,8 @@ __all__ = ["Rodrigues", "projectPoints", "undistortPoints",
            "computeCorrespondEpilines", "perspectiveTransform",
            "getOptimalNewCameraMatrix",
            "RANSAC", "LMEDS", "FM_8POINT", "FM_RANSAC",
+           "USAC_DEFAULT", "USAC_PARALLEL", "USAC_FM_8PTS", "USAC_FAST",
+           "USAC_ACCURATE", "USAC_PROSAC", "USAC_MAGSAC",
            "SOLVEPNP_ITERATIVE", "SOLVEPNP_EPNP", "SOLVEPNP_P3P",
            "SOLVEPNP_AP3P", "SOLVEPNP_DLS", "SOLVEPNP_UPNP",
            "SOLVEPNP_IPPE", "SOLVEPNP_IPPE_SQUARE", "SOLVEPNP_SQPNP"]
@@ -41,6 +43,15 @@ SOLVEPNP_AP3P = 5
 SOLVEPNP_IPPE = 6
 SOLVEPNP_IPPE_SQUARE = 7
 SOLVEPNP_SQPNP = 8
+# USAC flags (usac/ in the reference) — here they run the LO-RANSAC
+# path: standard RANSAC + iterated local optimization on inliers.
+USAC_DEFAULT = 32
+USAC_PARALLEL = 33
+USAC_FM_8PTS = 34
+USAC_FAST = 35
+USAC_ACCURATE = 36
+USAC_PROSAC = 37
+USAC_MAGSAC = 38
 
 
 def Rodrigues(src, jacobian=None):
@@ -318,8 +329,19 @@ def findHomography(srcPoints, dstPoints, method: int = 0,
         i += 1
     if best_inl is None or best_cnt < 4:
         return None, None
-    H = fit(np.nonzero(best_inl)[0])
-    # final inlier mask from refined model
+    # local optimization: iterated refit on inliers until the inlier
+    # set stabilizes (the LO step the USAC_* flags ask for; plain
+    # RANSAC also benefits and matches fundam.cpp's final refit)
+    rounds = 5 if method >= USAC_DEFAULT else 1
+    inl = best_inl
+    H = fit(np.nonzero(inl)[0])
+    for _ in range(rounds):
+        new_inl = reproj_err(H) < t2
+        if new_inl.sum() < 4 or np.array_equal(new_inl, inl):
+            inl = new_inl if new_inl.sum() >= 4 else inl
+            break
+        inl = new_inl
+        H = fit(np.nonzero(inl)[0])
     best_inl = reproj_err(H) < t2
     return H, best_inl.astype(np.uint8).reshape(-1, 1)
 

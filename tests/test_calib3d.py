@@ -478,3 +478,25 @@ def test_solve_p3p_multiple_solutions():
     best = min(np.abs(np.asarray(r).ravel() - rvec_gt).max()
                for r in rv_o)
     assert best < 1e-3
+
+
+def test_usac_homography():
+    """USAC_* flags (reference usac/): LO-RANSAC recovers all inliers
+    and the cv2 model on a 25%-outlier scene."""
+    rng = np.random.RandomState(0)
+    H_gt = np.array([[1.1, 0.05, 10], [-0.03, 0.97, -5],
+                     [1e-4, -2e-4, 1]])
+    src = rng.rand(120, 2) * 400
+    w = H_gt[2, 0] * src[:, 0] + H_gt[2, 1] * src[:, 1] + 1
+    dst = np.column_stack([
+        (H_gt[0, 0] * src[:, 0] + H_gt[0, 1] * src[:, 1] + H_gt[0, 2]) / w,
+        (H_gt[1, 0] * src[:, 0] + H_gt[1, 1] * src[:, 1] + H_gt[1, 2]) / w])
+    dst += rng.normal(0, 0.3, dst.shape)
+    out = rng.permutation(120)[:30]
+    dst[out] += rng.uniform(20, 80, (30, 2))
+    for m in ("USAC_DEFAULT", "USAC_MAGSAC", "USAC_ACCURATE",
+              "USAC_PROSAC", "USAC_FAST"):
+        Hr, mr = cv2.findHomography(src, dst, getattr(cv2, m), 3.0)
+        Ho, mo = tcv.findHomography(src, dst, getattr(tcv, m), 3.0)
+        assert abs(int(mr.sum()) - int(mo.sum())) <= 2, m
+        assert np.abs(Hr / Hr[2, 2] - Ho / Ho[2, 2]).max() < 0.01, m
