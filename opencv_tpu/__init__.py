@@ -282,6 +282,20 @@ from .gapi import pipeline, Stream
 from .stitching import Stitcher, Stitcher_create
 from .blenders import MultiBandBlender, FeatherBlender
 from .stitch_warpers import PyRotationWarper
+from . import stitch_detail as detail
+detail_GainCompensator = detail.GainCompensator
+detail_ChannelsCompensator = detail.ChannelsCompensator
+detail_BlocksGainCompensator = detail.BlocksGainCompensator
+detail_VoronoiSeamFinder = detail.VoronoiSeamFinder
+detail_GraphCutSeamFinder = detail.GraphCutSeamFinder
+detail_DpSeamFinder = detail.DpSeamFinder
+detail_BestOf2NearestMatcher = detail.BestOf2NearestMatcher
+detail_HomographyBasedEstimator = detail.HomographyBasedEstimator
+detail_BundleAdjusterRay = detail.BundleAdjusterRay
+detail_BundleAdjusterReproj = detail.BundleAdjusterReproj
+detail_CameraParams = detail.CameraParams
+detail_ImageFeatures = detail.ImageFeatures
+detail_MatchesInfo = detail.MatchesInfo
 from .objdetect import HOGDescriptor, QRCodeDetector, CascadeClassifier
 from .objdetect.hog import groupRectangles
 from .objdetect import aruco
