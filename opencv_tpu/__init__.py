@@ -343,3 +343,7 @@ from .core.borders import border_interpolate as borderInterpolate
 __version__ = "0.1.0"
 
 __all__ = [name for name in dir() if not name.startswith("_")]
+
+# FLANN (modules/flann): real ANN indexes + cv2.flann_Index surface
+from . import flann  # noqa: E402,F401
+from .flann import Index as flann_Index  # noqa: E402,F401

@@ -417,3 +417,6 @@ def blobFromImages(images, scalefactor=1.0, size=None, mean=None,
 
 
 from .importers import readNetFromCaffe, readNetFromTensorflow  # noqa: E402,F401
+from .nms import (  # noqa: E402,F401
+    NMSBoxes, NMSBoxesBatched, NMSBoxesRotated, softNMSBoxes,
+)

@@ -111,15 +111,86 @@ class BFMatcher:
         return out
 
 
-class FlannBasedMatcher(BFMatcher):
-    """FLANN-compatible surface. On TPU the batched brute-force distance
-    matrix saturates the MXU and beats tree traversal for the descriptor
-    sizes cv2 pipelines use, so this is exact (not approximate) matching
-    behind the FLANN API (miniflann.cpp parity gap: index persistence)."""
+class FlannBasedMatcher:
+    """`cv::FlannBasedMatcher` (matchers.cpp) backed by the real ANN
+    indexes in `opencv_tpu.flann` (randomized kd-trees by default, like
+    the reference's KDTreeIndexParams(4) + SearchParams(32); pass
+    {"algorithm": 6, ...} for LSH over binary descriptors)."""
 
     def __init__(self, indexParams=None, searchParams=None):
-        super().__init__(K.NORM_L2, crossCheck=False)
+        from ..flann import FLANN_INDEX_KDTREE
+
+        self.index_params = dict(indexParams or
+                                 {"algorithm": FLANN_INDEX_KDTREE,
+                                  "trees": 4})
+        self.search_params = dict(searchParams or {"checks": 32})
+        self._index = None
+        self._train = None
 
     @staticmethod
     def create():
         return FlannBasedMatcher()
+
+    # -- index management (miniflann train/add semantics) ------------------
+    def add(self, descriptors):
+        d = np.asarray(descriptors[0] if isinstance(descriptors, (list, tuple))
+                       else descriptors)
+        self._train = (d if self._train is None
+                       else np.vstack([self._train, d]))
+        self._index = None
+
+    def clear(self):
+        self._train = None
+        self._index = None
+
+    def train(self):
+        from ..flann import Index, FLANN_INDEX_LSH
+
+        if self._index is None and self._train is not None:
+            data = self._train
+            algo = int(self.index_params.get("algorithm", 1))
+            if data.dtype == np.uint8 and algo != FLANN_INDEX_LSH:
+                data = data.astype(np.float32)
+            self._index = Index(data, dict(self.index_params))
+        return self._index
+
+    def _search(self, query, train, k):
+        if train is not None:
+            self.clear()
+            self.add(train)
+        idx_obj = self.train()
+        q = np.asarray(query)
+        algo = int(self.index_params.get("algorithm", 1))
+        from ..flann import FLANN_INDEX_LSH
+
+        if q.dtype == np.uint8 and algo != FLANN_INDEX_LSH:
+            q = q.astype(np.float32)
+        idx, dst = idx_obj.knnSearch(q, k, self.search_params)
+        # FLANN reports squared L2; cv::FlannBasedMatcher exposes L2
+        if q.dtype != np.uint8:
+            dst = np.sqrt(np.maximum(dst, 0.0))
+        return idx, dst
+
+    def match(self, queryDescriptors, trainDescriptors=None, mask=None):
+        idx, dst = self._search(queryDescriptors, trainDescriptors, 1)
+        return [DMatch(i, int(idx[i, 0]), float(dst[i, 0]))
+                for i in range(len(idx)) if idx[i, 0] >= 0]
+
+    def knnMatch(self, queryDescriptors, trainDescriptors=None, k=2,
+                 mask=None, compactResult=False):
+        idx, dst = self._search(queryDescriptors, trainDescriptors, k)
+        return [[DMatch(i, int(j), float(d)) for j, d in zip(row, drow)
+                 if j >= 0]
+                for i, (row, drow) in enumerate(zip(idx, dst))]
+
+    def radiusMatch(self, queryDescriptors, trainDescriptors=None,
+                    maxDistance=0.0, mask=None):
+        k = min(64, len(self._train) if self._train is not None
+                else len(trainDescriptors))
+        idx, dst = self._search(queryDescriptors, trainDescriptors, k)
+        out = []
+        for i in range(len(idx)):
+            out.append([DMatch(i, int(j), float(d))
+                        for j, d in zip(idx[i], dst[i])
+                        if j >= 0 and d <= maxDistance])
+        return out

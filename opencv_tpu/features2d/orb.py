@@ -131,6 +131,84 @@ def _level_maps(img4d, fast_threshold: int, half_patch: int):
     return score, keep, a, b, c, m10, m01, blurred
 
 
+def _fast_atan2_jnp(y, x):
+    """Device twin of _fast_atan2 (f32 polynomial, degrees [0, 360))."""
+    f32 = jnp.float32
+    p1 = f32(0.9997878412794807 * (180 / math.pi))
+    p3 = f32(-0.3258083974640975 * (180 / math.pi))
+    p5 = f32(0.1555786518463281 * (180 / math.pi))
+    p7 = f32(-0.04432655554792128 * (180 / math.pi))
+    eps = f32(2.220446049250313e-16)
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    c = jnp.where(ax >= ay, ay / (ax + eps), ax / (ay + eps)).astype(f32)
+    c2 = c * c
+    a = (((p7 * c2 + p5) * c2 + p3) * c2 + p1) * c
+    a = jnp.where(ax >= ay, a, f32(90.0) - a)
+    a = jnp.where(x < 0, f32(180.0) - a, a)
+    a = jnp.where(y < 0, f32(360.0) - a, a)
+    return a
+
+
+def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
+                     et: int, n2: int, cap: int):
+    """Batched device candidate extraction + descriptors for one level.
+
+    img4d: (B, H, W, 1) u8.  Everything data-dependent is deferred by
+    computing for the top-`cap` FAST candidates per image: Harris terms,
+    IC angle, AND the rotated-BRIEF descriptor — so the host transfer is
+    (cap, 9) floats + (cap, 32) bytes per image instead of 7 full maps
+    (the axon-tunnel round-trip/bandwidth killer).  `n2` = retainBest
+    budget; n_ge reports how many candidates tie-or-beat the n2-th score
+    so the host can verify the cap covered every retainBest tie.
+    """
+    score, keep, a, b, c, m10, m01, blurred = _level_maps(
+        img4d, fast_threshold, half_patch)
+    B, H, W = img4d.shape[0], img4d.shape[1], img4d.shape[2]
+    s = score[..., 0].astype(jnp.float32)
+    k = keep[..., 0]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inside = (xs >= et) & (xs < W - et) & (ys >= et) & (ys < H - et)
+    masked = jnp.where(k & inside[None], s, -jnp.inf).reshape(B, -1)
+    cap = min(cap, H * W)
+    vals, idx = jax.lax.top_k(masked, cap)          # (B, cap)
+    iy = idx // W
+    ix = idx % W
+
+    def g(m):
+        return jnp.take_along_axis(m[..., 0].reshape(B, -1), idx,
+                                   axis=1).astype(jnp.float32)
+
+    m10g, m01g = g(m10), g(m01)
+    angle = _fast_atan2_jnp(m01g, m10g)
+    cand = jnp.stack([vals, iy.astype(jnp.float32), ix.astype(jnp.float32),
+                      g(a), g(b), g(c), m10g, m01g, angle], axis=-1)
+    boundary = vals[:, min(n2, cap) - 1]
+    n_ge = jnp.sum(jnp.where(jnp.isfinite(boundary)[:, None],
+                             masked >= boundary[:, None],
+                             masked > -jnp.inf), axis=1).astype(jnp.int32)
+
+    # rotated-BRIEF for every candidate (computeOrbDescriptors, orb.cpp:220)
+    pat = _PATTERN.reshape(512, 2).astype(np.float32)
+    px = jnp.asarray(pat[:, 0])
+    py = jnp.asarray(pat[:, 1])
+    ang = angle * jnp.float32(math.pi / 180.0)
+    ca = jnp.cos(ang)[..., None]                    # (B, cap, 1)
+    sa = jnp.sin(ang)[..., None]
+    rx = jnp.round(px[None, None] * ca - py[None, None] * sa).astype(jnp.int32)
+    ry = jnp.round(px[None, None] * sa + py[None, None] * ca).astype(jnp.int32)
+    cy = jnp.clip(iy[..., None] + ry, 0, H - 1)
+    cx = jnp.clip(ix[..., None] + rx, 0, W - 1)
+    flat = blurred[..., 0].reshape(B, -1).astype(jnp.int32)
+    gidx = (cy * W + cx).reshape(B, cap * 512)
+    v = jnp.take_along_axis(flat, gidx, axis=1).reshape(B, cap, 512)
+    bits = (v[..., 0::2] < v[..., 1::2]).astype(jnp.int32)  # (B, cap, 256)
+    weights = jnp.asarray((1 << np.arange(8)).astype(np.int32))
+    desc = jnp.sum(bits.reshape(B, cap, 32, 8) * weights, axis=-1) \
+        .astype(jnp.uint8)
+    return cand, n_ge, desc
+
+
 class ORB:
     """cv2.ORB-compatible detector/descriptor."""
 
@@ -148,6 +226,7 @@ class ORB:
         self.fast_threshold = fastThreshold
         self.score_type = scoreType
         self._maps_jit = jax.jit(_level_maps, static_argnums=(1, 2))
+        self._detect_cache = {}
 
     # -- cv2 API ------------------------------------------------------
     def detect(self, image, mask=None):
@@ -156,17 +235,9 @@ class ORB:
     def compute(self, image, keypoints):
         return keypoints, self._describe(image, keypoints)
 
-    def detectAndCompute(self, image, mask=None, compute_desc=True):
-        img = np.asarray(image)
-        if img.ndim == 3:
-            from ..ops.color import cvtColor
-            img = np.asarray(cvtColor(img, K.COLOR_BGR2GRAY))
-        H, W = img.shape
-
+    def _budget(self):
+        """Per-level feature budget (orb.cpp:841-849, float32 arithmetic)."""
         nlevels = self.nlevels
-        layer_scale = [float(np.float32(self.scale_factor) ** lv)
-                       for lv in range(nlevels)]
-        # per-level feature budget (orb.cpp:841-849, float32 arithmetic)
         factor = np.float32(1.0 / self.scale_factor)
         ndesired = np.float32(self.nfeatures * (1 - factor)
                               / (1 - factor ** np.float32(nlevels)))
@@ -177,81 +248,146 @@ class ORB:
             sumf += nper[-1]
             ndesired = np.float32(ndesired * factor)
         nper.append(max(self.nfeatures - sumf, 0))
+        return nper
 
-        # pyramid: level L resized from level L-1 with INTER_LINEAR_EXACT
-        levels = []
-        prev = img
-        for lv in range(nlevels):
-            if lv == 0:
-                cur = img
-            else:
-                sz = (int(np.rint(W / layer_scale[lv])),
-                      int(np.rint(H / layer_scale[lv])))
-                cur = np.asarray(resize(prev, sz,
-                                        interpolation=K.INTER_LINEAR_EXACT))
-            levels.append(cur)
-            prev = cur
-
+    def _detect_fn(self, H, W, caps):
+        """ONE fused device program for the whole detect: pyramid resizes,
+        FAST, Harris terms, IC moments, blur, per-level top-k candidate
+        extraction AND descriptors.  A single dispatch per batch — the
+        per-level round trips are what made ORB tunnel-latency-bound."""
+        key = (H, W, tuple(caps))
+        if key in self._detect_cache:
+            return self._detect_cache[key]
+        nlevels = self.nlevels
+        layer_scale = [float(np.float32(self.scale_factor) ** lv)
+                       for lv in range(nlevels)]
+        sizes = [(int(np.rint(W / layer_scale[lv])),
+                  int(np.rint(H / layer_scale[lv]))) for lv in range(nlevels)]
         half_patch = self.patch_size // 2
-        all_kps = []
-        per_level_counts = []
-        blurred_levels = []
-        for lv, cur in enumerate(levels):
-            x4, _ = to_batched(cur)
-            score, keep, a, b, c, m10, m01, blurred = self._maps_jit(
-                x4, self.fast_threshold, half_patch)
-            blurred_levels.append(np.asarray(blurred)[0, :, :, 0])
-            s = np.asarray(score)[0, :, :, 0]
-            m = np.asarray(keep)[0, :, :, 0]
-            an = np.asarray(a)[0, :, :, 0].astype(np.float32)
-            bn = np.asarray(b)[0, :, :, 0].astype(np.float32)
-            cn = np.asarray(c)[0, :, :, 0].astype(np.float32)
-            m10n = np.asarray(m10)[0, :, :, 0]
-            m01n = np.asarray(m01)[0, :, :, 0]
+        et = self.edge_threshold
+        is_harris = self.score_type == K.ORB_HARRIS_SCORE
+        nper = self._budget()
 
-            ys, xs = np.nonzero(m)
-            kps = [KeyPoint(float(xx), float(yy), 7.0, -1.0, float(s[yy, xx]),
-                            lv)
-                   for yy, xx in zip(ys, xs)]
-            # runByImageBorder with edgeThreshold
-            h, w = cur.shape
-            et = self.edge_threshold
-            kps = [k for k in kps
-                   if et <= k.pt[0] < w - et and et <= k.pt[1] < h - et]
-            # retainBest(2N) by FAST score
-            if self.score_type == K.ORB_HARRIS_SCORE:
-                kps = retain_best(kps, 2 * nper[lv])
-                # Harris rescore (dense lookup) then retainBest(N)
-                scale = np.float32(1.0 / ((1 << 2) * 7 * 255.0))
-                s4 = scale * scale * scale * scale
-                for k in kps:
-                    x0 = int(np.rint(k.pt[0]))
-                    y0 = int(np.rint(k.pt[1]))
-                    aa, bb, cc = an[y0, x0], bn[y0, x0], cn[y0, x0]
-                    k.response = float((aa * bb - cc * cc
-                                        - HARRIS_K * (aa + bb) * (aa + bb)) * s4)
-                kps = retain_best(kps, nper[lv])
-            else:
-                kps = retain_best(kps, nper[lv])
-            # angle from IC moments
-            for k in kps:
-                x0 = int(np.rint(k.pt[0]))
-                y0 = int(np.rint(k.pt[1]))
-                k.angle = float(_fast_atan2(np.float32(m01n[y0, x0]),
-                                            np.float32(m10n[y0, x0])))
-            sf = layer_scale[lv]
-            for k in kps:
-                k.size = self.patch_size * sf
-                k.octave = lv
-                k.pt = (k.pt[0] * sf, k.pt[1] * sf)
-            per_level_counts.append(len(kps))
-            all_kps.extend(kps)
+        def fn(x4):
+            outs = []
+            cur = x4
+            for lv in range(nlevels):
+                if lv:
+                    cur = resize(cur, sizes[lv],
+                                 interpolation=K.INTER_LINEAR_EXACT)
+                n2 = max(2 * nper[lv] if is_harris else nper[lv], 1)
+                h, w = sizes[lv][1], sizes[lv][0]
+                outs.append(_level_cand_desc(
+                    cur, self.fast_threshold, half_patch, et, n2,
+                    min(caps[lv], h * w)))
+            return outs
 
-        if not compute_desc:
-            return all_kps, None
+        jitted = jax.jit(fn)
+        self._detect_cache[key] = jitted
+        return jitted
 
-        desc = self._describe_levels(all_kps, blurred_levels, layer_scale)
-        return all_kps, desc
+    def detect_and_compute_batch(self, images, compute_desc=True):
+        """(B, H, W) u8 batch → list of (keypoints, descriptors).
+
+        The TPU-native entry point: one fused XLA program per batch, all
+        levels; the host tail is vectorized numpy (retainBest tie cuts,
+        Harris rescoring, final packing)."""
+        imgs = np.asarray(images)
+        if imgs.ndim == 2:
+            imgs = imgs[None]
+        B, H, W = imgs.shape
+        nlevels = self.nlevels
+        nper = self._budget()
+        is_harris = self.score_type == K.ORB_HARRIS_SCORE
+        layer_scale = [float(np.float32(self.scale_factor) ** lv)
+                       for lv in range(nlevels)]
+        caps = [max(4 * max((2 if is_harris else 1) * nper[lv], 1), 1024)
+                for lv in range(nlevels)]
+
+        x4 = jnp.asarray(imgs)[..., None]
+        while True:
+            outs = self._detect_fn(H, W, caps)(x4)
+            n_ge = np.stack([np.asarray(o[1]) for o in outs])  # (L, B)
+            over = [lv for lv in range(nlevels)
+                    if (n_ge[lv] > caps[lv]).any()]
+            if not over:
+                break
+            for lv in over:  # tie storm: grow the cap and re-run
+                caps[lv] = int(max(2 * n_ge[lv].max(), 2 * caps[lv]))
+
+        cands = [np.asarray(o[0]) for o in outs]   # (B, cap, 9) each
+        descs = [np.asarray(o[2]) for o in outs]   # (B, cap, 32)
+
+        scale_h = np.float32(1.0 / ((1 << 2) * 7 * 255.0))
+        s4 = scale_h * scale_h * scale_h * scale_h
+        hk = np.float32(HARRIS_K)
+
+        results = []
+        for b in range(B):
+            all_kps = []
+            drows = []
+            for lv in range(nlevels):
+                c = cands[lv][b]
+                n = int(np.isfinite(c[:, 0]).sum())
+                if n == 0:
+                    continue
+                c = c[:n]
+                scores = c[:, 0]  # sorted desc by top_k
+                if is_harris:
+                    n2 = 2 * nper[lv]
+                    if n > n2:
+                        cut = scores[n2 - 1]
+                        m = int(np.searchsorted(-scores, -cut, side="right"))
+                    else:
+                        m = n
+                    sl = c[:m]
+                    aa = sl[:, 3].astype(np.float32)
+                    bb = sl[:, 4].astype(np.float32)
+                    cc = sl[:, 5].astype(np.float32)
+                    resp = ((aa * bb - cc * cc
+                             - hk * (aa + bb) * (aa + bb)) * s4)
+                    order = np.argsort(-resp, kind="stable")
+                    nl = nper[lv]
+                    if len(order) > nl:
+                        cut2 = resp[order[nl - 1]]
+                        keep_n = int((resp >= cut2).sum())
+                    else:
+                        keep_n = len(order)
+                    sel = order[:keep_n]
+                    fin = sl[sel]
+                    fresp = resp[sel]
+                else:
+                    nl = nper[lv]
+                    if n > nl:
+                        cut = scores[nl - 1]
+                        m = int(np.searchsorted(-scores, -cut, side="right"))
+                    else:
+                        m = n
+                    sel = np.arange(m)
+                    fin = c[sel]
+                    fresp = fin[:, 0]
+                sf = layer_scale[lv]
+                dsel = descs[lv][b][:n][sel] if is_harris else \
+                    descs[lv][b][sel]
+                for i in range(len(fin)):
+                    kp = KeyPoint(float(fin[i, 2]) * sf,
+                                  float(fin[i, 1]) * sf,
+                                  self.patch_size * sf,
+                                  float(fin[i, 8]), float(fresp[i]), lv)
+                    all_kps.append(kp)
+                drows.append(dsel)
+            desc = (np.concatenate(drows, axis=0) if drows
+                    else np.zeros((0, 32), np.uint8))
+            results.append((all_kps, desc if compute_desc else None))
+        return results
+
+    def detectAndCompute(self, image, mask=None, compute_desc=True):
+        img = np.asarray(image)
+        if img.ndim == 3:
+            from ..ops.color import cvtColor
+            img = np.asarray(cvtColor(img, K.COLOR_BGR2GRAY))
+        return self.detect_and_compute_batch(img[None],
+                                             compute_desc=compute_desc)[0]
 
     # -- descriptors ---------------------------------------------------
     def _describe_levels(self, kps, blurred_levels, layer_scale):

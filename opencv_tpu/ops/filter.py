@@ -235,9 +235,18 @@ def GaussianBlur(src, ksize, sigmaX: float, sigmaY: float = 0.0,
         bits = 8
         kx = gaussian_kernel_fixedpoint_ed(kxf, bits)
         ky = (kx if kyf is kxf else gaussian_kernel_fixedpoint_ed(kyf, bits))
-        acc = _sep_correlate_int(x, kx, ky, borderType)
-        out = (acc + (1 << (2 * bits - 1))) >> (2 * bits)
-        y = saturate_cast(out, x.dtype)
+        # dispatch ladder (CALL_HAL analogue): fused Pallas kernel when
+        # registered for this (dtype, ksize, border), else composed XLA
+        from ..core.dispatch import lookup
+        kern = lookup("sep_filter_u8", dtype="uint8", kw=kw, kh=kh,
+                      channels=x.shape[3], border=borderType,
+                      shift=2 * bits)
+        if kern is not None:
+            y = kern(x, kx, ky)
+        else:
+            acc = _sep_correlate_int(x, kx, ky, borderType)
+            out = (acc + (1 << (2 * bits - 1))) >> (2 * bits)
+            y = saturate_cast(out, x.dtype)
     else:
         acc = _sep_correlate_float(x, kxf, kyf, borderType)
         y = saturate_cast(acc, x.dtype) if x.dtype.kind in "ui" else acc.astype(x.dtype)

@@ -326,6 +326,162 @@ def _remap_linear_float(x, mapx, mapy, border_type, border_value):
 
 
 # --------------------------------------------------------------------------
+# device-side remap core (used by warpAffine/warpPerspective)
+#
+# The reference computes per-block fixed-point coordinate maps on the CPU
+# (imgwarp.cpp:2247 WarpAffineInvoker).  Shipping full-resolution maps to
+# the device would bake dh*dw-sized constants into the XLA program (at 4K:
+# ~130 MB per warp), so instead the maps are RANK-1 decomposed on the host
+# (per-row + per-column double vectors) and reassembled on the device in
+# double-float (two-float32) arithmetic — full double precision from f32
+# hardware, O(dh + dw) host work, O(1) program size.
+# --------------------------------------------------------------------------
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _quick_two_sum(a, b):
+    s = a + b
+    return s, b - (s - a)
+
+
+def _veltkamp_split(a):
+    c = a * np.float32(4097.0)  # 2^12 + 1
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _veltkamp_split(a)
+    bh, bl = _veltkamp_split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _dd_add(a, b):
+    s, e = _two_sum(a[0], b[0])
+    e = e + a[1] + b[1]
+    return _quick_two_sum(s, e)
+
+
+def _dd_div(a, b):
+    q0 = a[0] / b[0]
+    # r = a - q0*b in double-float
+    p, pe = _two_prod(q0, b[0])
+    rh, re = _two_sum(a[0], -p)
+    r = rh + (re + a[1] - pe - q0 * b[1])
+    q1 = r / b[0]
+    return _quick_two_sum(q0, q1)
+
+
+def _split_f64_host(v):
+    """Host f64 vector → (hi, lo) f32 pair with hi+lo == v exactly-ish."""
+    hi = v.astype(np.float32)
+    lo = (v - hi.astype(np.float64)).astype(np.float32)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def _floor_frac_dd(hi, lo):
+    """floor + fraction of a double-float coordinate (f32 pair)."""
+    x0 = jnp.floor(hi)
+    r = (hi - x0) + lo
+    x0 = x0 + jnp.floor(r)
+    r = r - jnp.floor(r)
+    # clamp before the int cast: saturated/degenerate coords can exceed
+    # int32 range in f32 (f32→s32 overflow is undefined in XLA)
+    x0 = jnp.clip(x0, -1e9, 1e9)
+    return x0.astype(jnp.int32), r.astype(jnp.float32)
+
+
+def _resolve_tap_dev(coord, length, border_type):
+    """Device borderInterpolate (copy.cpp:748): closed-form index map.
+    Returns (idx int32 in [0,len), use_cval bool)."""
+    bt = border_type & ~K.BORDER_ISOLATED
+    L = length
+    inside_bad = (coord < 0) | (coord >= L)
+    if bt == K.BORDER_REPLICATE:
+        return jnp.clip(coord, 0, L - 1), jnp.zeros_like(inside_bad)
+    if bt in (K.BORDER_CONSTANT, K.BORDER_TRANSPARENT):
+        return jnp.clip(coord, 0, L - 1), inside_bad
+    if bt == K.BORDER_WRAP:
+        return jnp.mod(coord, L), jnp.zeros_like(inside_bad)
+    if L == 1:
+        return jnp.zeros_like(coord), jnp.zeros_like(inside_bad)
+    if bt == K.BORDER_REFLECT:        # period 2L: ...210|012...L-1|L-1...
+        q = jnp.mod(coord, 2 * L)
+        idx = jnp.where(q < L, q, 2 * L - 1 - q)
+        return idx, jnp.zeros_like(inside_bad)
+    if bt == K.BORDER_REFLECT_101:    # period 2L-2
+        q = jnp.mod(coord, 2 * L - 2)
+        idx = jnp.where(q < L, q, 2 * L - 2 - q)
+        return idx, jnp.zeros_like(inside_bad)
+    raise ValueError(f"unsupported border type {border_type}")
+
+
+def _cval_vec(border_value, dtype, C):
+    bval = np.zeros(4, np.float64)
+    bv = (np.asarray(border_value, np.float64).reshape(-1)
+          if border_value is not None else np.zeros(1))
+    bval[:min(4, bv.size)] = bv[:4]
+    if np.dtype(dtype).kind in "ui":
+        info = np.iinfo(dtype)
+        bval = np.clip(np.rint(bval), info.min, info.max)
+    return jnp.asarray(bval[[k & 3 for k in range(C)]], jnp.float32)
+
+
+def _remap_nn_dev(x, sx, sy, border_type, border_value):
+    """NN remap with DEVICE int32 coordinate planes sx/sy (dh, dw)."""
+    N, H, W, C = x.shape
+    dh, dw = sx.shape
+    cval = _cval_vec(border_value, x.dtype, C)
+    xi, xm = _resolve_tap_dev(sx, W, border_type)
+    yi, ym = _resolve_tap_dev(sy, H, border_type)
+    use_c = xm | ym
+    idx = (yi * W + xi).reshape(-1)
+    flat = x.reshape(N, H * W, C)
+    g = jnp.take(flat, idx, axis=1).reshape(N, dh, dw, C)
+    return jnp.where(use_c[None, :, :, None],
+                     cval.astype(x.dtype).reshape(1, 1, 1, C), g)
+
+
+def _remap_linear_dev(x, x0, fx, y0, fy, border_type, border_value):
+    """Bilinear remap with DEVICE integer taps + f32 fractions."""
+    N, H, W, C = x.shape
+    dh, dw = x0.shape
+    cval = _cval_vec(border_value, x.dtype, C)
+    flat = x.reshape(N, H * W, C)
+
+    fxf = fx.reshape(-1)[None, :, None]
+    fyf = fy.reshape(-1)[None, :, None]
+    wts = [(1 - fxf) * (1 - fyf), fxf * (1 - fyf),
+           (1 - fxf) * fyf, fxf * fyf]
+
+    acc = None
+    for t, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        xi, xm = _resolve_tap_dev(x0 + dx, W, border_type)
+        yi, ym = _resolve_tap_dev(y0 + dy, H, border_type)
+        use_c = (xm | ym).reshape(-1)[None, :, None]
+        idx = (yi * W + xi).reshape(-1)
+        g = jnp.take(flat, idx, axis=1).astype(jnp.float32)
+        g = jnp.where(use_c, cval.reshape(1, 1, C), g)
+        term = g * wts[t]
+        acc = term if acc is None else acc + term
+
+    out = saturate_cast(acc, x.dtype).reshape(N, dh, dw, C)
+    bt = border_type & ~K.BORDER_ISOLATED
+    if bt == K.BORDER_CONSTANT:
+        fully_out = ((x0 >= W) | (x0 + 1 < 0) | (y0 >= H) | (y0 + 1 < 0))
+        out = jnp.where(fully_out[None, :, :, None],
+                        cval.astype(x.dtype).reshape(1, 1, 1, C), out)
+    return out
+
+
+# --------------------------------------------------------------------------
 # public warps
 # --------------------------------------------------------------------------
 
@@ -351,25 +507,38 @@ def warpAffine(src, M, dsize, flags: int = K.INTER_LINEAR,
 
     xs = np.arange(dw, dtype=np.float64)
     ys = np.arange(dh, dtype=np.float64)
-    adelta = _sat_i32(m[0] * xs * AB_SCALE)
-    bdelta = _sat_i32(m[3] * xs * AB_SCALE)
-    rd = AB_SCALE // 2 if interp == K.INTER_NEAREST else AB_SCALE // INTER_TAB_SIZE // 2
-    X0 = _sat_i32((m[1] * ys + m[2]) * AB_SCALE) + rd
-    Y0 = _sat_i32((m[4] * ys + m[5]) * AB_SCALE) + rd
 
     if interp == K.INTER_NEAREST:
+        # exact integer scheme (imgwarp.cpp:2686): per-column adelta and
+        # per-row X0 vectors assembled to the full plane ON DEVICE —
+        # int32 wraparound add + arithmetic >> match the C semantics
+        adelta = jnp.asarray(_sat_i32(m[0] * xs * AB_SCALE)
+                             .astype(np.int32))
+        bdelta = jnp.asarray(_sat_i32(m[3] * xs * AB_SCALE)
+                             .astype(np.int32))
+        rd = AB_SCALE // 2
+        X0 = jnp.asarray((_sat_i32((m[1] * ys + m[2]) * AB_SCALE) + rd)
+                         .astype(np.int32))
+        Y0 = jnp.asarray((_sat_i32((m[4] * ys + m[5]) * AB_SCALE) + rd)
+                         .astype(np.int32))
         X = (X0[:, None] + adelta[None, :]) >> AB_BITS
         Y = (Y0[:, None] + bdelta[None, :]) >> AB_BITS
-        sx = _sat_i16(X)
-        sy = _sat_i16(Y)
-        y = _remap_fixed(x, sx, sy, None, interp, borderMode, borderValue)
+        sx = jnp.clip(X, -32768, 32767)
+        sy = jnp.clip(Y, -32768, 32767)
+        y = _remap_nn_dev(x, sx, sy, borderMode, borderValue)
     else:
-        xg = np.arange(dw, dtype=np.float64)[None, :]
-        yg = np.arange(dh, dtype=np.float64)[:, None]
-        mapx = m[0] * xg + m[1] * yg + m[2]
-        mapy = m[3] * xg + m[4] * yg + m[5]
-        y = _remap_linear_float(x, mapx + 0 * yg, mapy + 0 * xg,
-                                borderMode, borderValue)
+        # rank-1 map decomposition, reassembled in double-float on device
+        cxh, cxl = _split_f64_host(m[0] * xs)
+        cyh, cyl = _split_f64_host(m[3] * xs)
+        rxh, rxl = _split_f64_host(m[1] * ys + m[2])
+        ryh, ryl = _split_f64_host(m[4] * ys + m[5])
+        sX, eX = _two_sum(rxh[:, None], cxh[None, :])
+        loX = eX + (rxl[:, None] + cxl[None, :])
+        sY, eY = _two_sum(ryh[:, None], cyh[None, :])
+        loY = eY + (ryl[:, None] + cyl[None, :])
+        x0, fx = _floor_frac_dd(sX, loX)
+        y0, fy = _floor_frac_dd(sY, loY)
+        y = _remap_linear_dev(x, x0, fx, y0, fy, borderMode, borderValue)
     return from_batched(y, meta)
 
 
@@ -385,25 +554,42 @@ def warpPerspective(src, M, dsize, flags: int = K.INTER_LINEAR,
         M = np.linalg.inv(M)
     m = M.ravel()
 
-    xs = np.arange(dw, dtype=np.float64)[None, :]
-    ys = np.arange(dh, dtype=np.float64)[:, None]
-    Wd = m[6] * xs + m[7] * ys + m[8]
-    X0 = m[0] * xs + m[1] * ys + m[2]
-    Y0 = m[3] * xs + m[4] * ys + m[5]
+    xs = np.arange(dw, dtype=np.float64)
+    ys = np.arange(dh, dtype=np.float64)
+
+    # rank-1 double-float assembly of numerators/denominator on device
+    def _plane(col, row):
+        ch, cl = _split_f64_host(col)
+        rh, rl = _split_f64_host(row)
+        s, e = _two_sum(rh[:, None], ch[None, :])
+        return s, e + (rl[:, None] + cl[None, :])
+
+    Xn = _plane(m[0] * xs, m[1] * ys + m[2])
+    Yn = _plane(m[3] * xs, m[4] * ys + m[5])
+    Wd = _plane(m[6] * xs, m[7] * ys + m[8])
+    w_zero = (Wd[0] == 0) & (Wd[1] == 0)
+    Wsafe = (jnp.where(w_zero, 1.0, Wd[0]), jnp.where(w_zero, 0.0, Wd[1]))
+    mx = _dd_div(Xn, Wsafe)
+    my = _dd_div(Yn, Wsafe)
+    mx = (jnp.where(w_zero, 0.0, mx[0]), jnp.where(w_zero, 0.0, mx[1]))
+    my = (jnp.where(w_zero, 0.0, my[0]), jnp.where(w_zero, 0.0, my[1]))
+
     if interp == K.INTER_NEAREST:
-        Wi = np.where(Wd != 0, np.divide(1.0, Wd, where=Wd != 0), 0.0)
-        fX = np.clip(X0 * Wi, -2147483648.0, 2147483647.0)
-        fY = np.clip(Y0 * Wi, -2147483648.0, 2147483647.0)
-        X = _sat_i32(fX)
-        Y = _sat_i32(fY)
-        sx = _sat_i16(X)
-        sy = _sat_i16(Y)
-        y = _remap_fixed(x, sx, sy, None, interp, borderMode, borderValue)
+        # cv2 rounds double coords with saturate_cast<int> (rint);
+        # double-float round: round(hi) then correct by the residual
+        def _dd_round(hi, lo):
+            hi = jnp.clip(hi, -1e9, 1e9)
+            r0 = jnp.round(hi)
+            f = (hi - r0) + lo            # in (-0.5-eps, 0.5+eps)
+            return (r0 + jnp.round(f)).astype(jnp.int32)
+
+        sx = jnp.clip(_dd_round(mx[0], mx[1]), -32768, 32767)
+        sy = jnp.clip(_dd_round(my[0], my[1]), -32768, 32767)
+        y = _remap_nn_dev(x, sx, sy, borderMode, borderValue)
     else:
-        Wi = np.where(Wd != 0, np.divide(1.0, Wd, where=Wd != 0), 0.0)
-        mapx = X0 * Wi
-        mapy = Y0 * Wi
-        y = _remap_linear_float(x, mapx, mapy, borderMode, borderValue)
+        x0, fx = _floor_frac_dd(mx[0], mx[1])
+        y0, fy = _floor_frac_dd(my[0], my[1])
+        y = _remap_linear_dev(x, x0, fx, y0, fy, borderMode, borderValue)
     return from_batched(y, meta)
 
 
@@ -455,25 +641,29 @@ def warpPolar(src, dsize, center, maxRadius, flags):
     img = _np.asarray(src)
     H, W = img.shape[:2]
     dw, dh = dsize
-    if dw <= 0 or dh <= 0:
+    if dw <= 0 and dh <= 0:
         dw = int(round(maxRadius))
         dh = int(round(maxRadius * _np.pi))
-        dsize = (dw, dh)
+    elif dh <= 0:
+        dh = int(round(dw * _np.pi))
+    dsize = (dw, dh)
     semilog = bool(flags & WARP_POLAR_LOG)
     inverse = bool(flags & K.WARP_INVERSE_MAP)
-    interp = flags & 0xF
+    interp = flags & K.INTER_MAX
 
     if not inverse:
-        rhos, phis = _np.meshgrid(_np.arange(dw, dtype=_np.float64),
-                                  _np.arange(dh, dtype=_np.float64))
-        angle = phis * (2 * _np.pi / dh)
+        # reference precomputes rho scales as float32 (imgwarp.cpp:3757+)
         if semilog:
             kmag = _np.log(maxRadius) / dw
-            mag = _np.exp(rhos * kmag) - 1.0
+            buf_rhos = (_np.exp(_np.arange(dw) * kmag) - 1.0).astype(_np.float32)
         else:
-            mag = rhos * (maxRadius / dw)
-        mapx = (center[0] + mag * _np.cos(angle)).astype(_np.float32)
-        mapy = (center[1] + mag * _np.sin(angle)).astype(_np.float32)
+            buf_rhos = (_np.arange(dw) * (maxRadius / dw)).astype(_np.float32)
+        kangle = 2 * _np.pi / dh
+        phis = _np.arange(dh, dtype=_np.float64) * kangle
+        cp, sp = _np.cos(phis), _np.sin(phis)
+        mag = buf_rhos.astype(_np.float64)
+        mapx = (mag[None, :] * cp[:, None] + center[0]).astype(_np.float32)
+        mapy = (mag[None, :] * sp[:, None] + center[1]).astype(_np.float32)
         return remap(src, mapx, mapy, interp,
                      borderMode=K.BORDER_CONSTANT)
     # inverse: the input is the POLAR image; dsize is the output size.
@@ -482,18 +672,43 @@ def warpPolar(src, dsize, center, maxRadius, flags):
     ph = img.shape[0]
     wrapped = _np.concatenate([img[-1:], img, img[:1]], axis=0)
     out_h, out_w = dsize[1], dsize[0]
-    xs2, ys2 = _np.meshgrid(_np.arange(out_w, dtype=_np.float64),
-                            _np.arange(out_h, dtype=_np.float64))
-    dx = xs2 - center[0]
-    dy = ys2 - center[1]
-    mag = _np.hypot(dx, dy)
-    angle = _np.arctan2(dy, dx) % (2 * _np.pi)
+    f32 = _np.float32
+    xs2, ys2 = _np.meshgrid(_np.arange(out_w, dtype=f32),
+                            _np.arange(out_h, dtype=f32))
+    dx = (xs2 - f32(center[0])).astype(f32)
+    dy = (ys2 - f32(center[1])).astype(f32)
+    # cartToPolar semantics: float32 magnitude + fastAtan2 polynomial
+    # (core/src/mathfuncs_core.simd.hpp:52 atan_f32), radians
+    mag = _np.sqrt((dx * dx + dy * dy).astype(f32)).astype(f32)
+    angle = _fast_atan2_deg(dy, dx) * f32(_np.pi / 180)
+    kangle = 2 * _np.pi / ph
     if semilog:
         kmag = _np.log(maxRadius) / pw
-        rho = _np.log(mag + 1.0) / kmag
+        bufp = _np.log((mag + f32(1.0)).astype(f32)).astype(f32)
     else:
-        rho = mag * (pw / maxRadius)
-    phi = angle * (ph / (2 * _np.pi)) + 1.0
-    return remap(wrapped, rho.astype(_np.float32),
-                 phi.astype(_np.float32), interp,
-                 borderMode=K.BORDER_CONSTANT)
+        kmag = maxRadius / pw
+        bufp = mag
+    rho = (bufp.astype(_np.float64) / kmag).astype(f32)
+    phi = (angle.astype(_np.float64) / kangle + 1.0).astype(f32)
+    return remap(wrapped, rho, phi, interp, borderMode=K.BORDER_CONSTANT)
+
+
+def _fast_atan2_deg(y, x):
+    """Vectorized twin of cv::fastAtan2 (mathfuncs_core.simd.hpp:52):
+    7th-order polynomial atan in float32, returns degrees in [0, 360)."""
+    import numpy as _np
+    f32 = _np.float32
+    p1 = f32(0.9997878412794807 * (180 / _np.pi))
+    p3 = f32(-0.3258083974640975 * (180 / _np.pi))
+    p5 = f32(0.1555786518463281 * (180 / _np.pi))
+    p7 = f32(-0.04432655554792128 * (180 / _np.pi))
+    eps = f32(2.220446049250313e-16)  # (float)DBL_EPSILON
+    ax, ay = _np.abs(x).astype(f32), _np.abs(y).astype(f32)
+    swap = ax < ay
+    c = _np.where(swap, ax / (ay + eps), ay / (ax + eps)).astype(f32)
+    c2 = (c * c).astype(f32)
+    a = ((((p7 * c2 + p5) * c2 + p3) * c2 + p1) * c).astype(f32)
+    a = _np.where(swap, f32(90) - a, a).astype(f32)
+    a = _np.where(x < 0, f32(180) - a, a).astype(f32)
+    a = _np.where(y < 0, f32(360) - a, a).astype(f32)
+    return a

@@ -4,4 +4,8 @@ from .mesh import (  # noqa: F401
     pipeline,
     sharded_pipeline,
     spatial_gaussian_blur,
+    spatial_sep_filter,
+    sharded_min_max,
+    sharded_hist,
+    sharded_otsu,
 )

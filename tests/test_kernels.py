@@ -26,3 +26,54 @@ def test_fused_sigma_nonzero():
     b = cv2.GaussianBlur(g, (5, 5), 1.5)
     r = cv2.resize(b, (128, 64), interpolation=cv2.INTER_AREA)
     assert_exact(out[0], r)
+
+
+def test_sep_filter_u8_bitexact():
+    """Generic separable Pallas kernel: all 5 borders, C=1/3, k=3..31."""
+    from opencv_tpu.kernels.sepfilter import sep_filter_u8
+    from opencv_tpu.ops.filter import (gaussian_kernel_bitexact,
+                                       gaussian_kernel_fixedpoint_ed)
+    import opencv_tpu.constants as K
+
+    rng = np.random.default_rng(2)
+    cases = [
+        (100, 150, 1, 5, 0.0, K.BORDER_REFLECT_101),
+        (64, 200, 3, 5, 1.5, K.BORDER_REPLICATE),
+        (130, 257, 1, 9, 2.0, K.BORDER_CONSTANT),
+        (33, 65, 3, 3, 0.8, K.BORDER_WRAP),
+        (128, 130, 1, 31, 5.0, K.BORDER_REFLECT),
+    ]
+    for (H, W, C, ks, sigma, border) in cases:
+        x = rng.integers(0, 256, (2, H, W, C), np.uint8)
+        kf = gaussian_kernel_bitexact(ks, sigma)
+        kq = gaussian_kernel_fixedpoint_ed(kf, 8)
+        out = np.asarray(sep_filter_u8(x, tuple(kq), tuple(kq), 16,
+                                       border=border, interpret=True))
+        for i in range(2):
+            ref = cv2.GaussianBlur(x[i] if C > 1 else x[i, :, :, 0],
+                                   (ks, ks), sigma, borderType=border)
+            got = out[i] if C > 1 else out[i, :, :, 0]
+            assert_exact(got, ref, f"{H}x{W}x{C} k={ks} border={border}")
+
+
+def test_dispatch_registry_force_mode():
+    """OPENCV_TPU_PALLAS=force routes GaussianBlur through the Pallas
+    kernel (interpret mode) — must stay bit-exact with the XLA tier."""
+    import os
+    import opencv_tpu as tcv
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 256, (60, 90), np.uint8)
+    old = os.environ.get("OPENCV_TPU_PALLAS")
+    try:
+        os.environ["OPENCV_TPU_PALLAS"] = "force"
+        got = np.asarray(tcv.GaussianBlur(x, (5, 5), 1.2))
+        os.environ["OPENCV_TPU_PALLAS"] = "0"
+        ref = np.asarray(tcv.GaussianBlur(x, (5, 5), 1.2))
+    finally:
+        if old is None:
+            os.environ.pop("OPENCV_TPU_PALLAS", None)
+        else:
+            os.environ["OPENCV_TPU_PALLAS"] = old
+    assert_exact(got, ref, "dispatch force vs xla")
+    assert_exact(got, cv2.GaussianBlur(x, (5, 5), 1.2), "vs cv2")
