@@ -347,3 +347,16 @@ __all__ = [name for name in dir() if not name.startswith("_")]
 # FLANN (modules/flann): real ANN indexes + cv2.flann_Index surface
 from . import flann  # noqa: E402,F401
 from .flann import Index as flann_Index  # noqa: E402,F401
+from .objdetect import FaceDetectorYN, FaceRecognizerSF  # noqa: E402,F401
+
+
+def FaceDetectorYN_create(model, config="", input_size=(320, 320),
+                          score_threshold=0.9, nms_threshold=0.3,
+                          top_k=5000, backend_id=0, target_id=0):
+    return FaceDetectorYN.create(model, config, input_size,
+                                 score_threshold, nms_threshold, top_k,
+                                 backend_id, target_id)
+
+
+def FaceRecognizerSF_create(model, config="", backend_id=0, target_id=0):
+    return FaceRecognizerSF.create(model, config, backend_id, target_id)

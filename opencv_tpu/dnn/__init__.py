@@ -420,3 +420,7 @@ from .importers import readNetFromCaffe, readNetFromTensorflow  # noqa: E402,F40
 from .nms import (  # noqa: E402,F401
     NMSBoxes, NMSBoxesBatched, NMSBoxesRotated, softNMSBoxes,
 )
+from .tflite import readNetFromTFLite  # noqa: E402,F401
+from .models import (  # noqa: E402,F401
+    Model, ClassificationModel, DetectionModel, SegmentationModel,
+)

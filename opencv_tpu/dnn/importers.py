@@ -45,6 +45,9 @@ class _GraphBuilder:
     def __init__(self, name):
         self.model = _onnx.ModelProto()
         self.model.ir_version = 7
+        op = self.model.opset_import.add()
+        op.domain = ""
+        op.version = 13
         g = self.model.graph
         g.name = name
         self.g = g

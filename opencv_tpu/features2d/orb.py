@@ -149,6 +149,30 @@ def _fast_atan2_jnp(y, x):
     return a
 
 
+def _topk2(x, k):
+    """Exact top-k over the last axis via two-stage block selection —
+    avoids lax.top_k's full O(n log n) sort on multi-megapixel score maps
+    (the ORB hot spot).  Tie order (descending value, ascending index)
+    matches single-stage top_k: blocks are scanned in index order and
+    each block's winners keep ascending-index order."""
+    B, n = x.shape
+    blk = 16384
+    if n <= max(4 * k, blk):
+        return jax.lax.top_k(x, k)
+    nb = -(-n // blk)
+    pad = nb * blk - n
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    xb = x.reshape(B, nb, blk)
+    kb = min(k, blk)
+    v1, i1 = jax.lax.top_k(xb, kb)                 # (B, nb, kb)
+    base = (jnp.arange(nb, dtype=jnp.int32) * blk)[None, :, None]
+    fi = (i1 + base).reshape(B, nb * kb)
+    v2, i2 = jax.lax.top_k(v1.reshape(B, nb * kb), k)
+    idx = jnp.take_along_axis(fi, i2, axis=1)
+    return v2, idx
+
+
 def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
                      et: int, n2: int, cap: int):
     """Batched device candidate extraction + descriptors for one level.
@@ -171,7 +195,7 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
     inside = (xs >= et) & (xs < W - et) & (ys >= et) & (ys < H - et)
     masked = jnp.where(k & inside[None], s, -jnp.inf).reshape(B, -1)
     cap = min(cap, H * W)
-    vals, idx = jax.lax.top_k(masked, cap)          # (B, cap)
+    vals, idx = _topk2(masked, cap)                 # (B, cap)
     iy = idx // W
     ix = idx % W
 

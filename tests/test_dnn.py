@@ -253,3 +253,75 @@ def test_read_net_from_tensorflow(tmp_path):
     our.setInput(x, "input")
     ours = np.asarray(our.forward())
     assert np.abs(ref - ours.reshape(ref.shape)).max() < 1e-5
+
+
+def test_tflite_importer_vs_cv2():
+    """Round-trip a hand-built .tflite through BOTH readers: our
+    flatbuffer writer (tests/tflite_builder.py) -> cv2.dnn and
+    opencv_tpu.dnn must produce the same forward outputs."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from tflite_builder import build_tflite_convnet
+    import tempfile
+
+    data, ishape, _ = build_tflite_convnet(seed=7)
+    with tempfile.NamedTemporaryFile(suffix=".tflite", delete=False) as f:
+        f.write(data)
+        path = f.name
+
+    rng = np.random.default_rng(2)
+    inp = rng.normal(0, 1, (1, 3, 8, 8)).astype(np.float32)
+
+    ref_net = cv2.dnn.readNetFromTFLite(path)
+    ref_net.setInput(inp)
+    ref = ref_net.forward()
+
+    net = tcv.dnn.readNetFromTFLite(path)
+    net.setInput(inp)
+    out = np.asarray(net.forward())
+    assert np.abs(out - ref).max() < 1e-5, np.abs(out - ref).max()
+
+
+def test_nms_boxes_vs_cv2():
+    rng = np.random.default_rng(0)
+    n = 150
+    boxes = np.stack([rng.uniform(0, 300, n), rng.uniform(0, 300, n),
+                      rng.uniform(5, 80, n), rng.uniform(5, 80, n)],
+                     1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    ref = np.asarray(cv2.dnn.NMSBoxes(boxes, scores, 0.3, 0.4)).ravel()
+    ours = tcv.dnn.NMSBoxes(boxes, scores, 0.3, 0.4)
+    assert np.array_equal(ref, ours)
+    cids = rng.integers(0, 5, n).astype(np.int32)
+    refb = np.asarray(cv2.dnn.NMSBoxesBatched(
+        boxes, scores, cids, 0.3, 0.4)).ravel()
+    oursb = tcv.dnn.NMSBoxesBatched(boxes, scores, cids, 0.3, 0.4)
+    assert np.array_equal(refb, oursb)
+
+
+def test_classification_model():
+    """High-level ClassificationModel vs cv2 on the same tflite net."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from tflite_builder import build_tflite_convnet
+    import tempfile
+
+    data, _, _ = build_tflite_convnet(seed=11)
+    with tempfile.NamedTemporaryFile(suffix=".tflite", delete=False) as f:
+        f.write(data)
+        path = f.name
+
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 256, (8, 8, 3), np.uint8)
+
+    ref_m = cv2.dnn.ClassificationModel(path)
+    ref_m.setInputParams(scale=1 / 255.0, size=(8, 8))
+    rid, rconf = ref_m.classify(frame)
+
+    m = tcv.dnn.ClassificationModel(path)
+    m.setInputParams(scale=1 / 255.0, size=(8, 8))
+    oid, oconf = m.classify(frame)
+    assert oid == rid
+    assert abs(oconf - rconf) < 1e-5

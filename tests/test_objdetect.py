@@ -153,3 +153,115 @@ def test_haar_cascade_face_detection():
     # flat image: no faces
     flat = np.full((200, 200), 128, np.uint8)
     assert len(cc.detectMultiScale(flat, 1.2, 3)) == 0
+
+
+def _make_yunet_like_onnx(path, H=96, W=96, seed=0):
+    """YuNet-architecture ONNX with random weights: 12 outputs named
+    cls_/obj_/bbox_/kps_{8,16,32} shaped (1, rows*cols, C) like the real
+    model — lets cv2.FaceDetectorYN and ours run the same file."""
+    from opencv_tpu.dnn.importers import _GraphBuilder
+
+    rng = np.random.default_rng(seed)
+    gb = _GraphBuilder("yunet_like")
+    gb.input("input")
+    for d in (1, 3, H, W):  # cv2's importer requires input shape info
+        gb.g.input[0].type.tensor_type.shape.dim.add().dim_value = d
+    for s in (8, 16, 32):
+        pooled = f"p{s}"
+        gb.node("AveragePool", ["input"], [pooled],
+                kernel_shape=[s, s], strides=[s, s])
+        for name, ch, sig, std in (("cls", 1, True, 0.4),
+                                   ("obj", 1, True, 0.4),
+                                   ("bbox", 4, False, 0.003),
+                                   ("kps", 10, False, 0.01)):
+            w = rng.normal(0, std, (ch, 3, 1, 1)).astype(np.float32)
+            b = rng.normal(0, std, (ch,)).astype(np.float32)
+            gb.init(f"w_{name}_{s}", w)
+            gb.init(f"b_{name}_{s}", b)
+            conv = f"{name}_{s}_conv"
+            gb.node("Conv", [pooled, f"w_{name}_{s}", f"b_{name}_{s}"],
+                    [conv], kernel_shape=[1, 1], strides=[1, 1],
+                    pads=[0, 0, 0, 0])
+            act = conv
+            if sig:
+                act = f"{name}_{s}_sig"
+                gb.node("Sigmoid", [conv], [act])
+            tr = f"{name}_{s}_tr"
+            gb.node("Transpose", [act], [tr], perm=[0, 2, 3, 1])
+            gb.init(f"shape_{name}_{s}", np.asarray([1, -1, ch], np.int64))
+            gb.node("Reshape", [tr, f"shape_{name}_{s}"], [f"{name}_{s}"])
+            gb.output(f"{name}_{s}")
+            for d in (1, (H // s) * (W // s), ch):
+                gb.g.output[-1].type.tensor_type.shape.dim.add() \
+                    .dim_value = d
+    with open(path, "wb") as f:
+        f.write(gb.model.SerializeToString())
+
+
+def test_face_detector_yn_vs_cv2(tmp_path):
+    """FaceDetectorYN post-processing parity: same random-weight YuNet
+    variant, same image -> identical detections (face_detect.cpp:160)."""
+    path = str(tmp_path / "yunet_like.onnx")
+    _make_yunet_like_onnx(path)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (96, 96, 3), np.uint8)
+
+    ref = cv2.FaceDetectorYN_create(path, "", (96, 96), 0.45, 0.3, 50)
+    _, rfaces = ref.detect(img)
+    ours = tcv.FaceDetectorYN_create(path, "", (96, 96), 0.45, 0.3, 50)
+    _, ofaces = ours.detect(img)
+
+    if rfaces is None:
+        assert ofaces is None or len(ofaces) == 0
+        return
+    assert ofaces is not None and len(ofaces) == len(rfaces), \
+        (len(rfaces), 0 if ofaces is None else len(ofaces))
+    # order can differ on score ties; sort by score then x
+    r = rfaces[np.lexsort((rfaces[:, 0], rfaces[:, 14]))]
+    o = ofaces[np.lexsort((ofaces[:, 0], ofaces[:, 14]))]
+    assert np.allclose(r, o, atol=1e-3), np.abs(r - o).max()
+
+
+def test_face_recognizer_sf_align_and_match(tmp_path):
+    """FaceRecognizerSF: alignCrop geometry + feature/match flow with a
+    tiny random embedding net (cosine/L2 parity with cv2)."""
+    from opencv_tpu.dnn.importers import _GraphBuilder
+
+    rng = np.random.default_rng(2)
+    gb = _GraphBuilder("sface_like")
+    gb.input("input")
+    for d in (1, 3, 112, 112):
+        gb.g.input[0].type.tensor_type.shape.dim.add().dim_value = d
+    w = rng.normal(0, 0.1, (16, 3, 112, 112)).astype(np.float32)
+    gb.init("w", w)
+    gb.node("Conv", ["input", "w"], ["emb4"],
+            kernel_shape=[112, 112], strides=[1, 1], pads=[0, 0, 0, 0])
+    gb.init("shape", np.asarray([1, 16], np.int64))
+    gb.node("Reshape", ["emb4", "shape"], ["emb"])
+    gb.output("emb")
+    for d in (1, 16):
+        gb.g.output[-1].type.tensor_type.shape.dim.add().dim_value = d
+    path = str(tmp_path / "sface_like.onnx")
+    with open(path, "wb") as f:
+        f.write(gb.model.SerializeToString())
+
+    img = rng.integers(0, 256, (200, 200, 3), np.uint8)
+    face = np.zeros(15, np.float32)
+    face[:4] = [40, 40, 100, 100]
+    face[4:14] = [70, 80, 120, 80, 95, 105, 75, 130, 115, 130]
+
+    ref = cv2.FaceRecognizerSF_create(path, "")
+    ours = tcv.FaceRecognizerSF_create(path, "")
+    ra = ref.alignCrop(img, face)
+    oa = ours.alignCrop(img, face)
+    assert ra.shape == oa.shape == (112, 112, 3)
+    d = np.abs(ra.astype(int) - oa.astype(int))
+    assert d.mean() < 2.0, d.mean()  # alignment geometry parity
+
+    f1r = ref.feature(ra)
+    f1o = ours.feature(ra.copy())
+    assert np.allclose(f1r.ravel(), f1o.ravel(), rtol=1e-4, atol=0.5)
+    f2 = ref.feature(ref.alignCrop(img, face + 2))
+    cr = ref.match(f1r, f2, cv2.FaceRecognizerSF_FR_COSINE)
+    co = ours.match(f1o, f2, 0)
+    assert abs(cr - co) < 1e-4
