@@ -360,3 +360,10 @@ def FaceDetectorYN_create(model, config="", input_size=(320, 320),
 
 def FaceRecognizerSF_create(model, config="", backend_id=0, target_id=0):
     return FaceRecognizerSF.create(model, config, backend_id, target_id)
+
+
+class barcode:  # namespace mirror of cv2.barcode
+    from .objdetect.barcode import BarcodeDetector
+
+
+barcode_BarcodeDetector = barcode.BarcodeDetector

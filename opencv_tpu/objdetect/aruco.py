@@ -307,3 +307,8 @@ def drawDetectedMarkers(image, corners, ids=None,
                     (int(q[0, 0]), int(q[0, 1]) - 4),
                     K.FONT_HERSHEY_SIMPLEX, 0.4, borderColor, 1)
     return img
+
+
+from .charuco import (  # noqa: E402,F401
+    CharucoBoard, CharucoParameters, CharucoDetector,
+)

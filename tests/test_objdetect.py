@@ -265,3 +265,113 @@ def test_face_recognizer_sf_align_and_match(tmp_path):
     cr = ref.match(f1r, f2, cv2.FaceRecognizerSF_FR_COSINE)
     co = ours.match(f1o, f2, 0)
     assert abs(cr - co) < 1e-4
+
+
+_EANL_BITS = {0: "0001101", 1: "0011001", 2: "0010011", 3: "0111101",
+              4: "0100011", 5: "0110001", 6: "0101111", 7: "0111011",
+              8: "0110111", 9: "0001011"}
+_EAN13_PAR = {0: "LLLLLL", 1: "LLGLGG", 2: "LLGGLG", 3: "LLGGGL",
+              4: "LGLLGG", 5: "LGGLLG", 6: "LGGGLL", 7: "LGLGLG",
+              8: "LGLGGL", 9: "LGGLGL"}
+
+
+def _render_ean13(digits12, module=3, height=90, quiet=24):
+    """Render an EAN-13 barcode image from spec (12 digits + checksum)."""
+    d = [int(c) for c in digits12]
+    s = sum(x * (3 if i % 2 else 1) for i, x in enumerate(d))
+    d.append((10 - s % 10) % 10)
+    first, left, right = d[0], d[1:7], d[7:]
+    bits = "101"
+    for dig, p in zip(left, _EAN13_PAR[first]):
+        l = _EANL_BITS[dig]
+        if p == "L":
+            bits += l
+        else:  # G = reversed complement of L reversed... G = reverse of R
+            r = "".join("1" if c == "0" else "0" for c in l)
+            bits += r[::-1]
+    bits += "01010"
+    for dig in right:
+        l = _EANL_BITS[dig]
+        bits += "".join("1" if c == "0" else "0" for c in l)  # R = ~L
+    bits += "101"
+    row = np.full((quiet * 2 + len(bits)) * module, 255, np.uint8)
+    for i, b in enumerate(bits):
+        if b == "1":
+            row[(quiet + i) * module:(quiet + i + 1) * module] = 0
+    img = np.tile(row, (height, 1))
+    pad = np.full((40, img.shape[1]), 255, np.uint8)
+    return "".join(str(x) for x in d), np.vstack([pad, img, pad])
+
+
+def test_barcode_ean13_decode():
+    code, img = _render_ean13("590123412345")
+    ours = tcv.barcode_BarcodeDetector()
+    ok, infos, types, pts = ours.detectAndDecode(img)
+    assert ok, "no barcode decoded"
+    assert code in infos, (code, infos)
+    assert "EAN_13" in types
+
+    ref = cv2.barcode_BarcodeDetector()
+    r = ref.detectAndDecode(img)  # 5.0 wheel: (infos, types, corners)
+    rinfos = r[1] if len(r) == 4 else r[0]
+    if any(rinfos):  # reference wheel also decodes it: texts must agree
+        assert code in rinfos, (code, rinfos)
+
+
+def test_barcode_rotated_and_decode_api():
+    code, img = _render_ean13("401234567890")
+    M = cv2.getRotationMatrix2D((img.shape[1] / 2, img.shape[0] / 2),
+                                180.0, 1.0)
+    rot = cv2.warpAffine(img, M, (img.shape[1], img.shape[0]),
+                         borderValue=255)
+    ours = tcv.barcode_BarcodeDetector()
+    ok, infos, types, pts = ours.detectAndDecode(rot)
+    assert ok and code in infos, (code, infos)
+
+
+def test_charuco_board_and_detector():
+    """CharucoBoard render must be BIT-IDENTICAL to the reference; the
+    detector must find the same markers and interpolate the same corners
+    (charuco_detector.cpp LocalHom path)."""
+    d_r = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_4X4_50)
+    board_r = cv2.aruco.CharucoBoard((5, 4), 40.0, 30.0, d_r)
+    img = board_r.generateImage((420, 340), marginSize=10)
+
+    d_o = tcv.aruco.getPredefinedDictionary(tcv.aruco.DICT_4X4_50)
+    board_o = tcv.aruco.CharucoBoard((5, 4), 40.0, 30.0, d_o)
+    img_o = board_o.generateImage((420, 340), marginSize=10)
+    assert np.array_equal(img, img_o), "board render differs"
+
+    cc_r, ci_r, mc_r, mi_r = cv2.aruco.CharucoDetector(board_r) \
+        .detectBoard(img)
+    cc_o, ci_o, mc_o, mi_o = tcv.aruco.CharucoDetector(board_o) \
+        .detectBoard(img)
+    assert set(np.ravel(mi_o)) == set(np.ravel(mi_r))
+    ri = {int(i): c for i, c in zip(ci_r.ravel(), cc_r.reshape(-1, 2))}
+    oi = {int(i): c for i, c in zip(ci_o.ravel(), cc_o.reshape(-1, 2))}
+    assert set(ri) == set(oi), "charuco corner id sets differ"
+    d = [np.linalg.norm(ri[i] - oi[i]) for i in ri]
+    assert np.max(d) < 0.15, f"corner distance max {np.max(d)}"
+
+
+def test_charuco_rotated_view():
+    """Detection under a perspective view: same ids, corners < 0.5px."""
+    d_r = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_5X5_100)
+    board_r = cv2.aruco.CharucoBoard((6, 5), 30.0, 22.0, d_r)
+    img = board_r.generateImage((480, 400), marginSize=16)
+    src = np.float32([[0, 0], [479, 0], [479, 399], [0, 399]])
+    dst = np.float32([[14, 22], [462, 8], [470, 380], [6, 390]])
+    Hm = cv2.getPerspectiveTransform(src, dst)
+    warped = cv2.warpPerspective(img, Hm, (480, 400), borderValue=255)
+
+    cc_r, ci_r, _, _ = cv2.aruco.CharucoDetector(board_r).detectBoard(warped)
+    d_o = tcv.aruco.getPredefinedDictionary(tcv.aruco.DICT_5X5_100)
+    board_o = tcv.aruco.CharucoBoard((6, 5), 30.0, 22.0, d_o)
+    cc_o, ci_o, _, _ = tcv.aruco.CharucoDetector(board_o).detectBoard(warped)
+    assert ci_r is not None and ci_o is not None
+    ri = {int(i): c for i, c in zip(ci_r.ravel(), cc_r.reshape(-1, 2))}
+    oi = {int(i): c for i, c in zip(ci_o.ravel(), cc_o.reshape(-1, 2))}
+    common = set(ri) & set(oi)
+    assert len(common) >= 0.9 * max(len(ri), len(oi))
+    d = [np.linalg.norm(ri[i] - oi[i]) for i in common]
+    assert np.mean(d) < 0.5, f"mean corner dist {np.mean(d)}"
