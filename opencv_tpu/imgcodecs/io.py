@@ -227,9 +227,18 @@ def imdecode(buf, flags: int = IMREAD_COLOR):
     elif data[:4] in (b"II*\x00", b"MM\x00*"):
         from .tiff import tiff_decode
         img = tiff_decode(data)
+    elif data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import gif_decode
+        img = gif_decode(data)
+    elif data[:4] == b"\x76\x2f\x31\x01":
+        from .exr import exr_decode
+        img = exr_decode(data)
+    elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from .webp import webp_decode
+        img = webp_decode(data)
     else:
         raise ValueError("unsupported image format "
-                         "(PNG/BMP/PNM/JPEG/TIFF available)")
+                         "(PNG/BMP/PNM/JPEG/TIFF/GIF/EXR/WebP available)")
     if flags == IMREAD_GRAYSCALE and img.ndim == 3:
         from ..ops.color import cvtColor
         from .. import constants as K
@@ -271,6 +280,15 @@ def imencode(ext: str, img, params=None):
     elif ext in (".tif", ".tiff"):
         from .tiff import tiff_encode
         data = tiff_encode(img)
+    elif ext == ".gif":
+        from .gif import gif_encode
+        data = gif_encode(img)
+    elif ext == ".exr":
+        from .exr import exr_encode
+        data = exr_encode(img, params)
+    elif ext == ".webp":
+        from .webp import webp_encode
+        data = webp_encode(img)
     else:
         raise ValueError(f"unsupported extension {ext}")
     return True, np.frombuffer(data, np.uint8)

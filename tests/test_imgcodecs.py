@@ -174,3 +174,108 @@ def test_tiff_compressions_from_cv2():
         ours = np.asarray(tcv.imdecode(np.frombuffer(bytes(buf),
                                                      np.uint8), -1))
         assert np.array_equal(ours, img), f"compression {comp}"
+
+
+# ---------------------------------------------------------------- GIF
+
+def test_gif_roundtrip_and_cv2_interop():
+    from opencv_tpu.imgcodecs.gif import gif_decode, gif_encode
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (8, 3), np.uint8)
+    img = base[rng.integers(0, 8, (60, 80))]
+    data = gif_encode(img)
+    assert np.array_equal(gif_decode(data)[:, :, :3], img)
+    # cv2 reads our GIF byte-exactly
+    p = "/tmp/_tcv_gif_t.gif"
+    open(p, "wb").write(data)
+    ref = cv2.imread(p)
+    assert ref is not None and np.array_equal(ref, img)
+    # we read cv2-written GIF identically to cv2's own readback
+    assert cv2.imwrite(p, img)
+    ours = gif_decode(open(p, "rb").read())
+    refback = cv2.imread(p)
+    assert np.array_equal(ours[:, :, :3], refback)
+
+
+def test_gif_imread_dispatch(tmp_path):
+    import opencv_tpu as tcv
+
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 256, (4, 3), np.uint8)
+    img = base[rng.integers(0, 4, (30, 40))]
+    p = str(tmp_path / "t.gif")
+    assert tcv.imwrite(p, img)
+    back = tcv.imread(p)
+    assert np.array_equal(back, img)
+
+
+# ---------------------------------------------------------------- EXR
+
+def test_exr_roundtrip_all_compressions():
+    from opencv_tpu.imgcodecs.exr import exr_decode, exr_encode
+
+    rng = np.random.default_rng(2)
+    img = rng.normal(0, 2, (37, 53, 3)).astype(np.float32)
+    for comp in (0, 2, 3):  # NONE / ZIPS / ZIP
+        data = exr_encode(img, [49, comp])
+        assert np.array_equal(exr_decode(data), img), f"comp {comp}"
+    g = rng.normal(0, 1, (20, 30)).astype(np.float32)
+    assert np.array_equal(exr_decode(exr_encode(g)), g)
+    h = exr_decode(exr_encode(img, [48, 1]))  # IMWRITE_EXR_TYPE_HALF
+    assert np.abs(h - img).max() < 0.01
+    # note: the installed cv2 wheel ships without OpenEXR, so the oracle
+    # here is the format spec (self round-trip + half conversion)
+
+
+# ---------------------------------------------------------------- WebP
+
+def test_webp_decode_cv2_lossless():
+    """Decode cv2-written VP8L files bit-exactly (predictor + cross-color
+    + subtract-green + palette/bundling paths all exercised)."""
+    from opencv_tpu.imgcodecs.webp import webp_decode
+
+    rng = np.random.default_rng(3)
+    p = "/tmp/_tcv_webp_t.webp"
+    cases = []
+    for sz, blur in [((2, 2), 0), ((8, 8), 1.0), ((32, 48), 2.0),
+                     ((120, 160), 3.0)]:
+        im = rng.integers(0, 256, sz + (3,), np.uint8)
+        if blur:
+            im = cv2.GaussianBlur(im, (5, 5), blur)
+        cases.append(im)
+    base = rng.integers(0, 256, (5, 3), np.uint8)
+    cases.append(base[rng.integers(0, 5, (64, 64))])  # paletted
+    for im in cases:
+        assert cv2.imwrite(p, im, [cv2.IMWRITE_WEBP_QUALITY, 101])
+        ours = webp_decode(open(p, "rb").read())
+        assert np.array_equal(ours[:, :, :3], im), im.shape
+
+
+def test_webp_decode_bgra_matches_cv2():
+    from opencv_tpu.imgcodecs.webp import webp_decode
+
+    rng = np.random.default_rng(4)
+    im4 = np.dstack([
+        cv2.GaussianBlur(rng.integers(0, 256, (60, 80, 3), np.uint8),
+                         (5, 5), 2),
+        rng.integers(0, 256, (60, 80), np.uint8)]).astype(np.uint8)
+    p = "/tmp/_tcv_webp_a.webp"
+    assert cv2.imwrite(p, im4, [cv2.IMWRITE_WEBP_QUALITY, 101])
+    ref = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+    ours = webp_decode(open(p, "rb").read())
+    # libwebp itself may alter RGB under transparency; the contract is
+    # bit-identity with the reference decoder
+    assert np.array_equal(ours, ref)
+
+
+def test_webp_encode_read_by_cv2():
+    from opencv_tpu.imgcodecs.webp import webp_encode
+
+    rng = np.random.default_rng(5)
+    im = cv2.GaussianBlur(rng.integers(0, 256, (40, 56, 3), np.uint8),
+                          (5, 5), 2)
+    p = "/tmp/_tcv_webp_e.webp"
+    open(p, "wb").write(webp_encode(im))
+    ref = cv2.imread(p)
+    assert ref is not None and np.array_equal(ref, im)
