@@ -367,3 +367,9 @@ class barcode:  # namespace mirror of cv2.barcode
 
 
 barcode_BarcodeDetector = barcode.BarcodeDetector
+from .calib3d import (  # noqa: E402,F401
+    calibrateHandEye, calibrateRobotWorldHandEye,
+    CALIB_HAND_EYE_TSAI, CALIB_HAND_EYE_PARK, CALIB_HAND_EYE_HORAUD,
+    CALIB_HAND_EYE_ANDREFF, CALIB_HAND_EYE_DANIILIDIS,
+    CALIB_ROBOT_WORLD_HAND_EYE_SHAH, CALIB_ROBOT_WORLD_HAND_EYE_LI,
+)

@@ -29,3 +29,9 @@ from .chessboard import (  # noqa: F401
     CALIB_CB_ADAPTIVE_THRESH, CALIB_CB_NORMALIZE_IMAGE, CALIB_CB_FAST_CHECK,
 )
 from . import fisheye  # noqa: F401
+from .handeye import (  # noqa: F401
+    calibrateHandEye, calibrateRobotWorldHandEye,
+    CALIB_HAND_EYE_TSAI, CALIB_HAND_EYE_PARK, CALIB_HAND_EYE_HORAUD,
+    CALIB_HAND_EYE_ANDREFF, CALIB_HAND_EYE_DANIILIDIS,
+    CALIB_ROBOT_WORLD_HAND_EYE_SHAH, CALIB_ROBOT_WORLD_HAND_EYE_LI,
+)

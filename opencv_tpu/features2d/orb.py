@@ -149,30 +149,6 @@ def _fast_atan2_jnp(y, x):
     return a
 
 
-def _topk2(x, k):
-    """Exact top-k over the last axis via two-stage block selection —
-    avoids lax.top_k's full O(n log n) sort on multi-megapixel score maps
-    (the ORB hot spot).  Tie order (descending value, ascending index)
-    matches single-stage top_k: blocks are scanned in index order and
-    each block's winners keep ascending-index order."""
-    B, n = x.shape
-    blk = 16384
-    if n <= max(4 * k, blk):
-        return jax.lax.top_k(x, k)
-    nb = -(-n // blk)
-    pad = nb * blk - n
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-    xb = x.reshape(B, nb, blk)
-    kb = min(k, blk)
-    v1, i1 = jax.lax.top_k(xb, kb)                 # (B, nb, kb)
-    base = (jnp.arange(nb, dtype=jnp.int32) * blk)[None, :, None]
-    fi = (i1 + base).reshape(B, nb * kb)
-    v2, i2 = jax.lax.top_k(v1.reshape(B, nb * kb), k)
-    idx = jnp.take_along_axis(fi, i2, axis=1)
-    return v2, idx
-
-
 def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
                      et: int, n2: int, cap: int):
     """Batched device candidate extraction + descriptors for one level.
@@ -195,7 +171,7 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
     inside = (xs >= et) & (xs < W - et) & (ys >= et) & (ys < H - et)
     masked = jnp.where(k & inside[None], s, -jnp.inf).reshape(B, -1)
     cap = min(cap, H * W)
-    vals, idx = _topk2(masked, cap)                 # (B, cap)
+    vals, idx = jax.lax.top_k(masked, cap)          # (B, cap)
     iy = idx // W
     ix = idx % W
 
@@ -213,23 +189,33 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
                              masked > -jnp.inf), axis=1).astype(jnp.int32)
 
     # rotated-BRIEF for every candidate (computeOrbDescriptors, orb.cpp:220)
+    # 2-D (B*cap, 512) layout throughout: 3-D layouts with a 512-minor dim
+    # plus strided lane slices made XLA relayout-bound (~17x slower);
+    # bit packing rides the MXU as an exact 0/1 matmul.
     pat = _PATTERN.reshape(512, 2).astype(np.float32)
     px = jnp.asarray(pat[:, 0])
     py = jnp.asarray(pat[:, 1])
-    ang = angle * jnp.float32(math.pi / 180.0)
-    ca = jnp.cos(ang)[..., None]                    # (B, cap, 1)
-    sa = jnp.sin(ang)[..., None]
-    rx = jnp.round(px[None, None] * ca - py[None, None] * sa).astype(jnp.int32)
-    ry = jnp.round(px[None, None] * sa + py[None, None] * ca).astype(jnp.int32)
-    cy = jnp.clip(iy[..., None] + ry, 0, H - 1)
-    cx = jnp.clip(ix[..., None] + rx, 0, W - 1)
-    flat = blurred[..., 0].reshape(B, -1).astype(jnp.int32)
-    gidx = (cy * W + cx).reshape(B, cap * 512)
-    v = jnp.take_along_axis(flat, gidx, axis=1).reshape(B, cap, 512)
-    bits = (v[..., 0::2] < v[..., 1::2]).astype(jnp.int32)  # (B, cap, 256)
-    weights = jnp.asarray((1 << np.arange(8)).astype(np.int32))
-    desc = jnp.sum(bits.reshape(B, cap, 32, 8) * weights, axis=-1) \
-        .astype(jnp.uint8)
+    R = B * cap
+    ang = (angle * jnp.float32(math.pi / 180.0)).reshape(R, 1)
+    ca = jnp.cos(ang)
+    sa = jnp.sin(ang)
+    rx = jnp.round(px[None, :] * ca - py[None, :] * sa).astype(jnp.int32)
+    ry = jnp.round(px[None, :] * sa + py[None, :] * ca).astype(jnp.int32)
+    cy = jnp.clip(iy.reshape(R, 1) + ry, 0, H - 1)
+    cx = jnp.clip(ix.reshape(R, 1) + rx, 0, W - 1)
+    base = (jnp.arange(B, dtype=jnp.int32) * (H * W)) \
+        .repeat(cap).reshape(R, 1)
+    gidx = cy * W + cx + base
+    flat = blurred[..., 0].reshape(-1).astype(jnp.int32)
+    v = jnp.take(flat, gidx)                        # (R, 512)
+    lo = v.reshape(R, 256, 2)
+    bits = (lo[..., 0] < lo[..., 1]).astype(jnp.float32)
+    packw = ((np.arange(256)[:, None] // 8 == np.arange(32)[None, :])
+             * (2.0 ** (np.arange(256) % 8))[:, None]).astype(np.float32)
+    d = jnp.dot(bits, jnp.asarray(packw),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    desc = d.astype(jnp.int32).astype(jnp.uint8).reshape(B, cap, 32)
     return cand, n_ge, desc
 
 

@@ -500,3 +500,58 @@ def test_usac_homography():
         Ho, mo = tcv.findHomography(src, dst, getattr(tcv, m), 3.0)
         assert abs(int(mr.sum()) - int(mo.sum())) <= 2, m
         assert np.abs(Hr / Hr[2, 2] - Ho / Ho[2, 2]).max() < 0.01, m
+
+
+def _rand_R(rng, scale=1.0):
+    r = rng.normal(0, scale, 3)
+    th = np.linalg.norm(r)
+    k = r / th
+    Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * Kx @ Kx
+
+
+def test_calibrate_hand_eye_all_methods():
+    """AX = XB ground-truth recovery for all 5 solvers
+    (calibration_handeye.cpp; the 5.0 wheel dropped the API, so the
+    oracle is exact synthetic ground truth)."""
+    rng = np.random.default_rng(0)
+    Rx = _rand_R(rng)                      # cam2gripper ground truth
+    tx = rng.normal(0, 0.3, 3)
+    X = np.eye(4); X[:3, :3] = Rx; X[:3, 3] = tx
+    Rt2b = _rand_R(rng); tt2b = rng.normal(0, 1, 3)
+    T2B = np.eye(4); T2B[:3, :3] = Rt2b; T2B[:3, 3] = tt2b
+    Rg, tg, Rc, tc = [], [], [], []
+    for _ in range(8):
+        Rgi = _rand_R(rng); tgi = rng.normal(0, 1, 3)
+        G2B = np.eye(4); G2B[:3, :3] = Rgi; G2B[:3, 3] = tgi
+        T2C = np.linalg.inv(G2B @ X) @ T2B
+        Rg.append(Rgi); tg.append(tgi)
+        Rc.append(T2C[:3, :3]); tc.append(T2C[:3, 3])
+    for method in range(5):
+        R_est, t_est = tcv.calibrateHandEye(Rg, tg, Rc, tc, method=method)
+        assert np.allclose(R_est, Rx, atol=1e-6), f"method {method} R"
+        assert np.allclose(t_est.ravel(), tx, atol=1e-5), \
+            f"method {method} t: {t_est.ravel()} vs {tx}"
+
+
+def test_calibrate_robot_world_hand_eye():
+    """AX = ZB ground-truth recovery (Shah and Li)."""
+    rng = np.random.default_rng(1)
+    Rxg = _rand_R(rng); txg = rng.normal(0, 0.4, 3)   # base2world
+    X = np.eye(4); X[:3, :3] = Rxg; X[:3, 3] = txg
+    Rzg = _rand_R(rng); tzg = rng.normal(0, 0.4, 3)   # gripper2cam
+    Z = np.eye(4); Z[:3, :3] = Rzg; Z[:3, 3] = tzg
+    Rw, tw, Rb, tb = [], [], [], []
+    for _ in range(8):
+        Rbi = _rand_R(rng); tbi = rng.normal(0, 1, 3)
+        B = np.eye(4); B[:3, :3] = Rbi; B[:3, 3] = tbi
+        A = Z @ B @ np.linalg.inv(X)       # A X = Z B
+        Rw.append(A[:3, :3]); tw.append(A[:3, 3])
+        Rb.append(Rbi); tb.append(tbi)
+    for method in range(2):
+        R_x, t_x, R_z, t_z = tcv.calibrateRobotWorldHandEye(
+            Rw, tw, Rb, tb, method=method)
+        assert np.allclose(R_x, Rxg, atol=1e-5), f"m{method} Rx"
+        assert np.allclose(R_z, Rzg, atol=1e-5), f"m{method} Rz"
+        assert np.allclose(t_x.ravel(), txg, atol=1e-4), f"m{method} tx"
+        assert np.allclose(t_z.ravel(), tzg, atol=1e-4), f"m{method} tz"
