@@ -22,6 +22,19 @@ __all__ = ["calcHist", "equalizeHist", "compareHist", "calcBackProject",
 
 
 def _bin_index(x, hist_size: int, lo: float, hi: float):
+    if x.dtype in (jnp.uint8, jnp.uint16):
+        # integer inputs: host double-precision LUT with the reference's
+        # exact form idx = floor(j*a + b) (histogram.cpp calcHist_8u)
+        nvals = 256 if x.dtype == jnp.uint8 else 65536
+        j = np.arange(nvals, dtype=np.float64)
+        a = hist_size / (hi - lo)
+        b = -a * lo
+        tab = np.floor(j * a + b).astype(np.int64)
+        ok = (j >= lo) & (j < hi) & (tab >= 0) & (tab < hist_size)
+        idx = jnp.asarray(np.where(ok, tab, 0).astype(np.int32))[
+            x.astype(jnp.int32)]
+        valid = jnp.asarray(ok)[x.astype(jnp.int32)]
+        return idx, valid
     xf = x.astype(jnp.float32)
     scale = hist_size / (hi - lo)
     idx = jnp.floor((xf - lo) * scale).astype(jnp.int32)
@@ -72,7 +85,25 @@ def calcHist(images, channels, mask, histSize, ranges, accumulate=False):
         h = jnp.bincount(flat.reshape(-1), length=n0 * n1 + 1)[:n0 * n1]
         return h.astype(jnp.float32).reshape(n0, n1)
 
-    raise NotImplementedError("calcHist: >2 channels not yet implemented")
+    # general N-dimensional histogram (histogram.cpp:949 calcHist_)
+    sizes = [int(histSize[k]) for k in range(len(channels))]
+    flat_idx = None
+    valid = None
+    stride = int(np.prod(sizes))
+    for k, ch in enumerate(channels):
+        n = sizes[k]
+        lo, hi = float(ranges[2 * k]), float(ranges[2 * k + 1])
+        ik, vk = _bin_index(chan(ch), n, lo, hi)
+        stride //= n
+        term = ik * stride
+        flat_idx = term if flat_idx is None else flat_idx + term
+        valid = vk if valid is None else (valid & vk)
+    if mvalid is not None:
+        valid = valid & mvalid
+    total = int(np.prod(sizes))
+    flat = jnp.where(valid, flat_idx, total)
+    h = jnp.bincount(flat.reshape(-1), length=total + 1)[:total]
+    return h.astype(jnp.float32).reshape(sizes)
 
 
 def _equalize_lut(hist, total):

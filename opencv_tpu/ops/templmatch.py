@@ -55,9 +55,9 @@ def _cross_corr(x, t):
 
 def matchTemplate(image, templ, method: int, mask=None):
     """cv2-compatible matchTemplate; result is (H-th+1)×(W-tw+1) float32.
-    Masks follow the reference's semantics (templmatch.cpp): u8 masks
-    are binary, float masks are weights; supported for TM_SQDIFF and
-    TM_CCORR_NORMED."""
+    Masks follow the reference's semantics (templmatch.cpp:762
+    matchTemplateMask): u8 masks are binary, float masks are weights;
+    ALL six TM_* modes supported with per-channel correlations."""
     if mask is not None:
         return _match_template_masked(image, templ, method, mask)
     x, meta = to_batched(image)
@@ -124,17 +124,58 @@ def _match_template_masked(image, templ, method, mask):
     m2 = mj * mj
 
     xf = x.astype(jnp.float32)
-    corr_m2T = _cross_corr(xf, (m2 * t3))
-    corr_m2 = _cross_corr(xf * xf, m2)
+    x2 = xf * xf
 
-    if method == K.TM_SQDIFF:
-        const = jnp.sum(m2 * t3 * t3)
-        out = const - 2.0 * corr_m2T + corr_m2
-    elif method == K.TM_CCORR_NORMED:
-        tnorm = jnp.sqrt(jnp.sum(m2 * t3 * t3))
-        out = corr_m2T / (tnorm * jnp.sqrt(corr_m2) + 1e-12)
+    def corr_pc(img, kern):
+        """Per-channel valid cross-correlation (depthwise conv)."""
+        Cc = img.shape[3]
+        k = kern.astype(jnp.float32)[:, :, None, :]  # HWIO, groups=C
+        return lax.conv_general_dilated(
+            img.astype(jnp.float32), k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=Cc,
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    def csum(v):
+        return jnp.sum(v, axis=3, keepdims=True)
+
+    if method in (K.TM_SQDIFF, K.TM_SQDIFF_NORMED):
+        # matchTemplateMask (templmatch.cpp:799-818)
+        t2m2_sum = jnp.sum((t3 * mj) ** 2)
+        temp = csum(corr_pc(x2, m2))
+        out = -2.0 * csum(corr_pc(xf, t3 * m2)) + temp + t2m2_sum
+        if method == K.TM_SQDIFF_NORMED:
+            out = out / jnp.sqrt(t2m2_sum * temp)
+    elif method in (K.TM_CCORR, K.TM_CCORR_NORMED):
+        out = csum(corr_pc(xf, t3 * m2))
+        if method == K.TM_CCORR_NORMED:
+            t2m2_sum = jnp.sum((t3 * mj) ** 2)
+            temp = csum(corr_pc(x2, m2))
+            out = out / jnp.sqrt(t2m2_sum * temp)
+    elif method in (K.TM_CCOEFF, K.TM_CCOEFF_NORMED):
+        # per-channel Scalar sums (templmatch.cpp:839-906)
+        mask_sum = jnp.sum(mj, axis=(0, 1))                 # (C,)
+        mt_sum = jnp.sum(mj * t3, axis=(0, 1))              # (C,)
+        tx = t3 - (mt_sum / mask_sum)[None, None, :]
+        templx_mask = m2 * tx
+        corr_txm = csum(corr_pc(xf, templx_mask))
+        img_mask_corr = corr_pc(xf, mj)                     # per channel
+        txm_sum = jnp.sum(templx_mask, axis=(0, 1))         # (C,)
+        out = corr_txm - csum(img_mask_corr
+                              * (txm_sum / mask_sum)[None, None, None, :])
+        if method == K.TM_CCOEFF_NORMED:
+            norm_tx = jnp.sqrt(jnp.sum((mj * tx) ** 2))
+            mask2_sum = jnp.sum(m2, axis=(0, 1))            # (C,)
+            norm_imgx = csum(corr_pc(x2, m2))
+            img_mask2_corr = corr_pc(xf, m2)
+            temp = (img_mask_corr / mask_sum[None, None, None, :]
+                    * (img_mask_corr
+                       * (mask2_sum / mask_sum)[None, None, None, :]
+                       - 2.0 * img_mask2_corr))
+            norm_imgx = jnp.sqrt(norm_imgx + csum(temp))
+            out = out / (norm_imgx * norm_tx)
     else:
-        raise NotImplementedError(
-            "masked matchTemplate: TM_SQDIFF / TM_CCORR_NORMED only")
+        raise ValueError(f"unknown matchTemplate method {method}")
     out = out.astype(jnp.float32)
     return from_batched(out, meta) if out.ndim == 4 else np.asarray(out[0, :, :, 0])

@@ -1,14 +1,16 @@
 """Geometric warps: warpAffine / warpPerspective / remap + transform builders.
 
-TPU-native design: the transform matrix is a host value (as in cv2), so ALL
-coordinate fixed-point math — the reference's per-block `adelta`/`X0` Q10
-scheme (imgwarp.cpp:2686, block invoker at :2247) — runs **once on the host
-in numpy**, reproducing the C double/int arithmetic bit-for-bit.  What
-reaches the device is: 4 gather index planes, a Q5 fraction index plane,
-and the 32×32 interpolation weight table.  The device work is batched
-gathers + an int32 (u8) or f32 weighted sum, which XLA vectorizes over
-(N, C); batch is the parallel axis instead of the reference's
-`parallel_for_` row blocks.
+TPU-native design: warpAffine/warpPerspective compute their coordinate
+planes ON DEVICE from rank-1 decompositions of the map — per-row and
+per-column double vectors built on the host (O(dh+dw) work, exactly the
+reference's per-block `adelta`/`X0` idea, imgwarp.cpp:2686) and
+reassembled per pixel in double-float (two-float32) arithmetic, so the
+XLA program carries no dh*dw constants and retains double precision on
+f32 hardware.  Border resolution (`borderInterpolate`) is closed-form
+device index math; the taps are batched gathers + int32 (u8) or f32
+weighted sums; batch is the parallel axis instead of the reference's
+`parallel_for_` row blocks.  remap() with user maps ships the maps as
+data and shares the same tap cores.
 
 Numeric contracts reproduced:
 - NN: `AB_BITS=10` integer grid, `adelta[x] = saturate_cast<int>(M[0]*x*
@@ -160,7 +162,8 @@ def _inter_tab(ksize: int):
                 diff = isum - REMAP_COEF_SCALE
                 k2c = ksize // 2
                 kk = ksize * ksize
-                flat = np.zeros((k2c + 1) * ksize + k2c + 2, np.int64)
+                flat = np.zeros(max(kk, (k2c + 1) * ksize + k2c + 2),
+                                np.int64)
                 flat[:kk] = iv.ravel()
                 Mo = mo = k2c * ksize + k2c
                 for k1 in range(k2c, k2c + 2):
@@ -449,6 +452,136 @@ def _remap_nn_dev(x, sx, sy, border_type, border_value):
                      cval.astype(x.dtype).reshape(1, 1, 1, C), g)
 
 
+def _remap_ktap_dev(x, x0, fq5x, y0, fq5y, ksize, border_type,
+                    border_value):
+    """k-tap remap (CUBIC k=4 / LANCZOS4 k=8) with DEVICE integer taps
+    and Q5-quantized fractions, using the reference's initInterTab2D
+    weight tables (imgwarp.cpp:216; remapBicubic/remapLanczos4 gather
+    semantics).  u8 inputs use the sum-corrected Q15 integer tables,
+    floats the f32 tables."""
+    N, H, W, C = x.shape
+    dh, dw = x0.shape
+    is_u8 = x.dtype == jnp.uint8
+    cval = _cval_vec(border_value, x.dtype, C)
+    flat = x.reshape(N, H * W, C)
+    ftab, itab = _inter_tab(ksize)
+    acc_t = jnp.int32 if is_u8 else jnp.float32
+    wtab = jnp.asarray(itab if is_u8 else ftab).astype(acc_t)
+    fxy = (fq5y * INTER_TAB_SIZE + fq5x).reshape(-1)
+    wsel = wtab[fxy]                       # (dh*dw, k*k)
+    off = ksize // 2 - 1
+
+    acc = None
+    t = 0
+    for dy in range(ksize):
+        yi, ym = _resolve_tap_dev(y0 + (dy - off), H, border_type)
+        for dx in range(ksize):
+            xi, xm = _resolve_tap_dev(x0 + (dx - off), W, border_type)
+            use_c = (xm | ym).reshape(-1)[None, :, None]
+            idx = (yi * W + xi).reshape(-1)
+            g = jnp.take(flat, idx, axis=1).astype(acc_t)
+            g = jnp.where(use_c, cval.astype(acc_t).reshape(1, 1, C), g)
+            term = g * wsel[None, :, t:t + 1]
+            acc = term if acc is None else acc + term
+            t += 1
+
+    if is_u8:
+        out = (acc + (1 << (REMAP_COEF_BITS - 1))) >> REMAP_COEF_BITS
+        out = jnp.clip(out, 0, 255).astype(jnp.uint8)
+    else:
+        out = saturate_cast(acc, x.dtype)
+    out = out.reshape(N, dh, dw, C)
+    bt = border_type & ~K.BORDER_ISOLATED
+    if bt == K.BORDER_CONSTANT:
+        fully_out = ((x0 - off >= W) | (x0 + ksize - 1 - off < 0)
+                     | (y0 - off >= H) | (y0 + ksize - 1 - off < 0))
+        out = jnp.where(fully_out[None, :, :, None],
+                        cval.astype(x.dtype).reshape(1, 1, 1, C), out)
+    return out
+
+
+def _cubic_weights_dev(f):
+    """Device bicubic weights, A=-0.75 (interpolateCubic, imgwarp.cpp)."""
+    A = jnp.float32(-0.75)
+    x = f.astype(jnp.float32)
+    c0 = ((A * (x + 1) - 5 * A) * (x + 1) + 8 * A) * (x + 1) - 4 * A
+    c1 = ((A + 2) * x - (A + 3)) * x * x + 1
+    c2 = ((A + 2) * (1 - x) - (A + 3)) * (1 - x) * (1 - x) + 1
+    c3 = jnp.float32(1.0) - c0 - c1 - c2
+    return [c0, c1, c2, c3]
+
+
+def _lanczos4_weights_dev(f):
+    """Device Lanczos4 weights (interpolateLanczos4, imgwarp.cpp:162)."""
+    s45 = 0.70710678118654752440084436210485
+    cs = np.array([[1, 0], [-s45, -s45], [0, 1], [s45, -s45],
+                   [-1, 0], [s45, s45], [0, -1], [-s45, s45]], np.float32)
+    x = f.astype(jnp.float32)
+    y0 = -(x + 3) * jnp.float32(math.pi * 0.25)
+    s0, c0 = jnp.sin(y0), jnp.cos(y0)
+    ws = []
+    for i in range(8):
+        d = x + jnp.float32(3 - i)
+        y = -d * jnp.float32(math.pi * 0.25)
+        w = (cs[i, 0] * s0 + cs[i, 1] * c0) / (y * y)
+        w = jnp.where(jnp.abs(d) < 1e-6, jnp.float32(1e30), w)
+        ws.append(w)
+    total = sum(ws)
+    return [w / total for w in ws]
+
+
+def _remap_ktap_float_dev(x, x0, fx, y0, fy, ksize, border_type,
+                          border_value):
+    """k-tap remap with EXACT float fractions (the 5.x float scheme, like
+    the linear path): separable weight evaluation on device, f32
+    accumulation, saturate_cast at the end."""
+    N, H, W, C = x.shape
+    dh, dw = x0.shape
+    cval = _cval_vec(border_value, x.dtype, C)
+    flat = x.reshape(N, H * W, C)
+    wfn = _cubic_weights_dev if ksize == 4 else _lanczos4_weights_dev
+    wx = [w.reshape(-1)[None, :, None] for w in wfn(fx)]
+    wy = [w.reshape(-1)[None, :, None] for w in wfn(fy)]
+    off = ksize // 2 - 1
+
+    acc = None
+    for dy in range(ksize):
+        yi, ym = _resolve_tap_dev(y0 + (dy - off), H, border_type)
+        rowacc = None
+        for dx in range(ksize):
+            xi, xm = _resolve_tap_dev(x0 + (dx - off), W, border_type)
+            use_c = (xm | ym).reshape(-1)[None, :, None]
+            idx = (yi * W + xi).reshape(-1)
+            g = jnp.take(flat, idx, axis=1).astype(jnp.float32)
+            g = jnp.where(use_c, cval.reshape(1, 1, C), g)
+            term = g * wx[dx]
+            rowacc = term if rowacc is None else rowacc + term
+        term = rowacc * wy[dy]
+        acc = term if acc is None else acc + term
+
+    out = saturate_cast(acc, x.dtype).reshape(N, dh, dw, C)
+    bt = border_type & ~K.BORDER_ISOLATED
+    if bt == K.BORDER_CONSTANT:
+        fully_out = ((x0 - off >= W) | (x0 + ksize - 1 - off < 0)
+                     | (y0 - off >= H) | (y0 + ksize - 1 - off < 0))
+        out = jnp.where(fully_out[None, :, :, None],
+                        cval.astype(x.dtype).reshape(1, 1, 1, C), out)
+    return out
+
+
+def _floor_q5_dd(hi, lo):
+    """Double-float coordinate → (int tap, Q5 fraction), mirroring the
+    reference's Q(AB_BITS) rounding then >>5 split (imgwarp.cpp:2698)."""
+    s32h = hi * jnp.float32(32.0)
+    s32l = lo * jnp.float32(32.0)
+    t0 = jnp.floor(s32h)
+    r = (s32h - t0) + s32l + jnp.float32(0.5)
+    t = t0 + jnp.floor(r)
+    t = jnp.clip(t, -1e9, 1e9)
+    ti = t.astype(jnp.int32)
+    return ti >> 5, ti & 31
+
+
 def _remap_linear_dev(x, x0, fx, y0, fy, border_type, border_value):
     """Bilinear remap with DEVICE integer taps + f32 fractions."""
     N, H, W, C = x.shape
@@ -536,9 +669,22 @@ def warpAffine(src, M, dsize, flags: int = K.INTER_LINEAR,
         loX = eX + (rxl[:, None] + cxl[None, :])
         sY, eY = _two_sum(ryh[:, None], cyh[None, :])
         loY = eY + (ryl[:, None] + cyl[None, :])
-        x0, fx = _floor_frac_dd(sX, loX)
-        y0, fy = _floor_frac_dd(sY, loY)
-        y = _remap_linear_dev(x, x0, fx, y0, fy, borderMode, borderValue)
+        if interp == K.INTER_LANCZOS4:
+            # lanczos kept the Q5 table scheme in the reference line
+            x0, fqx = _floor_q5_dd(sX, loX)
+            y0, fqy = _floor_q5_dd(sY, loY)
+            y = _remap_ktap_dev(x, x0, fqx, y0, fqy, 8, borderMode,
+                                borderValue)
+        elif interp == K.INTER_CUBIC:
+            x0, fx = _floor_frac_dd(sX, loX)
+            y0, fy = _floor_frac_dd(sY, loY)
+            y = _remap_ktap_float_dev(x, x0, fx, y0, fy, 4, borderMode,
+                                      borderValue)
+        else:
+            x0, fx = _floor_frac_dd(sX, loX)
+            y0, fy = _floor_frac_dd(sY, loY)
+            y = _remap_linear_dev(x, x0, fx, y0, fy, borderMode,
+                                  borderValue)
     return from_batched(y, meta)
 
 
@@ -586,6 +732,16 @@ def warpPerspective(src, M, dsize, flags: int = K.INTER_LINEAR,
         sx = jnp.clip(_dd_round(mx[0], mx[1]), -32768, 32767)
         sy = jnp.clip(_dd_round(my[0], my[1]), -32768, 32767)
         y = _remap_nn_dev(x, sx, sy, borderMode, borderValue)
+    elif interp == K.INTER_LANCZOS4:
+        x0, fqx = _floor_q5_dd(mx[0], mx[1])
+        y0, fqy = _floor_q5_dd(my[0], my[1])
+        y = _remap_ktap_dev(x, x0, fqx, y0, fqy, 8, borderMode,
+                            borderValue)
+    elif interp == K.INTER_CUBIC:
+        x0, fx = _floor_frac_dd(mx[0], mx[1])
+        y0, fy = _floor_frac_dd(my[0], my[1])
+        y = _remap_ktap_float_dev(x, x0, fx, y0, fy, 4, borderMode,
+                                  borderValue)
     else:
         x0, fx = _floor_frac_dd(mx[0], mx[1])
         y0, fy = _floor_frac_dd(my[0], my[1])

@@ -275,3 +275,20 @@ def test_distance_transform_precise():
     ours = np.asarray(tcv.distanceTransform(img, tcv.DIST_L2,
                                             tcv.DIST_MASK_PRECISE))
     np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_match_template_masked_all_modes():
+    """All six TM_* modes with masks vs cv2 (templmatch.cpp:762)."""
+    rng = np.random.default_rng(11)
+    for C in (1, 3):
+        img = rng.integers(0, 256, (60, 80, C) if C > 1 else (60, 80),
+                           np.uint8)
+        t = rng.integers(0, 256, (16, 12, C) if C > 1 else (16, 12),
+                         np.uint8)
+        mask = (rng.random((16, 12)) > 0.3).astype(np.uint8) * 255
+        for m in range(6):
+            ref = cv2.matchTemplate(img, t, m, mask=mask)
+            ours = np.asarray(tcv.matchTemplate(img, t, m, mask=mask))
+            scale = max(1.0, float(np.abs(ref).max()))
+            assert np.abs(ref - ours).max() / scale < 1e-4, (C, m)
+            assert ref.argmax() == ours.argmax() or m in (0, 1), (C, m)

@@ -133,3 +133,45 @@ def test_warp_polar():
         inside = np.hypot(xx - 80, yy - 60) < 65
         d2 = np.abs(back_r.astype(int) - back_o.astype(int))[inside]
         assert d2.max() <= 1
+
+
+@pytest.mark.parametrize("interp,tol_frac", [(tcv.INTER_CUBIC, 0.0),
+                                             (tcv.INTER_LANCZOS4, 0.001)])
+def test_warp_affine_cubic_lanczos(interp, tol_frac):
+    rng = np.random.default_rng(7)
+    img = cv2.GaussianBlur(rand_img(rng, 48, 64, 3), (5, 5), 1.5)
+    M = _M_rot()
+    for bm in (tcv.BORDER_CONSTANT, tcv.BORDER_REPLICATE,
+               tcv.BORDER_REFLECT_101):
+        ref = cv2.warpAffine(img, M, (70, 50), flags=interp, borderMode=bm)
+        ours = np.asarray(tcv.warpAffine(img, M, (70, 50), flags=interp,
+                                         borderMode=bm))
+        d = np.abs(ref.astype(int) - ours.astype(int))
+        assert (d > 1).mean() <= tol_frac, (bm, (d > 1).mean())
+        # lanczos BORDER_CONSTANT edge taps mix the fill value through
+        # the 1e30-normalized weights; small deviations concentrate there
+        assert d.max() <= 8, (bm, d.max())
+
+
+def test_warp_perspective_cubic():
+    rng = np.random.default_rng(8)
+    img = cv2.GaussianBlur(rand_img(rng, 48, 64, 3), (5, 5), 1.5)
+    src = np.float32([[0, 0], [63, 0], [63, 47], [0, 47]])
+    dst = np.float32([[3, 2], [60, 5], [58, 44], [1, 40]])
+    M = cv2.getPerspectiveTransform(src, dst)
+    ref = cv2.warpPerspective(img, M, (64, 48), flags=cv2.INTER_CUBIC)
+    ours = np.asarray(tcv.warpPerspective(img, M, (64, 48),
+                                          flags=tcv.INTER_CUBIC))
+    assert_near(ours, ref, atol=1)
+
+
+def test_calc_hist_3ch():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (60, 80, 3), np.uint8)
+    mask = (rng.random((60, 80)) > 0.5).astype(np.uint8) * 255
+    for args in [([0, 1, 2], None, [8, 8, 8], [0, 256] * 3),
+                 ([0, 2, 1], mask, [4, 8, 16], [0, 256, 16, 240, 0, 200])]:
+        ref = cv2.calcHist([img], args[0], args[1], args[2], args[3])
+        ours = np.asarray(tcv.calcHist([img], args[0], args[1], args[2],
+                                       args[3]))
+        assert_exact(ours.reshape(ref.shape), ref, str(args[2]))
