@@ -373,3 +373,7 @@ from .calib3d import (  # noqa: E402,F401
     CALIB_HAND_EYE_ANDREFF, CALIB_HAND_EYE_DANIILIDIS,
     CALIB_ROBOT_WORLD_HAND_EYE_SHAH, CALIB_ROBOT_WORLD_HAND_EYE_LI,
 )
+from .features2d import (  # noqa: E402,F401
+    BOWKMeansTrainer, BOWImgDescriptorExtractor,
+    AffineFeature, AffineFeature_create,
+)

@@ -27,3 +27,5 @@ KAZE_DIFF_PM_G1 = DIFF_PM_G1
 KAZE_DIFF_PM_G2 = DIFF_PM_G2
 KAZE_DIFF_WEICKERT = DIFF_WEICKERT
 KAZE_DIFF_CHARBONNIER = DIFF_CHARBONNIER
+from .bow import BOWKMeansTrainer, BOWImgDescriptorExtractor  # noqa: F401
+from .affine_feature import AffineFeature, AffineFeature_create  # noqa: F401

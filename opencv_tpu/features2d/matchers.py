@@ -47,6 +47,20 @@ def hamming_distance_matrix(q, t):
 
 
 @jax.jit
+def hamming2_distance_matrix(q, t):
+    """(Nq, Nt) NORM_HAMMING2 distances: differing 2-bit cells
+    (core norm cellSize=2 — used with ORB WTA_K=3/4)."""
+    qi = q.astype(jnp.uint8)
+    ti = t.astype(jnp.uint8)
+    x = jnp.bitwise_xor(qi[:, None, :], ti[None, :, :])
+    cells = (x | (x >> 1)) & 0x55       # 1 bit per differing 2-bit cell
+    c = cells - ((cells >> 1) & 0x55)
+    c = (c & 0x33) + ((c >> 2) & 0x33)
+    c = (c + (c >> 4)) & 0x0F
+    return jnp.sum(c.astype(jnp.int32), axis=-1)
+
+
+@jax.jit
 def _l2sq_matrix(q, t):
     qf = q.astype(jnp.float32)
     tf = t.astype(jnp.float32)
@@ -75,8 +89,11 @@ class BFMatcher:
 
     def _dist(self, q, t):
         nt = self.norm_type & K.NORM_TYPE_MASK
-        if nt in (K.NORM_HAMMING, K.NORM_HAMMING2):
+        if nt == K.NORM_HAMMING:
             return np.asarray(hamming_distance_matrix(q, t)).astype(np.float32)
+        if nt == K.NORM_HAMMING2:
+            # count differing 2-bit cells (normHamming cellSize=2)
+            return np.asarray(hamming2_distance_matrix(q, t)).astype(np.float32)
         if nt == K.NORM_L2:
             return np.sqrt(np.asarray(_l2sq_matrix(q, t)))
         if nt == K.NORM_L2SQR:

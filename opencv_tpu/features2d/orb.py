@@ -40,6 +40,48 @@ HARRIS_K = 0.04
 _PATTERN = np.load(os.path.join(os.path.dirname(__file__), "orb_pattern.npy"))
 
 
+class _CvRNG:
+    """cv::RNG — multiply-with-carry LCG (core/include/opencv2/core.hpp,
+    A = 4164903690), needed to reproduce initializeOrbPattern exactly."""
+
+    A = 4164903690
+
+    def __init__(self, state=0xFFFFFFFF):
+        self.state = state & 0xFFFFFFFFFFFFFFFF
+
+    def next(self):
+        self.state = ((self.state & 0xFFFFFFFF) * self.A
+                      + (self.state >> 32)) & 0xFFFFFFFFFFFFFFFF
+        return self.state & 0xFFFFFFFF
+
+    def uniform(self, a, b):
+        return a + self.next() % (b - a)
+
+
+def _orb_pattern_for_wta(wta_k: int):
+    """(P, 2) sampling points: the learned 256-pair pattern for WTA_K=2,
+    or the RNG(0x12345678)-randomized tuples (initializeOrbPattern,
+    orb.cpp:353) for WTA_K=3/4."""
+    pat0 = _PATTERN.reshape(512, 2)
+    if wta_k == 2:
+        return pat0.astype(np.float32)
+    ntuples = 32 * 4
+    pool = 512
+    rng = _CvRNG(0x12345678)
+    out = np.zeros((ntuples * wta_k, 2), np.float32)
+    for i in range(ntuples):
+        for k in range(wta_k):
+            while True:
+                idx = rng.uniform(0, pool)
+                pt = pat0[idx]
+                dup = any((out[wta_k * i + k1] == pt).all()
+                          for k1 in range(k))
+                if not dup:
+                    out[wta_k * i + k] = pt
+                    break
+    return out
+
+
 def _fast_atan2(y, x):
     """cv::fastAtan2 (mathfuncs_core.simd.hpp:36-70): 7th-order polynomial,
     degrees in [0, 360)."""
@@ -150,7 +192,7 @@ def _fast_atan2_jnp(y, x):
 
 
 def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
-                     et: int, n2: int, cap: int):
+                     et: int, n2: int, cap: int, wta_k: int = 2):
     """Batched device candidate extraction + descriptors for one level.
 
     img4d: (B, H, W, 1) u8.  Everything data-dependent is deferred by
@@ -192,7 +234,8 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
     # 2-D (B*cap, 512) layout throughout: 3-D layouts with a 512-minor dim
     # plus strided lane slices made XLA relayout-bound (~17x slower);
     # bit packing rides the MXU as an exact 0/1 matmul.
-    pat = _PATTERN.reshape(512, 2).astype(np.float32)
+    pat = _orb_pattern_for_wta(wta_k)
+    P = pat.shape[0]
     px = jnp.asarray(pat[:, 0])
     py = jnp.asarray(pat[:, 1])
     R = B * cap
@@ -207,12 +250,33 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
         .repeat(cap).reshape(R, 1)
     gidx = cy * W + cx + base
     flat = blurred[..., 0].reshape(-1).astype(jnp.int32)
-    v = jnp.take(flat, gidx)                        # (R, 512)
-    lo = v.reshape(R, 256, 2)
-    bits = (lo[..., 0] < lo[..., 1]).astype(jnp.float32)
-    packw = ((np.arange(256)[:, None] // 8 == np.arange(32)[None, :])
-             * (2.0 ** (np.arange(256) % 8))[:, None]).astype(np.float32)
-    d = jnp.dot(bits, jnp.asarray(packw),
+    v = jnp.take(flat, gidx)                        # (R, P)
+    if wta_k == 2:
+        lo = v.reshape(R, 256, 2)
+        codes = (lo[..., 0] < lo[..., 1]).astype(jnp.float32)  # (R, 256)
+        group, radix = 8, 2.0
+    elif wta_k == 3:
+        lo = v.reshape(R, 128, 3)
+        t0, t1, t2 = lo[..., 0], lo[..., 1], lo[..., 2]
+        codes = jnp.where(t2 > t1, jnp.where(t2 > t0, 2, 0),
+                          (t1 > t0).astype(jnp.int32)) \
+            .astype(jnp.float32)                    # (R, 128) in 0..2
+        group, radix = 4, 4.0
+    else:  # wta_k == 4 — tournament of 4 (orb.cpp:307)
+        lo = v.reshape(R, 128, 4)
+        t0, t1, t2, t3 = (lo[..., i] for i in range(4))
+        u = (t1 > t0).astype(jnp.int32)
+        m01 = jnp.maximum(t0, t1)
+        vv = 2 + (t3 > t2).astype(jnp.int32)
+        m23 = jnp.maximum(t2, t3)
+        codes = jnp.where(m01 > m23, u, vv).astype(jnp.float32)
+        group, radix = 4, 4.0
+    ncodes = codes.shape[1]
+    packw = ((np.arange(ncodes)[:, None] // group
+              == np.arange(32)[None, :])
+             * (radix ** (np.arange(ncodes) % group))[:, None]) \
+        .astype(np.float32)
+    d = jnp.dot(codes, jnp.asarray(packw),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
     desc = d.astype(jnp.int32).astype(jnp.uint8).reshape(B, cap, 32)
@@ -226,8 +290,9 @@ class ORB:
                  edgeThreshold=31, firstLevel=0, WTA_K=2,
                  scoreType=K.ORB_HARRIS_SCORE, patchSize=31,
                  fastThreshold=20):
-        assert WTA_K == 2, "only WTA_K=2 implemented"
+        assert WTA_K in (2, 3, 4), "WTA_K must be 2, 3 or 4"
         assert firstLevel == 0, "firstLevel != 0 not implemented"
+        self.wta_k = WTA_K
         self.nfeatures = nfeatures
         self.scale_factor = scaleFactor
         self.nlevels = nlevels
@@ -265,7 +330,7 @@ class ORB:
         FAST, Harris terms, IC moments, blur, per-level top-k candidate
         extraction AND descriptors.  A single dispatch per batch — the
         per-level round trips are what made ORB tunnel-latency-bound."""
-        key = (H, W, tuple(caps))
+        key = (H, W, tuple(caps), self.wta_k)
         if key in self._detect_cache:
             return self._detect_cache[key]
         nlevels = self.nlevels
@@ -289,7 +354,7 @@ class ORB:
                 h, w = sizes[lv][1], sizes[lv][0]
                 outs.append(_level_cand_desc(
                     cur, self.fast_threshold, half_patch, et, n2,
-                    min(caps[lv], h * w)))
+                    min(caps[lv], h * w), self.wta_k))
             return outs
 
         jitted = jax.jit(fn)

@@ -42,8 +42,7 @@ def _window_sums(x, th, tw):
             win(s2).sum(axis=-1, keepdims=True))
 
 
-def _cross_corr(x, t):
-    """Valid cross-correlation summed over channels: (N, H-th+1, W-tw+1, 1)."""
+def _cross_corr_conv(x, t):
     C = x.shape[3]
     k = t.astype(jnp.float32)[:, :, :, None]  # (th, tw, C, 1) HWIO
     return lax.conv_general_dilated(
@@ -51,6 +50,29 @@ def _cross_corr(x, t):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
+
+
+def _cross_corr_fft(x, t):
+    """FFT cross-correlation (the reference's own strategy,
+    templmatch.cpp:566 crossCorr) — a 1-output-channel direct conv never
+    reaches the MXU, so beyond tiny templates the rfft2 path is orders of
+    magnitude faster on TPU."""
+    N, H, W, C = x.shape
+    th, tw, _ = t.shape
+    oh, ow = H - th + 1, W - tw + 1
+    xf = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))
+    tf = jnp.fft.rfft2(t.astype(jnp.float32), s=(H, W), axes=(0, 1))
+    prod = xf * jnp.conj(tf)[None]
+    corr = jnp.fft.irfft2(prod, s=(H, W), axes=(1, 2))
+    return jnp.sum(corr[:, :oh, :ow, :], axis=3, keepdims=True)
+
+
+def _cross_corr(x, t):
+    """Valid cross-correlation summed over channels: (N, H-th+1, W-tw+1, 1)."""
+    th, tw = t.shape[0], t.shape[1]
+    if th * tw <= 64:  # tiny templates: direct taps beat the FFT
+        return _cross_corr_conv(x, t)
+    return _cross_corr_fft(x, t)
 
 
 def matchTemplate(image, templ, method: int, mask=None):

@@ -310,3 +310,99 @@ def test_kaze_extended_upright():
     assert desc.shape[1] == 128
     assert k.descriptorSize() == 128
     assert k.defaultNorm() == tcv.NORM_L2
+
+
+def test_affine_feature_asift():
+    """AffineFeature (ASIFT wrapper) vs the reference with a SIFT
+    backend at maxTilt=1 (affine_feature.cpp view grid)."""
+    img = cv2.GaussianBlur(_img(11, 140, 180), (0, 0), 1.0)
+
+    ref_af = cv2.AffineFeature_create(cv2.SIFT_create(nfeatures=150),
+                                      maxTilt=1)
+    rk, rd = ref_af.detectAndCompute(img, None)
+    our_af = tcv.AffineFeature_create(tcv.SIFT_create(nfeatures=150),
+                                      maxTilt=1)
+    ok, od = our_af.detectAndCompute(img, None)
+    assert len(ok) >= 0.8 * len(rk), (len(ok), len(rk))
+    rset = {(round(k.pt[0]), round(k.pt[1])) for k in rk}
+    oset = {(round(k.pt[0]), round(k.pt[1])) for k in ok}
+    inter = len(rset & oset)
+    assert inter >= 0.6 * min(len(rset), len(oset)), \
+        f"overlap {inter}/{min(len(rset), len(oset))}"
+    assert od is not None and od.shape[1] == rd.shape[1]
+
+
+def test_bow_trainer_and_extractor():
+    """BOWKMeansTrainer/BOWImgDescriptorExtractor semantics
+    (bagofwords.cpp; API dropped from the 5.0 wheel — semantic oracle):
+    vocabulary clusters the descriptor space, the image descriptor is the
+    L1-normalized assignment histogram."""
+    rng = np.random.default_rng(0)
+    centers_gt = rng.normal(0, 10, (4, 32)).astype(np.float32)
+    descs = np.vstack([c + rng.normal(0, 0.3, (50, 32))
+                       for c in centers_gt]).astype(np.float32)
+    tr = tcv.BOWKMeansTrainer(4)
+    tr.add(descs[:100])
+    tr.add(descs[100:])
+    assert tr.descriptorsCount() == 200
+    vocab = tr.cluster()
+    assert vocab.shape == (4, 32)
+    # every GT center recovered within the intra-cluster noise
+    d = ((vocab[:, None, :] - centers_gt[None, :, :]) ** 2).sum(-1)
+    assert (np.sqrt(d.min(0)) < 1.0).all()
+
+    ext = tcv.BOWImgDescriptorExtractor()
+    ext.setVocabulary(vocab)
+    h = ext.compute2(descs)
+    assert h.shape == (1, 4)
+    assert abs(h.sum() - 1.0) < 1e-6
+    assert (np.abs(h - 0.25) < 0.05).all()  # balanced clusters
+
+
+def test_fast_all_pattern_types():
+    """FAST TYPE_9_16 / TYPE_7_12 / TYPE_5_8: positions AND responses
+    exact vs cv2 (fast.cpp FAST_t incl. the wrapped pre-gate)."""
+    rng = np.random.default_rng(13)
+    img = cv2.GaussianBlur(rng.integers(0, 256, (120, 160), np.uint8),
+                           (3, 3), 1.0)
+    for T in (cv2.FAST_FEATURE_DETECTOR_TYPE_9_16,
+              cv2.FAST_FEATURE_DETECTOR_TYPE_7_12,
+              cv2.FAST_FEATURE_DETECTOR_TYPE_5_8):
+        for nms in (True, False):
+            rk = cv2.FastFeatureDetector_create(20, nms, type=T).detect(img)
+            ok = tcv.FastFeatureDetector_create(20, nms, type=T).detect(img)
+            if nms:
+                key = lambda k: (round(k.pt[0]), round(k.pt[1]),
+                                 round(k.response))
+            else:
+                key = lambda k: (round(k.pt[0]), round(k.pt[1]))
+            assert {key(k) for k in rk} == {key(k) for k in ok}, (T, nms)
+
+
+def test_orb_wta_k_variants():
+    """ORB WTA_K=3/4: randomized tuple pattern (cv::RNG reproduction) +
+    2-bit code descriptors match the reference (orb.cpp:286-330)."""
+    rng = np.random.default_rng(14)
+    img = cv2.GaussianBlur(rng.integers(0, 256, (240, 320), np.uint8),
+                           (3, 3), 1.0)
+    for wta in (3, 4):
+        rk, rd = cv2.ORB_create(nfeatures=150,
+                                WTA_K=wta).detectAndCompute(img, None)
+        ok, od = tcv.ORB_create(nfeatures=150,
+                                WTA_K=wta).detectAndCompute(img, None)
+        rmap = {(round(k.pt[0]), round(k.pt[1]), k.octave): i
+                for i, k in enumerate(rk)}
+        omap = {(round(k.pt[0]), round(k.pt[1]), k.octave): i
+                for i, k in enumerate(ok)}
+        common = set(rmap) & set(omap)
+        assert len(common) >= 0.95 * max(len(rk), len(ok)), wta
+        d = [int(np.unpackbits(np.bitwise_xor(rd[rmap[c]],
+                                              od[omap[c]])).sum())
+             for c in common]
+        assert np.median(d) <= 1.0 and np.mean(d) < 4.0, (wta, np.mean(d))
+        # NORM_HAMMING2 matcher parity
+        ref_m = cv2.BFMatcher(cv2.NORM_HAMMING2).match(rd[:50], rd[50:100])
+        our_m = tcv.BFMatcher(tcv.NORM_HAMMING2).match(rd[:50], rd[50:100])
+        agree = sum(1 for a, b in zip(ref_m, our_m)
+                    if a.trainIdx == b.trainIdx and a.distance == b.distance)
+        assert agree >= 48, agree
