@@ -261,6 +261,8 @@ from .video import (
     DISOpticalFlow_create,
     TrackerMIL,
     TrackerMIL_create,
+    VariationalRefinement,
+    VariationalRefinement_create,
     MOTION_TRANSLATION,
     MOTION_EUCLIDEAN,
     MOTION_AFFINE,

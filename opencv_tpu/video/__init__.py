@@ -17,3 +17,6 @@ from .ecc import (  # noqa: F401
 )
 from .dis import DISOpticalFlow, DISOpticalFlow_create  # noqa: F401
 from .trackers import TrackerMIL, TrackerMIL_create  # noqa: F401
+from .variational import (  # noqa: F401
+    VariationalRefinement, VariationalRefinement_create,
+)

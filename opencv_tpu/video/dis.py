@@ -290,6 +290,17 @@ class DISOpticalFlow:
                                           self.patch_stride, bsz,
                                           self.grad_descent_iter)
             U = self._densify(a, b, Sx, Sy, psz, self.patch_stride)
+            if self.variational_refinement_iter > 0:
+                # per-level refinement like dis_flow.cpp:310-316
+                from .variational import VariationalRefinement
+                vr = VariationalRefinement()
+                vr.setAlpha(20.0)
+                vr.setDelta(5.0)
+                vr.setGamma(10.0)
+                vr.setSorIterations(5)
+                vr.setFixedPointIterations(self.variational_refinement_iter)
+                u, v = vr.calcUV(a, b, U[..., 0].copy(), U[..., 1].copy())
+                U = np.stack([u, v], -1)
             if lvl > self.finest_scale:
                 nh, nw = I0s[lvl - 1].shape
                 U = np.stack([

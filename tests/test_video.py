@@ -251,3 +251,40 @@ def test_videostab_one_pass():
         return np.std(js)
 
     assert jitter_std(out) < jitter_std(frames) / 2.5
+
+
+def test_variational_refinement_matches_cv2():
+    rng = np.random.default_rng(3)
+    base = (cv2.GaussianBlur(rng.random((80, 96)).astype(np.float32),
+                             (0, 0), 3) * 255).astype(np.uint8)
+    M = np.float32([[1, 0, 1.5], [0, 1, -1.0]])
+    nxt = cv2.warpAffine(base, M, (96, 80))
+    # start from a noisy constant-flow initialization
+    u0 = np.full((80, 96), 1.2, np.float32) + \
+        rng.normal(0, 0.2, (80, 96)).astype(np.float32)
+    v0 = np.full((80, 96), -0.8, np.float32) + \
+        rng.normal(0, 0.2, (80, 96)).astype(np.float32)
+
+    ref_vr = cv2.VariationalRefinement_create()
+    ru, rv = u0.copy(), v0.copy()
+    ref_vr.calcUV(base, nxt, ru, rv)
+
+    our_vr = tcv.VariationalRefinement_create()
+    ou, ov = our_vr.calcUV(base, nxt, u0.copy(), v0.copy())
+
+    d = np.hypot(ru - ou, rv - ov)
+    assert np.median(d) < 0.03, np.median(d)
+    assert d.mean() < 0.08, d.mean()
+
+
+def test_variational_refinement_calc_flow2ch():
+    rng = np.random.default_rng(4)
+    base = (cv2.GaussianBlur(rng.random((48, 64)).astype(np.float32),
+                             (0, 0), 3) * 255).astype(np.uint8)
+    nxt = np.roll(base, 1, axis=1)
+    flow = np.zeros((48, 64, 2), np.float32)
+    rflow = flow.copy()
+    cv2.VariationalRefinement_create().calc(base, nxt, rflow)
+    out = tcv.VariationalRefinement_create().calc(base, nxt, flow.copy())
+    d = np.linalg.norm(rflow - out, axis=-1)
+    assert np.median(d) < 0.05, np.median(d)
