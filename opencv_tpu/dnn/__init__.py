@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.dirname(__file__))
 from . import onnx_schema_pb2 as _onnx  # noqa: E402
 
 __all__ = ["readNetFromONNX", "readNetFromCaffe", "readNetFromTensorflow",
-           "blobFromImage", "blobFromImages", "Net",
+           "readNet", "blobFromImage", "blobFromImages",
+           "blobFromImageWithParams", "Image2BlobParams", "Net",
            "DNN_BACKEND_DEFAULT", "DNN_TARGET_CPU"]
 
 DNN_BACKEND_DEFAULT = 0
@@ -151,6 +152,72 @@ def _static(v):
         return None
 
 
+def _region_decode(x, biases, norm_shape, at):
+    """Region/YOLO decode (region_layer.cpp:forward).  x: NHWC
+    (N, H, W, A*cell); biases: (2A,) anchor sizes; norm_shape: shape of
+    the net input for YOLOv3+ normalization (None => grid units)."""
+    classes = at.get("classes", 20)
+    A = at.get("anchors", 5)
+    coords = 4
+    cell = coords + 1 + classes
+    thresh = at.get("thresh", 0.2)
+    sxy = at.get("scale_x_y", 1.0)
+    new_coords = at.get("new_coords", 0)
+    classfix = at.get("classfix", 0)
+    use_logistic = at.get("logistic", 0)
+    use_softmax = at.get("softmax", 0)
+
+    N, H, W = x.shape[0], x.shape[1], x.shape[2]
+    t = x.reshape(N, H, W, A, cell).astype(np.float32)
+    if norm_shape is not None:
+        hN, wN = norm_shape[2], norm_shape[3]
+    else:
+        hN, wN = H, W
+
+    def sig(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    out = t.copy()
+    if new_coords == 0:
+        out[..., 4] = sig(t[..., 4])
+        if use_softmax:
+            e = np.exp(t[..., 5:] - t[..., 5:].max(-1, keepdims=True))
+            out[..., 5:] = e / e.sum(-1, keepdims=True)
+        elif use_logistic:
+            out[..., 5:] = sig(t[..., 5:])
+        gx = np.arange(W, dtype=np.float32).reshape(1, 1, W, 1)
+        gy = np.arange(H, dtype=np.float32).reshape(1, H, 1, 1)
+        bw = biases[0::2].reshape(1, 1, 1, A)
+        bh = biases[1::2].reshape(1, 1, 1, A)
+        out[..., 0] = (gx + (sig(t[..., 0]) - 0.5) * sxy + 0.5) / W
+        out[..., 1] = (gy + (sig(t[..., 1]) - 0.5) * sxy + 0.5) / H
+        out[..., 2] = np.exp(t[..., 2]) * bw / wN
+        out[..., 3] = np.exp(t[..., 3]) * bh / hN
+        scale = out[..., 4].copy()
+        if classfix == -1:
+            scale[scale < 0.5] = 0.0
+        prob = scale[..., None] * out[..., 5:]
+        out[..., 5:] = np.where(prob > thresh, prob, 0.0)
+    else:
+        gx = np.arange(W, dtype=np.float32).reshape(1, 1, W, 1)
+        gy = np.arange(H, dtype=np.float32).reshape(1, H, 1, 1)
+        bw = biases[0::2].reshape(1, 1, 1, A)
+        bh = biases[1::2].reshape(1, 1, 1, A)
+        out[..., 0] = (gx + (t[..., 0] - 0.5) * sxy + 0.5) / W
+        out[..., 1] = (gy + (t[..., 1] - 0.5) * sxy + 0.5) / H
+        out[..., 2] = t[..., 2] ** 2 * 4 * bw / wN
+        out[..., 3] = t[..., 3] ** 2 * 4 * bh / hN
+        scale = t[..., 4].copy()
+        if classfix == -1:
+            scale[scale < thresh] = 0.0
+        prob = scale[..., None] * t[..., 5:]
+        out[..., 5:] = np.where(prob > thresh, prob, 0.0)
+    out = out.reshape(N, H * W * A, cell)
+    if N == 1:
+        out = out[0]
+    return out
+
+
 class Net:
     def __init__(self, model):
         self._graph = model.graph
@@ -167,6 +234,30 @@ class Net:
 
     def getLayerNames(self):
         return [n.name or n.op_type for n in self._graph.node]
+
+    def _resolve_layer(self, name):
+        """Resolve a layer name to a node index.  Accepts the node's own
+        name, any of its output names, and the reference ONNX importer's
+        generated names for anonymous nodes ("onnx_node_output_0!<out>",
+        "onnx_node!<out>" — onnx_importer.cpp)."""
+        if "!" in name:
+            name = name.rsplit("!", 1)[1]
+        for i, n in enumerate(self._graph.node):
+            if n.name == name or name in list(n.output):
+                return i
+        raise KeyError(f"no layer named {name!r}")
+
+    def getLayerId(self, name):
+        return self._resolve_layer(name)
+
+    def setParam(self, layerId, paramIdx, blob):
+        """Replace the paramIdx-th learned parameter (constant input) of
+        the given layer — cv2.dnn.Net.setParam, used e.g. by
+        TrackerDaSiamRPN's template-kernel surgery
+        (tracker_dasiamrpn.cpp:170-171)."""
+        node = self._graph.node[int(layerId)]
+        params = [i for i in node.input if i in self._init]
+        self._init[params[int(paramIdx)]] = np.asarray(blob, np.float32)
 
     def getUnconnectedOutLayersNames(self):
         return list(self._outputs)
@@ -353,6 +444,27 @@ class Net:
                 y = jnp.asarray(ins[0]) ** jnp.asarray(ins[1])
             elif op == "Exp":
                 y = jnp.exp(jnp.asarray(x))
+            elif op == "Softplus":
+                y = jax.nn.softplus(jnp.asarray(x))
+            elif op == "Mish":
+                xx = jnp.asarray(x)
+                y = xx * jnp.tanh(jax.nn.softplus(xx))
+            elif op == "Swish":
+                xx = jnp.asarray(x)
+                y = xx * jax.nn.sigmoid(xx)
+            elif op == "Reorg":
+                # darknet reorg (reorg_layer.cpp finalize): reshape +
+                # permute(0,2,4,1,3)
+                xx = jnp.asarray(x)
+                s = at.get("stride", 2)
+                N, C, H, W = xx.shape
+                t = xx.reshape(N, C * H // (s * s), s, W, s)
+                t = jnp.transpose(t, (0, 2, 4, 1, 3))
+                y = t.reshape(N, C * s * s, H // s, W // s)
+            elif op == "Region":
+                y = _region_decode(np.asarray(ins[0]), np.asarray(ins[1]),
+                                   None if len(ins) < 3 or ins[2] is None
+                                   else np.asarray(ins[2]).shape, at)
             else:
                 raise NotImplementedError(f"ONNX op {op} not supported "
                                           "in this round")
@@ -362,11 +474,16 @@ class Net:
             else:
                 vals[outs[0]] = y  # extra outputs (e.g. Dropout mask)
 
+        def get(name):
+            if name not in vals and "!" in name:
+                name = name.rsplit("!", 1)[1]
+            return np.asarray(vals[name])
+
         if outBlobNames is None:
-            return np.asarray(vals[self._outputs[0]])
+            return get(self._outputs[0])
         if isinstance(outBlobNames, str):
-            return np.asarray(vals[outBlobNames])
-        return [np.asarray(vals[n]) for n in outBlobNames]
+            return get(outBlobNames)
+        return [get(n) for n in outBlobNames]
 
 
 def readNetFromONNX(path):
@@ -374,6 +491,86 @@ def readNetFromONNX(path):
     with open(path, "rb") as f:
         model.ParseFromString(f.read())
     return Net(model)
+
+
+def readNet(model, config="", framework=""):
+    """cv2.dnn.readNet: dispatch on file extension (dnn.cpp readNet)."""
+    m = str(model)
+    c = str(config)
+    ext = m.rsplit(".", 1)[-1].lower() if "." in m else ""
+    fw = framework or {"onnx": "onnx", "caffemodel": "caffe",
+                       "prototxt": "caffe", "pb": "tensorflow",
+                       "tflite": "tflite", "weights": "darknet",
+                       "cfg": "darknet"}.get(ext, "")
+    if fw == "onnx":
+        return readNetFromONNX(m)
+    if fw == "caffe":
+        if ext == "prototxt":
+            return readNetFromCaffe(m, c or None)
+        return readNetFromCaffe(c, m)
+    if fw == "tensorflow":
+        return readNetFromTensorflow(m, c or None)
+    if fw == "tflite":
+        return readNetFromTFLite(m)
+    if fw == "darknet":
+        if ext == "cfg":
+            return readNetFromDarknet(m, c or None)
+        return readNetFromDarknet(c, m)
+    raise ValueError(f"cannot guess framework for {model!r}")
+
+
+class Image2BlobParams:
+    """cv2.dnn.Image2BlobParams (dnn_utils.cpp:15)."""
+
+    def __init__(self, scalefactor=1.0, size=None, mean=0.0, swapRB=False,
+                 ddepth=None, datalayout=0, paddingmode=0):
+        self.scalefactor = scalefactor
+        self.size = size
+        self.mean = mean
+        self.swapRB = swapRB
+        self.ddepth = ddepth
+        self.datalayout = datalayout
+        self.paddingmode = paddingmode
+
+
+def _scalar4(v):
+    a = np.zeros(4, np.float32)
+    if v is None:
+        return a
+    v = np.atleast_1d(np.asarray(v, np.float32)).ravel()
+    a[:len(v)] = v[:4]
+    return a
+
+
+def blobFromImageWithParams(image, params=None):
+    """cv2.dnn.blobFromImageWithParams: per-channel (x - mean) * scale
+    after optional resize + swapRB (dnn_utils.cpp:188-201)."""
+    if params is None:
+        params = Image2BlobParams()
+    from ..ops.resize import resize as cv_resize
+    from .. import constants as K
+    a = np.asarray(image).astype(np.float32)
+    if a.ndim == 2:
+        a = a[..., None]
+    if params.size is not None and tuple(params.size):
+        w, h = params.size
+        if (a.shape[1], a.shape[0]) != (w, h):
+            a = np.asarray(cv_resize(a, (w, h),
+                                     interpolation=K.INTER_LINEAR))
+            if a.ndim == 2:
+                a = a[..., None]
+    if params.swapRB and a.shape[-1] >= 3:
+        a = a[..., [2, 1, 0] + list(range(3, a.shape[-1]))]
+    nc = a.shape[-1]
+    mean = _scalar4(params.mean)[:nc].reshape(1, 1, -1)
+    scale = np.atleast_1d(np.asarray(params.scalefactor,
+                                     np.float32)).ravel()
+    if scale.size == 1:
+        scale = np.full(nc, scale[0], np.float32)
+    else:
+        scale = _scalar4(params.scalefactor)[:nc]
+    a = (a - mean) * scale.reshape(1, 1, -1)
+    return np.transpose(a, (2, 0, 1))[None].astype(np.float32)
 
 
 def blobFromImage(image, scalefactor=1.0, size=None, mean=None,
@@ -417,6 +614,7 @@ def blobFromImages(images, scalefactor=1.0, size=None, mean=None,
 
 
 from .importers import readNetFromCaffe, readNetFromTensorflow  # noqa: E402,F401
+from .darknet import readNetFromDarknet  # noqa: E402,F401
 from .nms import (  # noqa: E402,F401
     NMSBoxes, NMSBoxesBatched, NMSBoxesRotated, softNMSBoxes,
 )

@@ -325,3 +325,169 @@ def test_classification_model():
     oid, oconf = m.classify(frame)
     assert oid == rid
     assert abs(oconf - rconf) < 1e-5
+
+
+def _tiny_yolo_cfg_weights(tmp, classes=3):
+    """A miniature yolov3-style net: 2 convs (one bn+leaky), maxpool,
+    shortcut-free route, upsample, and two [yolo] heads."""
+    cfg = """
+[net]
+width=32
+height=32
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+filters=%(c1)d
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask=0,1
+anchors=10,14, 23,27, 37,58
+classes=%(cls)d
+scale_x_y=1.05
+
+[route]
+layers=-3
+
+[upsample]
+stride=2
+
+[convolutional]
+filters=%(c1)d
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask=2
+anchors=10,14, 23,27, 37,58
+classes=%(cls)d
+""" % {"c1": 2 * (5 + classes), "cls": classes}
+    # second head needs 1 anchor * (5+classes) channels; patch filters
+    lines = cfg.strip().splitlines()
+    # fix the LAST convolutional filters= to 1*(5+classes)
+    for i in range(len(lines) - 1, -1, -1):
+        if lines[i].startswith("filters="):
+            lines[i] = "filters=%d" % (5 + classes)
+            break
+    cfg = "\n".join(lines) + "\n"
+    cfgp = os.path.join(tmp, "tiny.cfg")
+    open(cfgp, "w").write(cfg)
+
+    rng = np.random.default_rng(0)
+    blobs = [np.asarray([0, 2, 0], np.int32).tobytes(),
+             np.asarray([0], np.int64).tobytes()]
+
+    def wf(*shape):
+        return (rng.normal(0, 0.3, shape).astype(np.float32))
+
+    # conv1: bias, bn(scale, mean, var), weights
+    blobs += [wf(8).tobytes(), (wf(8) * 0.1 + 1).tobytes(), wf(8).tobytes(),
+              (np.abs(wf(8)) + 0.5).astype(np.float32).tobytes(),
+              wf(8, 3, 3, 3).tobytes()]
+    c1 = 2 * (5 + classes)
+    blobs += [wf(c1).tobytes(), wf(c1, 8, 1, 1).tobytes()]
+    c2 = 5 + classes
+    blobs += [wf(c2).tobytes(), wf(c2, 8, 1, 1).tobytes()]
+    wp = os.path.join(tmp, "tiny.weights")
+    open(wp, "wb").write(b"".join(blobs))
+    return cfgp, wp
+
+
+def test_read_net_from_darknet_vs_cv2():
+    """The bundled cv2 wheel has no darknet reader; oracle = torch for
+    the conv stack + an independent scalar-loop region decode."""
+    import torch
+    import torch.nn.functional as F
+
+    tmp = tempfile.mkdtemp()
+    cfgp, wp = _tiny_yolo_cfg_weights(tmp)
+    rng = np.random.default_rng(1)
+    blob = rng.random((1, 3, 32, 32)).astype(np.float32)
+
+    ours = dnn.readNetFromDarknet(cfgp, wp)
+    ours.setInput(blob)
+    our_outs = ours.forward(ours.getUnconnectedOutLayersNames())
+    assert len(our_outs) == 2
+
+    # ---- torch re-execution of the conv part, reading the same weights
+    raw = open(wp, "rb").read()[20:]
+    f = np.frombuffer(raw, np.float32)
+    o = 0
+
+    def take(n):
+        nonlocal o
+        v = f[o:o + n]
+        o += n
+        return torch.tensor(np.array(v))
+
+    b1 = take(8); g1 = take(8); m1 = take(8); v1 = take(8)
+    w1 = take(8 * 3 * 3 * 3).reshape(8, 3, 3, 3)
+    x = torch.tensor(blob)
+    h = F.conv2d(x, w1, None, 1, 1)
+    h = (h - m1.view(1, -1, 1, 1)) / torch.sqrt(v1.view(1, -1, 1, 1) + 1e-6)
+    h = h * g1.view(1, -1, 1, 1) + b1.view(1, -1, 1, 1)
+    h = F.leaky_relu(h, 0.1)
+    h = F.max_pool2d(F.pad(h, (0, 1, 0, 1), value=-torch.inf), 2, 2)
+    route = h  # [route] layers=-3 resolves to the maxpool output
+    c1 = 2 * (5 + 3)
+    bb2 = take(c1); w2 = take(c1 * 8).reshape(c1, 8, 1, 1)
+    head1 = F.conv2d(h, w2, bb2)
+    up = F.interpolate(route, scale_factor=2, mode="nearest")
+    c2 = 5 + 3
+    bb3 = take(c2); w3 = take(c2 * 8).reshape(c2, 8, 1, 1)
+    head2 = F.conv2d(up, w3, bb3)
+
+    def region_scalar(head, anchors, sxy, wN, hN, classes=3, thresh=0.2):
+        A = len(anchors) // 2
+        cell = 5 + classes
+        t = head[0].numpy().transpose(1, 2, 0)  # HWC
+        H, W = t.shape[:2]
+        t = t.reshape(H, W, A, cell)
+        out = np.zeros_like(t)
+        sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+        for y in range(H):
+            for xx in range(W):
+                for a in range(A):
+                    v = t[y, xx, a]
+                    ov = out[y, xx, a]
+                    ov[0] = (xx + (sig(v[0]) - 0.5) * sxy + 0.5) / W
+                    ov[1] = (y + (sig(v[1]) - 0.5) * sxy + 0.5) / H
+                    ov[2] = np.exp(v[2]) * anchors[2 * a] / wN
+                    ov[3] = np.exp(v[3]) * anchors[2 * a + 1] / hN
+                    ov[4] = sig(v[4])
+                    for c in range(classes):
+                        pr = ov[4] * sig(v[5 + c])
+                        ov[5 + c] = pr if pr > thresh else 0.0
+        return out.reshape(H * W * A, cell)
+
+    ref1 = region_scalar(head1, [10, 14, 23, 27], 1.05, 32, 32)
+    ref2 = region_scalar(head2, [37, 58], 1.0, 32, 32)
+    np.testing.assert_allclose(our_outs[0], ref1, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(our_outs[1], ref2, rtol=2e-4, atol=2e-5)
+
+
+def test_read_net_dispatch(tmp_path):
+    tmp = tempfile.mkdtemp()
+    cfgp, wp = _tiny_yolo_cfg_weights(tmp)
+    net = dnn.readNet(wp, cfgp)
+    rng = np.random.default_rng(1)
+    net.setInput(rng.random((1, 3, 32, 32)).astype(np.float32))
+    outs = net.forward(net.getUnconnectedOutLayersNames())
+    assert len(outs) == 2
