@@ -263,6 +263,14 @@ from .video import (
     TrackerMIL_create,
     VariationalRefinement,
     VariationalRefinement_create,
+    TrackerNano,
+    TrackerNano_create,
+    TrackerDaSiamRPN,
+    TrackerDaSiamRPN_create,
+    TrackerGOTURN,
+    TrackerGOTURN_create,
+    TrackerVit,
+    TrackerVit_create,
     MOTION_TRANSLATION,
     MOTION_EUCLIDEAN,
     MOTION_AFFINE,

@@ -444,6 +444,9 @@ class Net:
                 y = jnp.asarray(ins[0]) ** jnp.asarray(ins[1])
             elif op == "Exp":
                 y = jnp.exp(jnp.asarray(x))
+            elif op == "Tile":
+                reps = [int(v) for v in np.asarray(ins[1]).ravel()]
+                y = jnp.tile(jnp.asarray(x), reps)
             elif op == "Softplus":
                 y = jax.nn.softplus(jnp.asarray(x))
             elif op == "Mish":
@@ -549,16 +552,19 @@ def blobFromImageWithParams(image, params=None):
         params = Image2BlobParams()
     from ..ops.resize import resize as cv_resize
     from .. import constants as K
-    a = np.asarray(image).astype(np.float32)
+    a = np.asarray(image)
     if a.ndim == 2:
         a = a[..., None]
     if params.size is not None and tuple(params.size):
         w, h = params.size
         if (a.shape[1], a.shape[0]) != (w, h):
+            # resize in the source depth (u8 rounds) before the float
+            # conversion, like blobFromImagesWithParams
             a = np.asarray(cv_resize(a, (w, h),
                                      interpolation=K.INTER_LINEAR))
             if a.ndim == 2:
                 a = a[..., None]
+    a = a.astype(np.float32)
     if params.swapRB and a.shape[-1] >= 3:
         a = a[..., [2, 1, 0] + list(range(3, a.shape[-1]))]
     nc = a.shape[-1]

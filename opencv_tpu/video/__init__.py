@@ -20,3 +20,9 @@ from .trackers import TrackerMIL, TrackerMIL_create  # noqa: F401
 from .variational import (  # noqa: F401
     VariationalRefinement, VariationalRefinement_create,
 )
+from .dnn_trackers import (  # noqa: F401
+    TrackerNano, TrackerNano_create,
+    TrackerDaSiamRPN, TrackerDaSiamRPN_create,
+    TrackerGOTURN, TrackerGOTURN_create,
+    TrackerVit, TrackerVit_create,
+)
