@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(__file__))
 from . import onnx_schema_pb2 as _onnx  # noqa: E402
+from .onnx_ops import OPS as _EXTRA_OPS  # noqa: E402
 
 __all__ = ["readNetFromONNX", "readNetFromCaffe", "readNetFromTensorflow",
            "readNet", "blobFromImage", "blobFromImages",
@@ -230,7 +231,10 @@ class Net:
 
     def setInput(self, blob, name=""):
         key = name or (self._inputs[0] if self._inputs else "input")
-        self._input_blobs[key] = np.asarray(blob, np.float32)
+        blob = np.asarray(blob)
+        if not np.issubdtype(blob.dtype, np.integer):
+            blob = blob.astype(np.float32)
+        self._input_blobs[key] = blob
 
     def getLayerNames(self):
         return [n.name or n.op_type for n in self._graph.node]
@@ -468,12 +472,15 @@ class Net:
                 y = _region_decode(np.asarray(ins[0]), np.asarray(ins[1]),
                                    None if len(ins) < 3 or ins[2] is None
                                    else np.asarray(ins[2]).shape, at)
+            elif op in _EXTRA_OPS:
+                y = _EXTRA_OPS[op](ins, at)
             else:
                 raise NotImplementedError(f"ONNX op {op} not supported "
                                           "in this round")
-            outs = list(node.output)
-            if len(outs) == 1:
-                vals[outs[0]] = y
+            outs = [o for o in node.output if o]
+            if isinstance(y, tuple):
+                for o, v in zip(outs, y):
+                    vals[o] = v
             else:
                 vals[outs[0]] = y  # extra outputs (e.g. Dropout mask)
 
