@@ -200,3 +200,55 @@ def test_multiband_blender():
     bl.feed(b, np.full((H, W), 255, np.uint8), (0, 0))
     res, mask = bl.blend()
     assert res.shape == a.shape and mask.shape == (H, W)
+
+
+def test_gapi_graph_serialization():
+    from opencv_tpu import gapi
+
+    gin = gapi.GMat()
+    g = gapi.g_op("cvtColor", gin, code=tcv.COLOR_BGR2GRAY)
+    b = gapi.g_op("gaussianBlur", g, ksize=(5, 5), sigmaX=0.0)
+    r = gapi.g_op("resize", b, dsize=(32, 24))
+    comp = gapi.GComputation(gin, r)
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    out1 = np.asarray(comp.apply(img))
+
+    blob = gapi.serialize(comp)
+    comp2 = gapi.deserialize(blob)
+    out2 = np.asarray(comp2.apply(img))
+    assert np.array_equal(out1, out2)
+
+    # oracle: same chain eagerly
+    ref = np.asarray(tcv.resize(tcv.GaussianBlur(
+        tcv.cvtColor(img, tcv.COLOR_BGR2GRAY), (5, 5), 0), (32, 24)))
+    assert np.array_equal(out1, ref)
+
+    # arithmetic sugar + multi-output
+    a = gapi.GMat()
+    bg = gapi.GMat()
+    s = a + bg
+    d = gapi.g_op("absDiff", a, bg)
+    comp3 = gapi.GComputation([a, bg], [s, d])
+    x = rng.integers(0, 256, (8, 8), np.uint8)
+    y = rng.integers(0, 256, (8, 8), np.uint8)
+    os_, od = comp3.apply(x, y)
+    assert np.array_equal(np.asarray(os_), np.asarray(tcv.add(x, y)))
+    assert np.array_equal(np.asarray(od), np.asarray(tcv.absdiff(x, y)))
+
+
+def test_gapi_compiled_serialization():
+    from opencv_tpu import gapi
+
+    def pipe(x):
+        g = tcv.cvtColor(x, tcv.COLOR_BGR2GRAY)
+        return tcv.GaussianBlur(g, (3, 3), 0)
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (2, 32, 40, 3), np.uint8)
+    blob = gapi.serialize_compiled(pipe, img)
+    assert isinstance(blob, bytes) and len(blob) > 100
+    fn = gapi.deserialize_compiled(blob)
+    out = np.asarray(fn(img))
+    assert np.array_equal(out, np.asarray(pipe(img)))
