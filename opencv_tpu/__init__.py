@@ -228,7 +228,7 @@ from .calib3d.geometry import (
 )
 from .calib3d import fisheye
 from .calib3d import (
-    calibrateCamera, stereoCalibrate, findChessboardCorners,
+    calibrateCamera, calibrateCameraRO, stereoCalibrate, findChessboardCorners,
     drawChessboardCorners,
     cornerSubPix, CALIB_CB_ADAPTIVE_THRESH, CALIB_CB_NORMALIZE_IMAGE,
     CALIB_CB_FAST_CHECK,

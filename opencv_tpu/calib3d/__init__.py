@@ -23,7 +23,7 @@ from .geometry import (  # noqa: F401
     solveP3P,
 )
 from .stereo import StereoBM, StereoBM_create, StereoSGBM, StereoSGBM_create  # noqa: F401
-from .calibrate import calibrateCamera, stereoCalibrate  # noqa: F401
+from .calibrate import calibrateCamera, calibrateCameraRO, stereoCalibrate  # noqa: F401
 from .chessboard import (  # noqa: F401
     findChessboardCorners, drawChessboardCorners, cornerSubPix,
     CALIB_CB_ADAPTIVE_THRESH, CALIB_CB_NORMALIZE_IMAGE, CALIB_CB_FAST_CHECK,

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from .geometry import findHomography, Rodrigues
 
-__all__ = ["calibrateCamera", "stereoCalibrate"]
+__all__ = ["calibrateCamera", "calibrateCameraRO", "stereoCalibrate"]
 
 
 def _rodrigues_jnp(r):
@@ -326,3 +326,107 @@ def stereoCalibrate(objectPoints, imagePoints1, imagePoints2,
     npts = 2 * sum(len(o) for o in objs)
     rms = float(np.sqrt(cost / npts))
     return rms, K1, d1.reshape(1, 5), K2, d2.reshape(1, 5), Rm, Tm, E, F
+
+
+def calibrateCameraRO(objectPoints, imagePoints, imageSize, iFixedPoint,
+                      cameraMatrix=None, distCoeffs=None, rvecs=None,
+                      tvecs=None, newObjPoints=None, flags=0,
+                      criteria=(3, 60, 1e-10)):
+    """cv2.calibrateCameraRO (calibration.cpp:1334, Strobl's released
+    object points method): when 0 < iFixedPoint < N-1, the shared
+    object-point set is refined jointly with intrinsics/extrinsics,
+    holding point 0, point iFixedPoint (all coordinates), and the last
+    point's z fixed (calibration.cpp:398-405).
+
+    Returns (rms, K, dist(1,5), rvecs, tvecs, newObjPoints)."""
+    objs = [np.asarray(o, np.float64).reshape(-1, 3) for o in objectPoints]
+    imgs = [np.asarray(p, np.float64).reshape(-1, 2) for p in imagePoints]
+    nviews = len(objs)
+    N = len(objs[0])
+    release = 0 < iFixedPoint < N - 1
+    if not release:
+        rms, K, dist, rv, tv = calibrateCamera(
+            objectPoints, imagePoints, imageSize, cameraMatrix,
+            distCoeffs, flags=flags, criteria=criteria)
+        return rms, K, dist, rv, tv, np.asarray(objs[0])
+
+    # ---- initialize with the standard calibration
+    _, K, dist, rv0, tv0 = calibrateCamera(
+        objectPoints, imagePoints, imageSize, flags=flags,
+        criteria=criteria)
+
+    base = objs[0].ravel().copy()          # 3N template coordinates
+    fixed = np.zeros(3 * N, bool)
+    fixed[0:3] = True
+    fixed[3 * iFixedPoint:3 * iFixedPoint + 3] = True
+    fixed[3 * N - 1] = True                # z of the last point
+    free_idx = np.nonzero(~fixed)[0]
+
+    p0 = [K[0, 0], K[1, 1], K[0, 2], K[1, 2]] \
+        + list(np.asarray(dist).ravel()[:5])
+    for rv_i, tv_i in zip(rv0, tv0):
+        p0 += list(np.asarray(rv_i).ravel())
+        p0 += list(np.asarray(tv_i).ravel())
+    p0 += list(base[free_idx])
+    params = jnp.asarray(np.asarray(p0))
+
+    target = jnp.asarray(np.stack(imgs))
+    base_j = jnp.asarray(base)
+    free_j = jnp.asarray(free_idx)
+    next_ = 9 + 6 * nviews
+
+    def residual(p):
+        obj_flat = base_j.at[free_j].set(
+            jax.lax.dynamic_slice(p, (next_,), (len(free_idx),)))
+        obj1 = obj_flat.reshape(N, 3)
+        obj = jnp.broadcast_to(obj1, (nviews, N, 3))
+        return (_project_jnp(p[:next_], obj, nviews) - target).ravel()
+
+    res_fn = jax.jit(residual)
+    jac_fn = jax.jit(jax.jacfwd(residual))
+
+    lam = 1e-3
+    r = np.asarray(res_fn(params))
+    cost = float(r @ r)
+    maxiter = int(criteria[1]) if len(criteria) > 1 else 60
+    for _ in range(maxiter):
+        J = np.asarray(jac_fn(params))
+        JtJ = J.T @ J
+        g = J.T @ r
+        improved = 0.0
+        for _ in range(10):
+            try:
+                step = np.linalg.solve(
+                    JtJ + lam * np.diag(np.diag(JtJ) + 1e-12), g)
+            except np.linalg.LinAlgError:
+                lam *= 10
+                continue
+            cand = params - jnp.asarray(step)
+            rc = np.asarray(res_fn(cand))
+            cc = float(rc @ rc)
+            if cc < cost:
+                params = cand
+                r = rc
+                lam = max(lam * 0.3, 1e-12)
+                improved = cost - cc
+                cost = cc
+                break
+            lam *= 10
+        else:
+            break
+        if improved < 1e-12 * max(cost, 1.0):
+            break
+
+    p = np.asarray(params)
+    K = np.array([[p[0], 0, p[2]], [0, p[1], p[3]], [0, 0, 1.0]])
+    dist = p[4:9].reshape(1, 5)
+    rv_out, tv_out = [], []
+    for i in range(nviews):
+        rv_out.append(p[9 + 6 * i:12 + 6 * i].reshape(3, 1))
+        tv_out.append(p[12 + 6 * i:15 + 6 * i].reshape(3, 1))
+    newobj = base.copy()
+    newobj[free_idx] = p[next_:]
+    npts = sum(len(o) for o in objs)
+    rms = float(np.sqrt(cost / npts))
+    return (rms, K, dist, rv_out, tv_out,
+            newobj.reshape(N, 3).astype(np.float32))

@@ -555,3 +555,36 @@ def test_calibrate_robot_world_hand_eye():
         assert np.allclose(R_z, Rzg, atol=1e-5), f"m{method} Rz"
         assert np.allclose(t_x.ravel(), txg, atol=1e-4), f"m{method} tx"
         assert np.allclose(t_z.ravel(), tzg, atol=1e-4), f"m{method} tz"
+
+
+def test_calibrate_camera_ro_matches_cv2():
+    rng = np.random.default_rng(2)
+    K_gt = np.array([[800., 0, 320], [0, 780, 240], [0, 0, 1]])
+    dist_gt = np.array([0.1, -0.15, 0.0, 0.0, 0.02])
+    obj = np.array([[x, y, 0.0] for y in range(6) for x in range(7)],
+                   np.float32) * 0.03
+    objpts, imgpts = [], []
+    for i in range(10):
+        rvec = rng.normal(0, 0.3, 3)
+        tvec = np.array([rng.normal(0, 0.05), rng.normal(0, 0.05),
+                         0.5 + 0.08 * i])
+        proj, _ = cv2.projectPoints(obj, rvec, tvec, K_gt, dist_gt)
+        pts = proj.reshape(-1, 2) + rng.normal(0, 0.05, (len(obj), 2))
+        objpts.append(obj)
+        imgpts.append(pts.astype(np.float32))
+    iFixed = 6  # last point of the first row (recommended by the docs)
+    ret_r, K_r, d_r, rv_r, tv_r, no_r = cv2.calibrateCameraRO(
+        objpts, imgpts, (640, 480), iFixed, None, None)
+    ret_o, K_o, d_o, rv_o, tv_o, no_o = tcv.calibrateCameraRO(
+        objpts, imgpts, (640, 480), iFixed)
+    assert abs(ret_o - ret_r) < 2e-3, (ret_o, ret_r)
+    np.testing.assert_allclose(K_o, K_r, atol=0.5)
+    np.testing.assert_allclose(d_o.ravel(), d_r.ravel(), atol=5e-3)
+    # refined object points agree with the reference refinement
+    np.testing.assert_allclose(np.asarray(no_o).reshape(-1, 3),
+                               np.asarray(no_r).reshape(-1, 3),
+                               atol=5e-4)
+    # fixed points stayed fixed
+    no_o = np.asarray(no_o).reshape(-1, 3)
+    np.testing.assert_allclose(no_o[0], obj[0], atol=1e-12)
+    np.testing.assert_allclose(no_o[iFixed], obj[iFixed], atol=1e-12)
