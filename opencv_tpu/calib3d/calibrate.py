@@ -19,6 +19,20 @@ from .geometry import findHomography, Rodrigues
 __all__ = ["calibrateCamera", "calibrateCameraRO", "stereoCalibrate"]
 
 
+def _x64(fn):
+    """Run a host-side calibration solver in double precision: the LM
+    normal equations need f64 like the reference's CvLevMarq; scoped so
+    the rest of the package stays in the TPU-native f32 regime."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.enable_x64(True):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
+
 def _rodrigues_jnp(r):
     theta = jnp.linalg.norm(r) + 1e-12
     k = r / theta
@@ -107,6 +121,7 @@ def _extrinsics_from_h(H, K):
     return np.asarray(rvec).ravel(), t
 
 
+@_x64
 def calibrateCamera(objectPoints, imagePoints, imageSize, cameraMatrix=None,
                     distCoeffs=None, rvecs=None, tvecs=None, flags=0,
                     criteria=(3, 60, 1e-10)):
@@ -218,6 +233,7 @@ def _compose_jnp(rv1, tv1, rv2, tv2):
     return axis * theta, t
 
 
+@_x64
 def stereoCalibrate(objectPoints, imagePoints1, imagePoints2,
                     cameraMatrix1, distCoeffs1, cameraMatrix2, distCoeffs2,
                     imageSize, R=None, T=None, flags=256,
@@ -328,6 +344,7 @@ def stereoCalibrate(objectPoints, imagePoints1, imagePoints2,
     return rms, K1, d1.reshape(1, 5), K2, d2.reshape(1, 5), Rm, Tm, E, F
 
 
+@_x64
 def calibrateCameraRO(objectPoints, imagePoints, imageSize, iFixedPoint,
                       cameraMatrix=None, distCoeffs=None, rvecs=None,
                       tvecs=None, newObjPoints=None, flags=0,
