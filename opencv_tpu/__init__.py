@@ -227,6 +227,7 @@ from .calib3d.geometry import (
     sampsonDistance, estimateAffine3D, estimateTranslation3D,
 )
 from .calib3d import fisheye
+from .calib3d import UsacParams
 from .calib3d import (
     calibrateCamera, calibrateCameraRO, stereoCalibrate, findChessboardCorners,
     drawChessboardCorners,

@@ -35,3 +35,5 @@ from .handeye import (  # noqa: F401
     CALIB_HAND_EYE_ANDREFF, CALIB_HAND_EYE_DANIILIDIS,
     CALIB_ROBOT_WORLD_HAND_EYE_SHAH, CALIB_ROBOT_WORLD_HAND_EYE_LI,
 )
+from .usac import UsacParams, ransac_solve  # noqa: F401
+from . import usac  # noqa: F401

@@ -275,6 +275,153 @@ def _normalize_pts(p):
     return (p - c) * s, T
 
 
+def _dlt_homography_weighted(src, dst, w=None):
+    """DLT with optional per-point weights (rows scaled by sqrt(w))."""
+    n = len(src)
+    A = np.zeros((2 * n, 9))
+    A[0::2, 0] = -src[:, 0]
+    A[0::2, 1] = -src[:, 1]
+    A[0::2, 2] = -1
+    A[0::2, 6] = src[:, 0] * dst[:, 0]
+    A[0::2, 7] = src[:, 1] * dst[:, 0]
+    A[0::2, 8] = dst[:, 0]
+    A[1::2, 3] = -src[:, 0]
+    A[1::2, 4] = -src[:, 1]
+    A[1::2, 5] = -1
+    A[1::2, 6] = src[:, 0] * dst[:, 1]
+    A[1::2, 7] = src[:, 1] * dst[:, 1]
+    A[1::2, 8] = dst[:, 1]
+    if w is not None:
+        sw = np.sqrt(np.repeat(w, 2))
+        A = A * sw[:, None]
+    _, _, V = np.linalg.svd(A, full_matrices=False)
+    return V[-1].reshape(3, 3)
+
+
+def _fundamental_7pt(p1, p2):
+    """7-point algorithm (fundam.cpp run7Point): null space is
+    f1 + t f2; det(F)=0 gives a cubic in t with 1 or 3 real roots."""
+    a, T1 = _normalize_pts(p1)
+    b, T2 = _normalize_pts(p2)
+    A = np.column_stack([b[:, 0] * a[:, 0], b[:, 0] * a[:, 1], b[:, 0],
+                         b[:, 1] * a[:, 0], b[:, 1] * a[:, 1], b[:, 1],
+                         a[:, 0], a[:, 1], np.ones(7)])
+    _, _, V = np.linalg.svd(A)
+    F1 = V[-1].reshape(3, 3)
+    F2 = V[-2].reshape(3, 3)
+    # det(F1 + t F2) = c3 t^3 + c2 t^2 + c1 t + c0
+    d = lambda t: np.linalg.det(F1 + t * F2)
+    # exact coefficients via polynomial interpolation at 4 nodes
+    ts = np.array([0.0, 1.0, -1.0, 2.0])
+    ys = np.array([d(t) for t in ts])
+    Vm = np.vander(ts, 4)                # columns t^3, t^2, t, 1
+    coeff = np.linalg.solve(Vm, ys)
+    roots = np.roots(coeff) if abs(coeff[0]) > 1e-14 \
+        else np.roots(coeff[1:])
+    out = []
+    for r in roots:
+        if abs(r.imag) > 1e-9:
+            continue
+        F = F1 + float(r.real) * F2
+        F = T2.T @ F @ T1
+        if abs(F[2, 2]) > 1e-12:
+            F = F / F[2, 2]
+        out.append(F)
+    return out
+
+
+class _HomographyEstimator:
+    """USAC estimator adapter for homographies (homography_solver.cpp +
+    degeneracy.cpp HomographyDegeneracy)."""
+
+    sample_size = 4
+    dof = 2
+    sigma_quantile = 3.04
+    upper_inc = 0.00419
+
+    def __init__(self, src, dst):
+        self.src = src
+        self.dst = dst
+
+    def fit(self, idx):
+        try:
+            s, Ts = _normalize_pts(self.src[idx])
+            d, Td = _normalize_pts(self.dst[idx])
+            Hn = _dlt_homography(s, d)
+            H = np.linalg.inv(Td) @ Hn @ Ts
+            return [H / H[2, 2] if abs(H[2, 2]) > 1e-12 else H]
+        except np.linalg.LinAlgError:
+            return []
+
+    def non_minimal_fit(self, idx, weights=None):
+        try:
+            s, Ts = _normalize_pts(self.src[idx])
+            d, Td = _normalize_pts(self.dst[idx])
+            Hn = _dlt_homography_weighted(s, d, weights)
+            H = np.linalg.inv(Td) @ Hn @ Ts
+            return H / H[2, 2] if abs(H[2, 2]) > 1e-12 else H
+        except np.linalg.LinAlgError:
+            return None
+
+    def errors(self, H):
+        src, dst = self.src, self.dst
+        w = H[2, 0] * src[:, 0] + H[2, 1] * src[:, 1] + H[2, 2]
+        w = np.where(np.abs(w) < 1e-12, 1e-12, w)
+        u = (H[0, 0] * src[:, 0] + H[0, 1] * src[:, 1] + H[0, 2]) / w
+        v = (H[1, 0] * src[:, 0] + H[1, 1] * src[:, 1] + H[1, 2]) / w
+        return (u - dst[:, 0]) ** 2 + (v - dst[:, 1]) ** 2
+
+    def is_sample_good(self, idx):
+        # no 3 collinear of the 4 (degeneracy.cpp isSampleGood),
+        # checked in both images
+        for pts in (self.src[idx], self.dst[idx]):
+            p = np.column_stack([pts, np.ones(len(pts))])
+            for trio in ((0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)):
+                if abs(np.linalg.det(p[list(trio)])) < 1e-7:
+                    return False
+        return True
+
+
+class _FundamentalEstimator:
+    """USAC estimator adapter for F (fundamental_solver.cpp)."""
+
+    dof = 4
+    sigma_quantile = 3.64
+    upper_inc = 0.003657
+
+    def __init__(self, p1, p2, sample_size=7):
+        self.p1 = p1
+        self.p2 = p2
+        self.sample_size = sample_size
+
+    def fit(self, idx):
+        try:
+            if self.sample_size == 7:
+                return _fundamental_7pt(self.p1[idx], self.p2[idx])
+            return [_fundamental_8pt(self.p1[idx], self.p2[idx])]
+        except np.linalg.LinAlgError:
+            return []
+
+    def non_minimal_fit(self, idx, weights=None):
+        if len(idx) < 8:
+            return None
+        try:
+            return _fundamental_8pt(self.p1[idx], self.p2[idx])
+        except np.linalg.LinAlgError:
+            return None
+
+    def errors(self, F):
+        n = len(self.p1)
+        l2 = np.column_stack([self.p1, np.ones(n)]) @ F.T
+        num = (l2[:, 0] * self.p2[:, 0] + l2[:, 1] * self.p2[:, 1]
+               + l2[:, 2]) ** 2
+        den = l2[:, 0] ** 2 + l2[:, 1] ** 2
+        return num / np.maximum(den, 1e-12)
+
+    def is_sample_good(self, idx):
+        return True
+
+
 def findHomography(srcPoints, dstPoints, method: int = 0,
                    ransacReprojThreshold: float = 3.0, mask=None,
                    maxIters: int = 2000, confidence: float = 0.995):
@@ -301,6 +448,17 @@ def findHomography(srcPoints, dstPoints, method: int = 0,
     if method in (0,) or n == 4:
         H = fit(np.arange(n))
         return H, np.ones((n, 1), np.uint8)
+
+    if USAC_DEFAULT <= method <= USAC_MAGSAC:
+        from . import usac as U
+        est = _HomographyEstimator(src, dst)
+        H, inl, _ = U.ransac_solve(est, n, flag=method,
+                                   threshold=ransacReprojThreshold,
+                                   confidence=confidence,
+                                   max_iters=maxIters)
+        if H is None or inl.sum() < 4:
+            return None, None
+        return H, inl.astype(np.uint8).reshape(-1, 1)
 
     rng = np.random.default_rng(0)  # deterministic like cv::theRNG default
     best_inl = None
@@ -379,6 +537,18 @@ def findFundamentalMat(points1, points2, method: int = FM_RANSAC,
     if method == FM_8POINT:
         F = _fundamental_8pt(p1, p2)
         return F, np.ones((n, 1), np.uint8)
+
+    if USAC_DEFAULT <= method <= USAC_MAGSAC:
+        from . import usac as U
+        est = _FundamentalEstimator(
+            p1, p2, sample_size=8 if method == USAC_FM_8PTS else 7)
+        F, inl, _ = U.ransac_solve(est, n, flag=method,
+                                   threshold=ransacReprojThreshold,
+                                   confidence=confidence,
+                                   max_iters=maxIters)
+        if F is None or inl.sum() < 8:
+            return None, None
+        return F, inl.astype(np.uint8).reshape(-1, 1)
 
     rng = np.random.default_rng(0)
     best = None

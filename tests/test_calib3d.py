@@ -588,3 +588,83 @@ def test_calibrate_camera_ro_matches_cv2():
     no_o = np.asarray(no_o).reshape(-1, 3)
     np.testing.assert_allclose(no_o[0], obj[0], atol=1e-12)
     np.testing.assert_allclose(no_o[iFixed], obj[iFixed], atol=1e-12)
+
+
+def _h_scene(n_in=200, n_out=60, noise=0.4, seed=0):
+    rng = np.random.default_rng(seed)
+    H_gt = np.array([[1.02, 0.05, 10], [-0.03, 0.98, -6],
+                     [1e-4, -5e-5, 1.0]])
+    src = rng.uniform(0, 500, (n_in, 2))
+    dst = cv2.perspectiveTransform(src.reshape(-1, 1, 2),
+                                   H_gt).reshape(-1, 2)
+    dst += rng.normal(0, noise, dst.shape)
+    src_all = np.vstack([src, rng.uniform(0, 500, (n_out, 2))])
+    dst_all = np.vstack([dst, rng.uniform(0, 500, (n_out, 2))])
+    return (H_gt, src, src_all.astype(np.float32),
+            dst_all.astype(np.float32))
+
+
+@pytest.mark.parametrize("flag", ["USAC_DEFAULT", "USAC_MAGSAC",
+                                  "USAC_PROSAC", "USAC_ACCURATE",
+                                  "USAC_FAST", "USAC_PARALLEL"])
+def test_usac_homography_matches_cv2_quality(flag):
+    H_gt, src, src_all, dst_all = _h_scene()
+    m = getattr(tcv, flag)
+    Ho, mo = tcv.findHomography(src_all, dst_all, m, 3.0)
+    Hr, mr = cv2.findHomography(src_all, dst_all, m, 3.0)
+    gt = cv2.perspectiveTransform(src.reshape(-1, 1, 2),
+                                  H_gt).reshape(-1, 2)
+    t_o = cv2.perspectiveTransform(src.reshape(-1, 1, 2),
+                                   Ho).reshape(-1, 2)
+    t_r = cv2.perspectiveTransform(src.reshape(-1, 1, 2),
+                                   Hr).reshape(-1, 2)
+    err_o = np.linalg.norm(t_o - gt, axis=1).mean()
+    err_r = np.linalg.norm(t_r - gt, axis=1).mean()
+    # as accurate as the reference (small slack for different RNG)
+    assert err_o < max(2 * err_r, 0.15), (err_o, err_r)
+    # all true inliers recovered, few outliers admitted
+    assert mo[:len(src)].sum() >= 0.97 * len(src)
+    assert mo[len(src):].sum() <= 5
+
+
+def test_usac_fundamental_matches_cv2_quality():
+    rng = np.random.default_rng(1)
+    n = 250
+    X = rng.uniform(-1, 1, (n, 3)) + [0, 0, 4.0]
+    K = np.array([[600., 0, 320], [0, 600, 240], [0, 0, 1]])
+    R, _ = cv2.Rodrigues(np.array([0.02, 0.3, -0.01]))
+    t = np.array([0.4, 0.02, 0.05])
+    p1 = (X @ K.T)[:, :2] / (X @ K.T)[:, 2:]
+    X2 = X @ R.T + t
+    p2 = (X2 @ K.T)[:, :2] / (X2 @ K.T)[:, 2:]
+    p1 += rng.normal(0, 0.3, p1.shape)
+    p2 += rng.normal(0, 0.3, p2.shape)
+    n_out = 60
+    p1a = np.vstack([p1, rng.uniform(0, 640, (n_out, 2))])
+    p2a = np.vstack([p2, rng.uniform(0, 640, (n_out, 2))])
+
+    for flag in (tcv.USAC_DEFAULT, tcv.USAC_MAGSAC, tcv.USAC_FM_8PTS):
+        Fo, mo = tcv.findFundamentalMat(p1a, p2a, flag, 1.5)
+        assert Fo is not None
+        # epipolar residual of the true correspondences under our F
+        l = np.column_stack([p1, np.ones(n)]) @ Fo.T
+        d = np.abs((l[:, 0] * p2[:, 0] + l[:, 1] * p2[:, 1] + l[:, 2])
+                   / np.hypot(l[:, 0], l[:, 1]))
+        assert np.median(d) < 0.5, (flag, np.median(d))
+        assert mo[:n].sum() >= 0.9 * n
+        assert mo[n:].sum() <= 6
+
+
+def test_usac_params_object():
+    p = tcv.UsacParams()
+    assert p.confidence == 0.99 and p.threshold == 1.5
+    from opencv_tpu.calib3d import usac as U
+    H_gt, src, src_all, dst_all = _h_scene()
+    from opencv_tpu.calib3d.geometry import _HomographyEstimator
+    est = _HomographyEstimator(src_all.astype(np.float64),
+                               dst_all.astype(np.float64))
+    p.threshold = 3.0
+    p.score = U.SCORE_METHOD_MAGSAC
+    p.loMethod = U.LOCAL_OPTIM_SIGMA
+    H, inl, iters = U.ransac_solve(est, len(src_all), params=p)
+    assert H is not None and inl[:len(src)].sum() >= 0.97 * len(src)
