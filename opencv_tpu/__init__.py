@@ -233,6 +233,8 @@ from .calib3d import (
     drawChessboardCorners,
     cornerSubPix, CALIB_CB_ADAPTIVE_THRESH, CALIB_CB_NORMALIZE_IMAGE,
     CALIB_CB_FAST_CHECK,
+    findChessboardCornersSB, CALIB_CB_EXHAUSTIVE, CALIB_CB_ACCURACY,
+    CALIB_CB_LARGER, CALIB_CB_MARKER,
 )
 from .ops.linalg import (
     solve, SVDecomp, SVBackSubst, eigen, eigenNonSymmetric,

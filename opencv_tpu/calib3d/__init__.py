@@ -25,6 +25,8 @@ from .geometry import (  # noqa: F401
 from .stereo import StereoBM, StereoBM_create, StereoSGBM, StereoSGBM_create  # noqa: F401
 from .calibrate import calibrateCamera, calibrateCameraRO, stereoCalibrate  # noqa: F401
 from .chessboard import (  # noqa: F401
+    findChessboardCornersSB, CALIB_CB_EXHAUSTIVE, CALIB_CB_ACCURACY,
+    CALIB_CB_LARGER, CALIB_CB_MARKER,
     findChessboardCorners, drawChessboardCorners, cornerSubPix,
     CALIB_CB_ADAPTIVE_THRESH, CALIB_CB_NORMALIZE_IMAGE, CALIB_CB_FAST_CHECK,
 )

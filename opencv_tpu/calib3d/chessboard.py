@@ -231,3 +231,226 @@ def drawChessboardCorners(image, patternSize, corners, patternWasFound):
             line(img, (int(round(p[0])), int(round(p[1]))),
                  (int(round(q[0])), int(round(q[1]))), col, 1)
     return img
+
+
+# --------------------------------------------------------------------------
+# findChessboardCornersSB (calib3d/src/chessboard.cpp)
+# --------------------------------------------------------------------------
+
+CALIB_CB_EXHAUSTIVE = 16
+CALIB_CB_ACCURACY = 32
+CALIB_CB_LARGER = 64
+CALIB_CB_MARKER = 128
+
+__all__ += ["findChessboardCornersSB", "CALIB_CB_EXHAUSTIVE",
+            "CALIB_CB_ACCURACY", "CALIB_CB_LARGER", "CALIB_CB_MARKER"]
+
+
+def _corner_prototypes(radius):
+    """Checkerboard-corner correlation patches: four quadrant-masked
+    Gaussian kernels for the axis-aligned and the 45-degree corner
+    orientations (the box-filter corner score of chessboard.cpp:
+    same saddle template expressed as explicit kernels)."""
+    r = radius
+    u, v = np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1))
+    dist = np.hypot(u, v)
+    g = np.exp(-dist ** 2 / (2 * (r / 2.0) ** 2))
+    protos = []
+    for a1, a2 in ((0.0, np.pi / 2), (np.pi / 4, 3 * np.pi / 4)):
+        n1 = np.array([np.cos(a1), np.sin(a1)])
+        n2 = np.array([np.cos(a2), np.sin(a2)])
+        s1 = u * n1[0] + v * n1[1]
+        s2 = u * n2[0] + v * n2[1]
+        A = g * ((s1 <= -0.1) & (s2 <= -0.1))
+        B = g * ((s1 >= 0.1) & (s2 >= 0.1))
+        C = g * ((s1 <= -0.1) & (s2 >= 0.1))
+        D = g * ((s1 >= 0.1) & (s2 <= -0.1))
+        ker = []
+        for k in (A, B, C, D):
+            ssum = k.sum()
+            ker.append((k / ssum if ssum > 0 else k).astype(np.float32))
+        protos.append(ker)
+    return protos
+
+
+def _corner_likelihood(gray_f):
+    """Corner response map: max over prototype orientations and radii of
+    the min-based saddle score (Geiger-style; the role of the reference
+    per-pixel corner energy in chessboard.cpp).  The whole 24-kernel
+    bank runs in the Fourier domain: one rfft2 of the image, one
+    spectrum multiply per kernel — O(HW log HW) on any backend."""
+    import jax
+    import jax.numpy as jnp
+    import functools
+
+    radii = (4, 6, 8)
+    rmax = max(radii)
+    banks = []
+    for radius in radii:
+        for kers in _corner_prototypes(radius):
+            for k in kers:
+                pad = rmax - radius
+                banks.append(np.pad(k, pad))
+    W = np.stack(banks)                     # (24, 17, 17)
+
+    H, Wd = gray_f.shape
+    FH, FW = H + 2 * rmax, Wd + 2 * rmax
+
+    @functools.lru_cache(maxsize=4)
+    def compiled(shape):
+        # kernel spectra, flipped for correlation, centered at origin
+        kpad = np.zeros((len(banks), FH, FW), np.float32)
+        ksz = 2 * rmax + 1
+        kpad[:, :ksz, :ksz] = W[:, ::-1, ::-1]
+        kf = np.fft.rfft2(kpad).astype(np.complex64)
+        kfj = jnp.asarray(kf)
+
+        def run(img):
+            ip = jnp.pad(img, ((rmax, rmax), (rmax, rmax)), mode="edge")
+            sf = jnp.fft.rfft2(ip)
+            o = jnp.fft.irfft2(sf[None] * kfj, s=(FH, FW))
+            # valid region: correlation centered — offset 2*rmax
+            o = o[:, 2 * rmax:2 * rmax + H, 2 * rmax:2 * rmax + Wd]
+            resp = jnp.zeros_like(img)
+            for g in range(len(banks) // 4):
+                A, B, C, D = (o[4 * g + i] for i in range(4))
+                mu = 0.25 * (A + B + C + D)
+                s1 = jnp.minimum(jnp.minimum(A, B) - mu,
+                                 mu - jnp.minimum(C, D))
+                s2 = jnp.minimum(mu - jnp.minimum(A, B),
+                                 jnp.minimum(C, D) - mu)
+                resp = jnp.maximum(resp, jnp.maximum(s1, s2))
+            return resp
+
+        return jax.jit(run)
+
+    return np.asarray(compiled(gray_f.shape)(jnp.asarray(gray_f,
+                                                         jnp.float32)))
+
+
+def findChessboardCornersSB(image, patternSize, flags=0):
+    """cv2.findChessboardCornersSB (chessboard.cpp findChessboardCornersSB):
+    corner-likelihood filter bank + NMS + subpixel saddle refinement +
+    homography-seeded grid assembly.  CALIB_CB_MARKER's marker-based
+    origin disambiguation is not implemented (the plain row-major order
+    is returned); CALIB_CB_LARGER returns only the requested grid."""
+    cols, rows = patternSize
+    img = np.asarray(image)
+    if img.ndim == 3:
+        img = np.asarray(cvtColor(img, K.COLOR_BGR2GRAY))
+    gray = img.astype(np.float32) / 255.0
+    Himg, Wimg = gray.shape
+
+    resp = _corner_likelihood(gray)
+    # non-maximum suppression: window max + greedy radius suppression
+    # (plateaued responses produce ties the window max alone keeps)
+    from ..ops.morph import dilate as _dil
+    nms_r = 5
+    se = np.ones((2 * nms_r + 1, 2 * nms_r + 1), np.uint8)
+    mx = np.asarray(_dil(resp, se))
+    thr = 0.04 if not (flags & CALIB_CB_EXHAUSTIVE) else 0.02
+    cand = np.argwhere((resp >= mx - 1e-9) & (resp > thr))
+    if len(cand) < cols * rows:
+        return False, None
+    scores = resp[cand[:, 0], cand[:, 1]]
+    order = np.argsort(-scores)
+    cand = cand[order][:, ::-1].astype(np.float64)   # (x, y)
+    scores = scores[order]
+    keep_idx = []
+    taken = np.zeros(len(cand), bool)
+    for i in range(len(cand)):
+        if taken[i]:
+            continue
+        keep_idx.append(i)
+        d = np.linalg.norm(cand - cand[i], axis=1)
+        taken |= d <= nms_r + 1
+    cand = cand[keep_idx]
+    scores = scores[keep_idx]
+
+    # drop border-adjacent candidates (cannot refine)
+    keep = (cand[:, 0] > 6) & (cand[:, 0] < Wimg - 7) \
+        & (cand[:, 1] > 6) & (cand[:, 1] < Himg - 7)
+    cand = cand[keep]
+    scores = scores[keep]
+    if len(cand) < cols * rows:
+        return False, None
+
+    # subpixel saddle refinement
+    refined = cornerSubPix(img, cand.astype(np.float32), (5, 5),
+                           (-1, -1), (3, 30, 0.01)).reshape(-1, 2)
+
+    # grid assembly: try with the strongest k candidates, growing k
+    need = cols * rows
+    tried = set()
+    for kN in (need, int(need * 1.15) + 2, int(need * 1.4) + 4,
+               len(refined)):
+        kN = min(kN, len(refined))
+        if kN in tried:
+            continue
+        tried.add(kN)
+        grid = _order_grid(refined[:kN], cols, rows)
+        if grid is None and cols != rows:
+            gridT = _order_grid(refined[:kN], rows, cols)
+            if gridT is not None:
+                grid = gridT.reshape(rows, cols, 2)[::-1].transpose(
+                    1, 0, 2).reshape(-1, 2)
+        if grid is not None and not _sb_grid_regular(
+                grid.reshape(rows, cols, 2)):
+            grid = None
+        if grid is not None:
+            grid = _normalize_sb_orientation(
+                grid.reshape(rows, cols, 2), img).reshape(-1, 2)
+            out = grid.astype(np.float32)
+            if flags & CALIB_CB_ACCURACY:
+                out = cornerSubPix(img, out, (3, 3), (-1, -1),
+                                   (3, 50, 1e-3)).reshape(-1, 2)
+            return True, out.reshape(-1, 1, 2)
+    return False, None
+
+
+def _sb_grid_regular(g):
+    """Projective boards vary smoothly: reject assemblies whose rows or
+    columns have large second differences relative to the local edge
+    length (the grid-consistency check of chessboard.cpp's grow/verify
+    stages)."""
+    ex = np.linalg.norm(np.diff(g, axis=1), axis=-1)
+    ey = np.linalg.norm(np.diff(g, axis=0), axis=-1)
+    med = np.median(np.concatenate([ex.ravel(), ey.ravel()]))
+    if med < 3:
+        return False
+    d2x = np.linalg.norm(np.diff(g, 2, axis=1), axis=-1)
+    d2y = np.linalg.norm(np.diff(g, 2, axis=0), axis=-1)
+    return max(d2x.max(initial=0), d2y.max(initial=0)) < 0.35 * med
+
+
+def _normalize_sb_orientation(grid, img):
+    """Board orientation normalization (chessboard.cpp:1669
+    normalizeOrientation(false)): right-handed corner ordering, then
+    rotate so the top-left CELL is white when the cell-grid parity
+    allows disambiguation.  Even-by-even cell grids stay as assembled
+    (the reference's rule cannot distinguish 180-degree rotations
+    there either)."""
+    rows, cols = grid.shape[:2]
+    x = grid[1, 2] - grid[1, 0]
+    y = grid[0, 1] - grid[2, 1]
+    if x[0] * y[1] - x[1] * y[0] > 0:
+        grid = grid[:, ::-1]
+
+    def cell_white(g):
+        # center of the cell up-left of corner (0,0)
+        dx = g[0, 1] - g[0, 0]
+        dy = g[1, 0] - g[0, 0]
+        c = g[0, 0] - 0.5 * (dx + dy)
+        H, W = img.shape[:2]
+        ix = int(round(min(max(c[0], 0), W - 1)))
+        iy = int(round(min(max(c[1], 0), H - 1)))
+        return img[iy, ix] >= np.mean(img)
+
+    n_cell_cols = cols + 1
+    n_cell_rows = rows + 1
+    if not cell_white(grid):
+        if n_cell_cols % 2 != 0 and rows == cols:
+            grid = np.transpose(grid[:, ::-1], (1, 0, 2))  # rotate 90
+        elif n_cell_rows % 2 != 0 or n_cell_cols % 2 != 0:
+            grid = grid[::-1, ::-1]
+    return grid

@@ -668,3 +668,49 @@ def test_usac_params_object():
     p.loMethod = U.LOCAL_OPTIM_SIGMA
     H, inl, iters = U.ransac_solve(est, len(src_all), params=p)
     assert H is not None and inl[:len(src)].sum() >= 0.97 * len(src)
+
+
+def _sb_board(sq=40, cols=7, rows=5, bg=128, M=None):
+    bw = (cols + 1) * sq
+    bh = (rows + 1) * sq
+    board = np.zeros((bh, bw), np.uint8)
+    for i in range(rows + 1):
+        for j in range(cols + 1):
+            if (i + j) % 2 == 0:
+                board[i * sq:(i + 1) * sq, j * sq:(j + 1) * sq] = 255
+    img = np.full((480, 640), bg, np.uint8)
+    img[60:60 + bh, 80:80 + bw] = board
+    if M is not None:
+        img = cv2.warpAffine(img, M, (640, 480), borderValue=bg)
+    return img
+
+
+@pytest.mark.parametrize("M", [
+    None,
+    np.array([[0.95, 0.08, 20], [-0.05, 0.9, 30]], np.float64),
+    np.array([[0.8, 0.0, 60], [0.0, 0.8, 50]], np.float64),
+])
+def test_find_chessboard_corners_sb_vs_cv2(M):
+    img = _sb_board(M=M)
+    ok_r, c_r = cv2.findChessboardCornersSB(img, (7, 5))
+    ok_o, c_o = tcv.findChessboardCornersSB(img, (7, 5))
+    assert ok_r and ok_o
+    a = c_r.reshape(-1, 2)
+    b = c_o.reshape(-1, 2)
+    # even-by-even cell grids are 180deg-ambiguous by the reference's
+    # own normalization rule; accept either orientation
+    d = min(np.linalg.norm(a - b, axis=1).max(),
+            np.linalg.norm(a - b[::-1], axis=1).max())
+    assert d < 0.7, d
+
+
+def test_find_chessboard_corners_sb_noise_and_flags():
+    rng = np.random.default_rng(0)
+    img = _sb_board().astype(np.int16)
+    img = np.clip(img + rng.normal(0, 6, img.shape), 0,
+                  255).astype(np.uint8)
+    ok, c = tcv.findChessboardCornersSB(
+        img, (7, 5), tcv.CALIB_CB_EXHAUSTIVE | tcv.CALIB_CB_ACCURACY)
+    assert ok
+    ok2, _ = tcv.findChessboardCornersSB(img, (9, 9))
+    assert not ok2  # wrong pattern size must fail
