@@ -302,8 +302,9 @@ def _corner_likelihood(gray_f):
         kpad = np.zeros((len(banks), FH, FW), np.float32)
         ksz = 2 * rmax + 1
         kpad[:, :ksz, :ksz] = W[:, ::-1, ::-1]
-        kf = np.fft.rfft2(kpad).astype(np.complex64)
-        kfj = jnp.asarray(kf)
+        # keep the spectra as a host constant: complex device-array
+        # readback is not available on every TPU transport
+        kfj = np.fft.rfft2(kpad).astype(np.complex64)
 
         def run(img):
             ip = jnp.pad(img, ((rmax, rmax), (rmax, rmax)), mode="edge")
