@@ -236,6 +236,12 @@ def imdecode(buf, flags: int = IMREAD_COLOR):
     elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         from .webp import webp_decode
         img = webp_decode(data)
+    elif data[:2] == b"#?":
+        from .hdr_pam import hdr_decode
+        img = hdr_decode(data)
+    elif data[:2] == b"P7":
+        from .hdr_pam import pam_decode
+        img = pam_decode(data)
     else:
         raise ValueError("unsupported image format "
                          "(PNG/BMP/PNM/JPEG/TIFF/GIF/EXR/WebP available)")
@@ -289,6 +295,12 @@ def imencode(ext: str, img, params=None):
     elif ext == ".webp":
         from .webp import webp_encode
         data = webp_encode(img)
+    elif ext in (".hdr", ".pic"):
+        from .hdr_pam import hdr_encode
+        data = hdr_encode(img, params)
+    elif ext == ".pam":
+        from .hdr_pam import pam_encode
+        data = pam_encode(img, params)
     else:
         raise ValueError(f"unsupported extension {ext}")
     return True, np.frombuffer(data, np.uint8)

@@ -169,6 +169,7 @@ def jpeg_decode(buf):
     huff_ac = {}
     frame = None
     restart_interval = 0
+    prog_coeff = None
     while pos < len(data):
         assert data[pos] == 0xFF
         marker = data[pos + 1]
@@ -211,8 +212,13 @@ def jpeg_decode(buf):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append(dict(id=cid, h=hv >> 4, v=hv & 15, tq=tq))
             frame = dict(H=H, W=W, comps=comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported")
+        elif marker == 0xC2:  # SOF2 progressive
+            prec, H, W, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append(dict(id=cid, h=hv >> 4, v=hv & 15, tq=tq))
+            frame = dict(H=H, W=W, comps=comps, progressive=True)
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -222,9 +228,25 @@ def jpeg_decode(buf):
                 cs, td_ta = seg[1 + 2 * c:3 + 2 * c]
                 scomp.append((cs, td_ta >> 4, td_ta & 15))
             pos += seglen
-            return _decode_scan(data, pos, frame, scomp, qt, huff_dc,
-                                huff_ac, restart_interval)
+            if not frame.get("progressive"):
+                return _decode_scan(data, pos, frame, scomp, qt,
+                                    huff_dc, huff_ac, restart_interval)
+            # progressive: this scan covers the spectral band ss..se
+            # with successive approximation ah -> al (ITU T.81 G.2)
+            ss, se, ah_al = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 15
+            if prog_coeff is None:
+                prog_coeff = _alloc_coeff(frame)
+            end = _scan_end(data, pos)
+            _decode_prog_scan(data[pos:end], frame, prog_coeff, scomp,
+                              ss, se, ah, al, huff_dc, huff_ac,
+                              restart_interval)
+            pos = end
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive") and \
+            prog_coeff is not None:
+        return _finish_decode(frame, prog_coeff, qt)
     raise ValueError("no scan found")
 
 
@@ -286,7 +308,16 @@ def _decode_scan(data, pos, frame, scomp, qt, huff_dc, huff_ac, dri):
                         coeff[ci][my * c["v"] + v, mx * c["h"] + h] = blk
             nmcu += 1
 
-    # dequantize + IDCT, batched on device
+    return _finish_decode(frame, coeff, qt)
+
+
+def _finish_decode(frame, coeff, qt):
+    """Dequantize + IDCT (batched on device) + fancy upsample + YCbCr
+    conversion — shared by the baseline and progressive paths."""
+    H, W = frame["H"], frame["W"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for ci, c in enumerate(comps):
         q = qt[c["tq"]]
@@ -512,3 +543,157 @@ def jpeg_encode(img, quality=95):
     return np.frombuffer(bytes(out), np.uint8)
 
 
+
+
+# ------------------------------------------------------- progressive decode
+
+def _alloc_coeff(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["W"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["H"] + 8 * vmax - 1) // (8 * vmax)
+    return [np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+            for c in comps]
+
+
+def _scan_end(data, pos):
+    """Find the end of entropy-coded data: the next marker that is not
+    byte stuffing (FF00) or a restart marker."""
+    p = pos
+    n = len(data)
+    while p < n - 1:
+        if data[p] == 0xFF:
+            m = data[p + 1]
+            if m != 0x00 and not (0xD0 <= m <= 0xD7):
+                return p
+        p += 1
+    return n
+
+
+def _decode_prog_scan(scan, frame, coeff, scomp, ss, se, ah, al,
+                      huff_dc, huff_ac, dri):
+    """One progressive scan (ITU T.81 G.2): DC first/refine over MCUs,
+    AC first/refine (with EOB runs) over a single component's blocks."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["W"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["H"] + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: k for k, c in enumerate(comps)}
+    rd = _BitReader(scan)
+
+    def resync():
+        rd.nbits = 0
+        rd.bitbuf = 0
+        while rd.pos < len(rd.data) - 1:
+            if rd.data[rd.pos] == 0xFF and \
+                    0xD0 <= rd.data[rd.pos + 1] <= 0xD7:
+                rd.pos += 2
+                return
+            rd.pos += 1
+
+    if ss == 0:
+        # ---- DC scan (interleaved over all scan components)
+        pred = [0] * len(comps)
+        nmcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and nmcu and nmcu % dri == 0:
+                    resync()
+                    pred = [0] * len(comps)
+                for (cs, td, _ta) in scomp:
+                    ci = by_id[cs]
+                    c = comps[ci]
+                    nv = c["v"] if len(scomp) > 1 else 1
+                    nh = c["h"] if len(scomp) > 1 else 1
+                    for v in range(nv):
+                        for h in range(nh):
+                            blk = coeff[ci][my * c["v"] + v,
+                                            mx * c["h"] + h]
+                            if ah == 0:
+                                t = rd.decode_huffman(huff_dc[td])
+                                diff = _extend(rd.read(t), t)
+                                pred[ci] += diff
+                                blk[0] = pred[ci] << al
+                            else:
+                                if rd.read(1):
+                                    blk[0] |= (1 << al)
+                nmcu += 1
+        return
+
+    # ---- AC scan: always a single component, non-interleaved blocks
+    (cs, _td, ta) = scomp[0]
+    ci = by_id[cs]
+    c = comps[ci]
+    cw = (frame["W"] * c["h"] + 8 * hmax - 1) // (8 * hmax)
+    ch = (frame["H"] * c["v"] + 8 * vmax - 1) // (8 * vmax)
+    eobrun = 0
+    nblk = 0
+    for byi in range(ch):
+        for bxi in range(cw):
+            if dri and nblk and nblk % dri == 0:
+                resync()
+                eobrun = 0
+            nblk += 1
+            blk = coeff[ci][byi, bxi]
+            if ah == 0:
+                # first pass for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = rd.decode_huffman(huff_ac[ta])
+                    r, sz = rs >> 4, rs & 15
+                    if sz == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rd.read(r)
+                        break
+                    k += r
+                    blk[k] = _extend(rd.read(sz), sz) << al
+                    k += 1
+            else:
+                # refinement pass (T.81 G.2.2.3 correction bits)
+                p1 = 1 << al
+                m1 = -1 << al
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = rd.decode_huffman(huff_ac[ta])
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r != 15:
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += rd.read(r)
+                                break
+                            val = 0
+                        else:
+                            val = p1 if rd.read(1) else m1
+                        while k <= se:
+                            if blk[k] != 0:
+                                if rd.read(1) and (blk[k] & p1) == 0:
+                                    blk[k] += p1 if blk[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    if val:
+                                        blk[k] = val
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                        else:
+                            break
+                if eobrun > 0:
+                    # EOB run: only correction bits for nonzero coeffs
+                    while k <= se:
+                        if blk[k] != 0:
+                            if rd.read(1) and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1

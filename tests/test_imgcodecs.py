@@ -279,3 +279,84 @@ def test_webp_encode_read_by_cv2():
     open(p, "wb").write(webp_encode(im))
     ref = cv2.imread(p)
     assert ref is not None and np.array_equal(ref, im)
+
+
+def test_progressive_jpeg_decode_vs_cv2():
+    rng = np.random.default_rng(7)
+    img = cv2.GaussianBlur(
+        rng.integers(0, 256, (120, 160, 3), np.uint8), (0, 0), 2)
+    for sampling in (0, 1):
+        flags = [cv2.IMWRITE_JPEG_PROGRESSIVE, 1,
+                 cv2.IMWRITE_JPEG_QUALITY, 90]
+        if sampling:
+            flags += [cv2.IMWRITE_JPEG_SAMPLING_FACTOR,
+                      cv2.IMWRITE_JPEG_SAMPLING_FACTOR_420]
+        okr, buf = cv2.imencode(".jpg", img, flags)
+        assert okr
+        ref = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+        ours = np.asarray(tcv.imdecode(buf, tcv.IMREAD_COLOR))
+        assert ours.shape == ref.shape
+        d = np.abs(ours.astype(int) - ref.astype(int))
+        # decoder-to-decoder differences stay within a few levels
+        assert d.mean() < 1.5, d.mean()
+        assert np.percentile(d, 99) <= 6, np.percentile(d, 99)
+
+
+def test_progressive_jpeg_grayscale():
+    rng = np.random.default_rng(8)
+    img = cv2.GaussianBlur(
+        rng.integers(0, 256, (64, 80), np.uint8), (0, 0), 1.5)
+    okr, buf = cv2.imencode(".jpg", img,
+                            [cv2.IMWRITE_JPEG_PROGRESSIVE, 1])
+    assert okr
+    ref = cv2.imdecode(buf, cv2.IMREAD_GRAYSCALE)
+    ours = np.asarray(tcv.imdecode(buf, tcv.IMREAD_GRAYSCALE))
+    if ours.ndim == 3:
+        ours = ours[:, :, 0]
+    d = np.abs(ours.astype(int) - ref.astype(int))
+    assert d.mean() < 1.5, d.mean()
+
+
+def test_hdr_cross_codec():
+    rng = np.random.default_rng(9)
+    img = (rng.random((40, 64, 3)) * 8).astype(np.float32)
+    # ours -> cv2
+    ok, buf = tcv.imencode(".hdr", img)
+    assert ok
+    ref = cv2.imdecode(np.frombuffer(bytes(buf), np.uint8),
+                       cv2.IMREAD_UNCHANGED)
+    assert ref is not None and ref.dtype == np.float32
+    rel = np.abs(ref - img) / np.maximum(img, 1e-3)
+    assert np.median(rel) < 0.01, np.median(rel)
+    # cv2 -> ours
+    ok, buf2 = cv2.imencode(".hdr", img)
+    ours = np.asarray(tcv.imdecode(np.frombuffer(bytes(buf2), np.uint8),
+                                   tcv.IMREAD_UNCHANGED))
+    ref2 = cv2.imdecode(buf2, cv2.IMREAD_UNCHANGED)
+    np.testing.assert_allclose(ours, ref2, rtol=1e-6)
+
+
+def test_hdr_narrow_image_flat_scanlines():
+    rng = np.random.default_rng(10)
+    img = (rng.random((10, 5, 3)) * 4).astype(np.float32)  # W<8 => flat
+    ok, buf = tcv.imencode(".hdr", img)
+    ref = cv2.imdecode(np.frombuffer(bytes(buf), np.uint8),
+                       cv2.IMREAD_UNCHANGED)
+    ours = np.asarray(tcv.imdecode(np.frombuffer(bytes(buf), np.uint8),
+                                   tcv.IMREAD_UNCHANGED))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_pam_cross_codec():
+    rng = np.random.default_rng(11)
+    for shape in ((30, 40), (30, 40, 3)):
+        img = rng.integers(0, 256, shape, np.uint8)
+        ok, buf = tcv.imencode(".pam", img)
+        assert ok
+        ref = cv2.imdecode(np.frombuffer(bytes(buf), np.uint8),
+                           cv2.IMREAD_UNCHANGED)
+        assert np.array_equal(ref, img)
+        ok, buf2 = cv2.imencode(".pam", img)
+        ours = np.asarray(tcv.imdecode(
+            np.frombuffer(bytes(buf2), np.uint8), tcv.IMREAD_UNCHANGED))
+        assert np.array_equal(ours, img)
