@@ -616,6 +616,8 @@ def blobFromImages(images, scalefactor=1.0, size=None, mean=None,
             else:
                 a = np.asarray(cv_resize(a, (w, h),
                                          interpolation=K.INTER_LINEAR))
+            if a.ndim == 2:
+                a = a[..., None]
         if swapRB and a.shape[-1] >= 3:
             a = a[..., [2, 1, 0] + list(range(3, a.shape[-1]))]
         if mean is not None:
@@ -634,4 +636,6 @@ from .nms import (  # noqa: E402,F401
 from .tflite import readNetFromTFLite  # noqa: E402,F401
 from .models import (  # noqa: E402,F401
     Model, ClassificationModel, DetectionModel, SegmentationModel,
+    KeypointsModel, TextRecognitionModel,
+    TextDetectionModel_EAST, TextDetectionModel_DB,
 )

@@ -1,0 +1,208 @@
+"""High-level dnn model APIs (Keypoints/TextRecognition/TextDetection)
+vs the cv2 oracle on synthetic ONNX nets."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from common import cv2
+
+from opencv_tpu import dnn
+
+from test_dnn_trackers import _tensor, _node, _model, _save
+
+VOC = list("abcdefghij")
+
+
+def _ctc_net(tmp, T=12, V=11):
+    # image (1,1,T,V) -> softmax over V -> reshape (T,1,V)
+    m = _model(
+        [("input", (1, 1, T, V))], [("out", (T, 1, V))],
+        [_node("Mul", ["input", "sc"], ["x1"]),
+         _node("LogSoftmax", ["x1"], ["p"], axis=3),
+         _node("Reshape", ["p", "shp"], ["out"])],
+        [_tensor("sc", np.float32(1 / 16.0).reshape(())),
+         _tensor("shp", np.asarray([T, 1, V], np.int64))])
+    return _save(m, os.path.join(tmp, "ctc.onnx"))
+
+
+def _pred_image(rng, T=12, V=11):
+    img = rng.integers(0, 255, (T, V), np.uint8)
+    # plant a clear sequence: blank, a, a, blank, b, c, c, blank ...
+    seq = [0, 1, 1, 0, 2, 3, 3, 0, 4, 0, 5, 5]
+    for t, c in enumerate(seq):
+        img[t, c] = 255
+    return img
+
+
+def test_text_recognition_ctc_greedy_vs_cv2():
+    tmp = tempfile.mkdtemp()
+    mp = _ctc_net(tmp)
+    rng = np.random.default_rng(0)
+    img = _pred_image(rng)
+
+    ref = cv2.dnn.TextRecognitionModel(mp)
+    ref.setDecodeType("CTC-greedy")
+    ref.setVocabulary(VOC)
+    ref_out = ref.recognize(img)
+
+    ours = dnn.TextRecognitionModel(mp)
+    ours.setDecodeType("CTC-greedy")
+    ours.setVocabulary(VOC)
+    our_out = ours.recognize(img)
+    assert our_out == ref_out, (our_out, ref_out)
+
+
+def test_text_recognition_beam_search():
+    tmp = tempfile.mkdtemp()
+    mp = _ctc_net(tmp)
+    rng = np.random.default_rng(0)
+    img = _pred_image(rng)
+
+    ours = dnn.TextRecognitionModel(mp)
+    ours.setDecodeType("CTC-prefix-beam-search")
+    ours.setVocabulary(VOC)
+    ours.setDecodeOptsCTCPrefixBeamSearch(10)
+    our_out = ours.recognize(img)
+
+    try:
+        ref = cv2.dnn.TextRecognitionModel(mp)
+        ref.setDecodeType("CTC-prefix-beam-search")
+        ref.setVocabulary(VOC)
+        ref.setDecodeOptsCTCPrefixBeamSearch(10, 11)
+        ref_out = ref.recognize(img)
+    except cv2.error:
+        # fall back: beam must match the unambiguous greedy string
+        ref_out = dnn.TextRecognitionModel(mp) \
+            .setDecodeType("CTC-greedy").setVocabulary(VOC).recognize(img)
+    assert our_out == ref_out, (our_out, ref_out)
+
+
+def _heatmap_net(tmp, K=4):
+    # (1,3,H,W) -> 1x1 conv selecting channel 0 into K maps
+    w = np.zeros((K, 3, 1, 1), np.float32)
+    w[:, 0, 0, 0] = [1.0, 0.5, 0.25, 0.125]
+    m = _model([("input", (1, 3, 0, 0))], [("out", (1, K, 0, 0))],
+               [_node("Conv", ["input", "w"], ["out"],
+                      kernel_shape=[1, 1])],
+               [_tensor("w", w)])
+    return _save(m, os.path.join(tmp, "kp.onnx"))
+
+
+def test_keypoints_model_vs_cv2():
+    tmp = tempfile.mkdtemp()
+    mp = _heatmap_net(tmp)
+    rng = np.random.default_rng(1)
+    frame = rng.integers(0, 40, (64, 80, 3), np.uint8)
+    frame[20, 30] = (255, 0, 0)      # single hot pixel in channel 0
+
+    ours = dnn.KeypointsModel(mp)
+    ours.setInputSize((80, 64))
+    ours.setInputScale(1 / 255.0)
+    pts_o = ours.estimate(frame, 0.3)
+
+    try:
+        ref = cv2.dnn.KeypointsModel(mp)
+        ref.setInputSize((80, 64))
+        ref.setInputScale(1 / 255.0)
+        pts_r = ref.estimate(frame, 0.3)
+        pts_r = np.asarray(pts_r, np.float32).reshape(-1, 2)
+        np.testing.assert_allclose(pts_o, pts_r, atol=1.0)
+    except cv2.error:
+        # behavioral: K-1 keypoints, first three above threshold at the
+        # hot pixel
+        assert pts_o.shape == (3, 2)
+        np.testing.assert_allclose(pts_o[0], (30, 20), atol=1.0)
+
+
+def _db_net(tmp):
+    # gray input scaled to a probability map: sigmoid((x-0.5)*20)
+    m = _model([("input", (1, 1, 0, 0))], [("out", (1, 1, 0, 0))],
+               [_node("Sub", ["input", "half"], ["c"]),
+                _node("Mul", ["c", "k"], ["s"]),
+                _node("Sigmoid", ["s"], ["out"])],
+               [_tensor("half", np.float32(0.5).reshape(())),
+                _tensor("k", np.float32(20.0).reshape(()))])
+    return _save(m, os.path.join(tmp, "db.onnx"))
+
+
+def test_text_detection_db_vs_cv2():
+    tmp = tempfile.mkdtemp()
+    mp = _db_net(tmp)
+    frame = np.zeros((96, 128), np.uint8)
+    frame[30:50, 20:90] = 255          # one text-like bright region
+
+    ours = dnn.TextDetectionModel_DB(mp)
+    ours.setInputSize((128, 96))
+    ours.setInputScale(1 / 255.0)
+    polys_o, confs_o = ours.detect(frame)
+    assert len(polys_o) == 1
+    rects_o, _ = ours.detectTextRectangles(frame)
+
+    try:
+        ref = cv2.dnn.TextDetectionModel_DB(mp)
+        ref.setInputSize((128, 96))
+        ref.setInputScale(1 / 255.0)
+        polys_r, confs_r = ref.detect(frame)
+    except cv2.error:
+        polys_r = None
+    if polys_r is not None and len(polys_r):
+        a = np.asarray(polys_o[0], np.float32).reshape(-1, 2)
+        b = np.asarray(polys_r[0], np.float32).reshape(-1, 2)
+        # same quadrilateral up to vertex ordering
+        ca, cb = a.mean(0), b.mean(0)
+        np.testing.assert_allclose(ca, cb, atol=3.0)
+        assert abs(cv2.contourArea(a) - cv2.contourArea(b)) < \
+            0.15 * cv2.contourArea(b)
+    else:
+        # behavioral: polygon covers the bright region (with unclip
+        # expansion it must contain its center)
+        a = np.asarray(polys_o[0], np.float32)
+        assert cv2.pointPolygonTest(a.reshape(-1, 1, 2),
+                                    (55.0, 40.0), False) >= 0
+
+
+def _east_net(tmp):
+    """scores = sigmoid(20*(gray-0.5)) downsampled 4x via avgpool;
+    geometry = constant distances via bias-only convs."""
+    wavg = np.full((1, 1, 4, 4), 1 / 16.0, np.float32)
+    wg = np.zeros((5, 1, 1, 1), np.float32)
+    bg = np.asarray([8.0, 12.0, 8.0, 12.0, 0.0], np.float32)
+    m = _model(
+        [("input", (1, 1, 0, 0))],
+        [("geometry", (1, 5, 0, 0)), ("scores", (1, 1, 0, 0))],
+        [_node("Sub", ["input", "half"], ["c"]),
+         _node("Mul", ["c", "k"], ["s"]),
+         _node("Sigmoid", ["s"], ["p"]),
+         _node("Conv", ["p", "wavg"], ["scores"], kernel_shape=[4, 4],
+               strides=[4, 4]),
+         _node("Conv", ["scores", "wg", "bg"], ["geometry"],
+               kernel_shape=[1, 1])],
+        [_tensor("half", np.float32(0.5).reshape(())),
+         _tensor("k", np.float32(20.0).reshape(())),
+         _tensor("wavg", wavg), _tensor("wg", wg), _tensor("bg", bg)])
+    return _save(m, os.path.join(tmp, "east.onnx"))
+
+
+def test_text_detection_east():
+    tmp = tempfile.mkdtemp()
+    mp = _east_net(tmp)
+    frame = np.zeros((96, 128), np.uint8)
+    frame[40:56, 32:96] = 255
+
+    ours = dnn.TextDetectionModel_EAST(mp)
+    ours.setInputSize((128, 96))
+    ours.setInputScale(1 / 255.0)
+    ours.setConfidenceThreshold(0.8)
+    ours.setNMSThreshold(0.4)
+    boxes, confs = ours.detectTextRectangles(frame)
+    assert len(boxes) >= 1
+    # all decoded boxes carry the geometry constants (w=24, h=16) and
+    # sit on rows of the bright region; at least one near its center
+    for (cx, cy), (w, h), ang in boxes:
+        assert abs(w - 24) < 1e-3 and abs(h - 16) < 1e-3
+        assert 24 <= cx <= 104 and 32 <= cy <= 64
+    assert any(abs(cx - 64) < 13 and abs(cy - 48) < 13
+               for (cx, cy), _, _ in boxes)
