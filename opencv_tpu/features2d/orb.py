@@ -136,6 +136,22 @@ def _ic_kernels(half_patch: int):
     return ku, kv
 
 
+def _ic_offsets(half_patch: int):
+    """Disk sample offsets + centroid weights for SPARSE per-candidate
+    IC moments (IC_Angle, orb.cpp:99): (du, dv, wu, wv) flat arrays."""
+    umax = _umax_table(half_patch)
+    pts = []
+    for u in range(-half_patch, half_patch + 1):
+        pts.append((u, 0))
+    for v in range(1, half_patch + 1):
+        d = int(umax[v])
+        for u in range(-d, d + 1):
+            pts.append((u, v))
+            pts.append((u, -v))
+    pts = np.asarray(pts, np.int32)
+    return pts[:, 0], pts[:, 1]
+
+
 def _level_maps(img4d, fast_threshold: int, half_patch: int):
     """One fused device program per level: FAST score/mask, dense Harris
     a/b/c sums, IC moment maps, blurred image."""
@@ -154,23 +170,12 @@ def _level_maps(img4d, fast_threshold: int, half_patch: int):
     b = _box_sum_int(dyi * dyi, (7, 7), (-1, -1), K.BORDER_REPLICATE)
     c = _box_sum_int(dxi * dyi, (7, 7), (-1, -1), K.BORDER_REPLICATE)
 
-    # IC moment maps via two disk-kernel convs (MXU)
-    ku, kv = _ic_kernels(half_patch)
-    from jax import lax
-    kk = ku.shape[0]
-    pad = jnp.pad(img4d.astype(jnp.float32),
-                  ((0, 0), (half_patch, half_patch),
-                   (half_patch, half_patch), (0, 0)))
-    kern = jnp.stack([jnp.asarray(ku), jnp.asarray(kv)], axis=-1)[:, :, None, :]
-    m = lax.conv_general_dilated(
-        pad, kern, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
-    m10 = m[..., 0:1]
-    m01 = m[..., 1:2]
-
+    # m10/m01 are computed SPARSELY at candidates in _level_cand_desc:
+    # a dense 31x31 one-channel conv cannot tile onto the MXU and was
+    # the single hottest stage of the whole detector.
     blurred, _ = to_batched(GaussianBlur(from_batched(img4d, "nhwc"), (7, 7),
                                          2.0, 2.0, K.BORDER_REFLECT_101))
-    return score, keep, a, b, c, m10, m01, blurred
+    return score, keep, a, b, c, blurred
 
 
 def _fast_atan2_jnp(y, x):
@@ -192,7 +197,8 @@ def _fast_atan2_jnp(y, x):
 
 
 def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
-                     et: int, n2: int, cap: int, wta_k: int = 2):
+                     et: int, n2: int, cap: int, wta_k: int = 2,
+                     dcap: int = None):
     """Batched device candidate extraction + descriptors for one level.
 
     img4d: (B, H, W, 1) u8.  Everything data-dependent is deferred by
@@ -203,7 +209,7 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
     budget; n_ge reports how many candidates tie-or-beat the n2-th score
     so the host can verify the cap covered every retainBest tie.
     """
-    score, keep, a, b, c, m10, m01, blurred = _level_maps(
+    score, keep, a, b, c, blurred = _level_maps(
         img4d, fast_threshold, half_patch)
     B, H, W = img4d.shape[0], img4d.shape[1], img4d.shape[2]
     s = score[..., 0].astype(jnp.float32)
@@ -217,18 +223,43 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
     iy = idx // W
     ix = idx % W
 
+    # moments + descriptors only for the top-dcap rows: the host tail
+    # consumes at most the tie-extended n2 (verified via n_ge), so the
+    # expensive disk/pattern gathers skip the score-margin rows
+    if dcap is None:
+        dcap = cap
+    dcap = min(dcap, cap)
+    iy_d = iy[:, :dcap]
+    ix_d = ix[:, :dcap]
+
     def g(m):
         return jnp.take_along_axis(m[..., 0].reshape(B, -1), idx,
                                    axis=1).astype(jnp.float32)
 
-    m10g, m01g = g(m10), g(m01)
+    # sparse IC moments: gather each candidate's disk patch and dot with
+    # the centroid coordinate weights (IC_Angle, orb.cpp:99)
+    du, dv = _ic_offsets(half_patch)
+    ocy = jnp.clip(iy_d[..., None] + jnp.asarray(dv)[None, None, :], 0, H - 1)
+    ocx = jnp.clip(ix_d[..., None] + jnp.asarray(du)[None, None, :], 0, W - 1)
+    obase = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None, None]
+    opix = jnp.take(img4d[..., 0].reshape(-1).astype(jnp.int32),
+                    ocy * W + ocx + obase)          # (B, dcap, P_disk)
+    opix = opix.astype(jnp.float32)
+    m10g = opix @ jnp.asarray(du.astype(np.float32))
+    m01g = opix @ jnp.asarray(dv.astype(np.float32))
     angle = _fast_atan2_jnp(m01g, m10g)
+
+    def padc(v):
+        return jnp.pad(v, ((0, 0), (0, cap - dcap)))
+
     cand = jnp.stack([vals, iy.astype(jnp.float32), ix.astype(jnp.float32),
-                      g(a), g(b), g(c), m10g, m01g, angle], axis=-1)
+                      g(a), g(b), g(c), padc(m10g), padc(m01g),
+                      padc(angle)], axis=-1)
     boundary = vals[:, min(n2, cap) - 1]
     n_ge = jnp.sum(jnp.where(jnp.isfinite(boundary)[:, None],
                              masked >= boundary[:, None],
                              masked > -jnp.inf), axis=1).astype(jnp.int32)
+
 
     # rotated-BRIEF for every candidate (computeOrbDescriptors, orb.cpp:220)
     # 2-D (B*cap, 512) layout throughout: 3-D layouts with a 512-minor dim
@@ -238,16 +269,16 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
     P = pat.shape[0]
     px = jnp.asarray(pat[:, 0])
     py = jnp.asarray(pat[:, 1])
-    R = B * cap
+    R = B * dcap
     ang = (angle * jnp.float32(math.pi / 180.0)).reshape(R, 1)
     ca = jnp.cos(ang)
     sa = jnp.sin(ang)
     rx = jnp.round(px[None, :] * ca - py[None, :] * sa).astype(jnp.int32)
     ry = jnp.round(px[None, :] * sa + py[None, :] * ca).astype(jnp.int32)
-    cy = jnp.clip(iy.reshape(R, 1) + ry, 0, H - 1)
-    cx = jnp.clip(ix.reshape(R, 1) + rx, 0, W - 1)
+    cy = jnp.clip(iy_d.reshape(R, 1) + ry, 0, H - 1)
+    cx = jnp.clip(ix_d.reshape(R, 1) + rx, 0, W - 1)
     base = (jnp.arange(B, dtype=jnp.int32) * (H * W)) \
-        .repeat(cap).reshape(R, 1)
+        .repeat(dcap).reshape(R, 1)
     gidx = cy * W + cx + base
     flat = blurred[..., 0].reshape(-1).astype(jnp.int32)
     v = jnp.take(flat, gidx)                        # (R, P)
@@ -279,7 +310,7 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
     d = jnp.dot(codes, jnp.asarray(packw),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
-    desc = d.astype(jnp.int32).astype(jnp.uint8).reshape(B, cap, 32)
+    desc = d.astype(jnp.int32).astype(jnp.uint8).reshape(B, dcap, 32)
     return cand, n_ge, desc
 
 
@@ -325,12 +356,12 @@ class ORB:
         nper.append(max(self.nfeatures - sumf, 0))
         return nper
 
-    def _detect_fn(self, H, W, caps):
+    def _detect_fn(self, H, W, caps, dcaps):
         """ONE fused device program for the whole detect: pyramid resizes,
         FAST, Harris terms, IC moments, blur, per-level top-k candidate
         extraction AND descriptors.  A single dispatch per batch — the
         per-level round trips are what made ORB tunnel-latency-bound."""
-        key = (H, W, tuple(caps), self.wta_k)
+        key = (H, W, tuple(caps), tuple(dcaps), self.wta_k)
         if key in self._detect_cache:
             return self._detect_cache[key]
         nlevels = self.nlevels
@@ -343,8 +374,14 @@ class ORB:
         is_harris = self.score_type == K.ORB_HARRIS_SCORE
         nper = self._budget()
 
+        capmax = max(min(caps[lv], sizes[lv][1] * sizes[lv][0])
+                     for lv in range(nlevels))
+        dcapmax = max(min(dcaps[lv], caps[lv],
+                          sizes[lv][1] * sizes[lv][0])
+                      for lv in range(nlevels))
+
         def fn(x4):
-            outs = []
+            cands, nges, descs = [], [], []
             cur = x4
             for lv in range(nlevels):
                 if lv:
@@ -352,10 +389,25 @@ class ORB:
                                  interpolation=K.INTER_LINEAR_EXACT)
                 n2 = max(2 * nper[lv] if is_harris else nper[lv], 1)
                 h, w = sizes[lv][1], sizes[lv][0]
-                outs.append(_level_cand_desc(
+                cand, n_ge, desc = _level_cand_desc(
                     cur, self.fast_threshold, half_patch, et, n2,
-                    min(caps[lv], h * w), self.wta_k))
-            return outs
+                    min(caps[lv], h * w), self.wta_k,
+                    dcap=min(dcaps[lv], h * w))
+                # pad to the common cap so ALL levels ship home in one
+                # stacked transfer (3 readbacks total instead of 3 per
+                # level — the axon tunnel is round-trip-latency bound)
+                pad = capmax - cand.shape[1]
+                if pad:
+                    cand = jnp.pad(cand, ((0, 0), (0, pad), (0, 0)),
+                                   constant_values=-jnp.inf)
+                dpad = dcapmax - desc.shape[1]
+                if dpad:
+                    desc = jnp.pad(desc, ((0, 0), (0, dpad), (0, 0)))
+                cands.append(cand)
+                nges.append(n_ge)
+                descs.append(desc)
+            return (jnp.stack(cands), jnp.stack(nges),
+                    jnp.stack(descs))
 
         jitted = jax.jit(fn)
         self._detect_cache[key] = jitted
@@ -367,7 +419,9 @@ class ORB:
         The TPU-native entry point: one fused XLA program per batch, all
         levels; the host tail is vectorized numpy (retainBest tie cuts,
         Harris rescoring, final packing)."""
-        imgs = np.asarray(images)
+        # keep device arrays resident (np.asarray would round-trip the
+        # whole batch through the host transport)
+        imgs = images if hasattr(images, "devices") else np.asarray(images)
         if imgs.ndim == 2:
             imgs = imgs[None]
         B, H, W = imgs.shape
@@ -376,22 +430,31 @@ class ORB:
         is_harris = self.score_type == K.ORB_HARRIS_SCORE
         layer_scale = [float(np.float32(self.scale_factor) ** lv)
                        for lv in range(nlevels)]
-        caps = [max(4 * max((2 if is_harris else 1) * nper[lv], 1), 1024)
+        # rows shipped home: tie-extended budget + headroom; the n_ge
+        # check below regrows (and recompiles) only on pathological
+        # score-tie storms.  n_ge fully verifies coverage, so no extra
+        # score margin beyond the headroom is needed.
+        caps = [max((2 if is_harris else 1) * nper[lv] + 256, 320)
                 for lv in range(nlevels)]
+        dcaps = list(caps)
 
         x4 = jnp.asarray(imgs)[..., None]
         while True:
-            outs = self._detect_fn(H, W, caps)(x4)
-            n_ge = np.stack([np.asarray(o[1]) for o in outs])  # (L, B)
+            cand_all, nge_all, desc_all = \
+                self._detect_fn(H, W, caps, dcaps)(x4)
+            n_ge = np.asarray(nge_all)                     # (L, B)
             over = [lv for lv in range(nlevels)
-                    if (n_ge[lv] > caps[lv]).any()]
+                    if (n_ge[lv] > dcaps[lv]).any()]
             if not over:
                 break
-            for lv in over:  # tie storm: grow the cap and re-run
-                caps[lv] = int(max(2 * n_ge[lv].max(), 2 * caps[lv]))
+            for lv in over:  # tie storm: grow the caps and re-run
+                dcaps[lv] = int(max(2 * n_ge[lv].max(), 2 * dcaps[lv]))
+                caps[lv] = max(caps[lv], 2 * dcaps[lv])
 
-        cands = [np.asarray(o[0]) for o in outs]   # (B, cap, 9) each
-        descs = [np.asarray(o[2]) for o in outs]   # (B, cap, 32)
+        cand_np = np.asarray(cand_all)             # (L, B, capmax, 9)
+        desc_np = np.asarray(desc_all)             # (L, B, capmax, 32)
+        cands = [cand_np[lv] for lv in range(nlevels)]
+        descs = [desc_np[lv] for lv in range(nlevels)]
 
         scale_h = np.float32(1.0 / ((1 << 2) * 7 * 255.0))
         s4 = scale_h * scale_h * scale_h * scale_h
