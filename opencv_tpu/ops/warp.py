@@ -438,7 +438,12 @@ def _cval_vec(border_value, dtype, C):
 
 
 def _remap_nn_dev(x, sx, sy, border_type, border_value):
-    """NN remap with DEVICE int32 coordinate planes sx/sy (dh, dw)."""
+    """NN remap with DEVICE int32 coordinate planes sx/sy (dh, dw).
+
+    TPU note: XLA gather cost on TPU is per-INDEX, not per-byte, so the
+    batch and channel axes ride in the gathered row payload ((H*W, N*C)
+    operand, one index per output pixel) instead of looping the gather
+    over N like the reference's per-image remap (imgwarp.cpp:1713)."""
     N, H, W, C = x.shape
     dh, dw = sx.shape
     cval = _cval_vec(border_value, x.dtype, C)
@@ -446,8 +451,9 @@ def _remap_nn_dev(x, sx, sy, border_type, border_value):
     yi, ym = _resolve_tap_dev(sy, H, border_type)
     use_c = xm | ym
     idx = (yi * W + xi).reshape(-1)
-    flat = x.reshape(N, H * W, C)
-    g = jnp.take(flat, idx, axis=1).reshape(N, dh, dw, C)
+    flat = x.transpose(1, 2, 0, 3).reshape(H * W, N * C)
+    g = jnp.take(flat, idx, axis=0).reshape(dh, dw, N, C)
+    g = g.transpose(2, 0, 1, 3)
     return jnp.where(use_c[None, :, :, None],
                      cval.astype(x.dtype).reshape(1, 1, 1, C), g)
 
@@ -583,7 +589,94 @@ def _floor_q5_dd(hi, lo):
 
 
 def _remap_linear_dev(x, x0, fx, y0, fy, border_type, border_value):
-    """Bilinear remap with DEVICE integer taps + f32 fractions."""
+    """Bilinear remap with DEVICE integer taps + f32 fractions.
+
+    TPU gather strategy: XLA gather cost is per-index, so issue ONE
+    gather per output pixel against a pre-stacked 2x2-patch operand of
+    shape (H*W, 4*N*C) — the four bilinear taps and the whole batch ride
+    in the row payload.  Border-resolved tap pairs are always adjacent
+    or equal per axis (all modes except WRAP), so the patch at
+    (min(ry), min(rx)) contains every resolved tap; a cheap decode picks
+    each tap out of the four gathered values."""
+    N, H, W, C = x.shape
+    dh, dw = x0.shape
+    bt = border_type & ~K.BORDER_ISOLATED
+    if bt == K.BORDER_WRAP:
+        return _remap_linear_dev_4tap(x, x0, fx, y0, fy, border_type,
+                                      border_value)
+    cval = _cval_vec(border_value, x.dtype, C)
+    t00, t01, t10, t11 = _gather_patch_taps(x, x0, y0, border_type, cval)
+
+    fxf = fx.reshape(-1)[:, None]
+    fyf = fy.reshape(-1)[:, None]
+    f32 = jnp.float32
+    acc = (t00.astype(f32) * ((1 - fxf) * (1 - fyf))
+           + t01.astype(f32) * (fxf * (1 - fyf))
+           + t10.astype(f32) * ((1 - fxf) * fyf)
+           + t11.astype(f32) * (fxf * fyf))
+
+    out = saturate_cast(acc, x.dtype).reshape(dh, dw, N, C)
+    out = out.transpose(2, 0, 1, 3)
+    if bt == K.BORDER_CONSTANT:
+        fully_out = ((x0 >= W) | (x0 + 1 < 0) | (y0 >= H) | (y0 + 1 < 0))
+        out = jnp.where(fully_out[None, :, :, None],
+                        cval.astype(x.dtype).reshape(1, 1, 1, C), out)
+    return out
+
+
+def _gather_patch_taps(x, x0, y0, border_type, cval):
+    """Shared patch-gather for bilinear remaps: ONE gather per output
+    pixel against a pre-stacked (H*W, 4*N*C) 2x2-patch operand, then a
+    select-decode of the four border-resolved taps.  Returns t00..t11 of
+    shape (dh*dw, N*C) in x.dtype (cval-substituted taps are cast).
+    Requires adjacent-or-equal resolved tap pairs (any border but WRAP).
+    """
+    N, H, W, C = x.shape
+    rx0, xm0 = _resolve_tap_dev(x0, W, border_type)
+    rx1, xm1 = _resolve_tap_dev(x0 + 1, W, border_type)
+    ry0, ym0 = _resolve_tap_dev(y0, H, border_type)
+    ry1, ym1 = _resolve_tap_dev(y0 + 1, H, border_type)
+    bx = jnp.minimum(rx0, rx1)
+    by = jnp.minimum(ry0, ry1)
+
+    # pre-stacked 2x2 patches, edge rows/cols duplicated (the duplicate
+    # is only read where the resolved pair is equal, so it never leaks)
+    xt = x.transpose(1, 2, 0, 3).reshape(H, W, N * C)
+    xr = jnp.concatenate([xt[:, 1:], xt[:, -1:]], axis=1)
+    patch = jnp.stack([xt, xr], axis=2)                  # (H, W, 2, NC)
+    pdown = jnp.concatenate([patch[1:], patch[-1:]], axis=0)
+    patch = jnp.concatenate([patch, pdown], axis=2)      # (H, W, 4, NC)
+    patch = patch.reshape(H * W, 4 * N * C)
+
+    idx = (by * W + bx).reshape(-1)
+    g = jnp.take(patch, idx, axis=0)
+    g = g.reshape(-1, 2, 2, N * C)                       # (.., dy, dx, NC)
+
+    # decode resolved taps out of the patch
+    selx0 = (rx0 == bx).reshape(-1)[:, None]
+    selx1 = (rx1 == bx).reshape(-1)[:, None]
+    sely0 = (ry0 == by).reshape(-1)[:, None]
+    sely1 = (ry1 == by).reshape(-1)[:, None]
+    r0x0 = jnp.where(selx0, g[:, 0, 0], g[:, 0, 1])
+    r0x1 = jnp.where(selx1, g[:, 0, 0], g[:, 0, 1])
+    r1x0 = jnp.where(selx0, g[:, 1, 0], g[:, 1, 1])
+    r1x1 = jnp.where(selx1, g[:, 1, 0], g[:, 1, 1])
+    t00 = jnp.where(sely0, r0x0, r1x0)
+    t01 = jnp.where(sely0, r0x1, r1x1)
+    t10 = jnp.where(sely1, r0x0, r1x0)
+    t11 = jnp.where(sely1, r0x1, r1x1)
+
+    cvalr = jnp.tile(cval, N).reshape(1, N * C).astype(x.dtype)
+    t00 = jnp.where((xm0 | ym0).reshape(-1)[:, None], cvalr, t00)
+    t01 = jnp.where((xm1 | ym0).reshape(-1)[:, None], cvalr, t01)
+    t10 = jnp.where((xm0 | ym1).reshape(-1)[:, None], cvalr, t10)
+    t11 = jnp.where((xm1 | ym1).reshape(-1)[:, None], cvalr, t11)
+    return t00, t01, t10, t11
+
+
+def _remap_linear_dev_4tap(x, x0, fx, y0, fy, border_type, border_value):
+    """Fallback bilinear remap: four independent tap gathers (needed for
+    BORDER_WRAP, where resolved tap pairs are not adjacent)."""
     N, H, W, C = x.shape
     dh, dw = x0.shape
     cval = _cval_vec(border_value, x.dtype, C)
