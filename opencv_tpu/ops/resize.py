@@ -133,12 +133,105 @@ def _q11(c):
 # device helpers
 # --------------------------------------------------------------------------
 
+_PHASE_Q_MAX = 32
+
+
+def _phase_plan(idx, length):
+    """Detect an interleaved arithmetic-progression structure in a host
+    index vector: idx[d0 + k*q + r] == base_r + k*p_r for r in [0,q).
+
+    Resize index tables are periodic in the output coordinate for any
+    rational scale (sx = floor((d+0.5)*p/q - 0.5) steps by a fixed
+    pattern with period q), so the device gather lowers to q strided
+    slices — pure copies — instead of an XLA gather whose TPU cost is
+    ~14ns per index.  Edge-clamped head/tail entries (resize.cpp
+    :4112-4124 border resets) fall back to a small gather.
+
+    Returns (q, d0, nd, bases, strides, head, tail) or None."""
+    dw = len(idx)
+    idx = np.asarray(idx, np.int64)
+    for q in range(1, min(_PHASE_Q_MAX, max(1, dw // 4)) + 1):
+        m = (dw // q) // 2                       # middle period anchor
+        if (m + 2) * q > dw:
+            continue
+        strides = idx[(m + 1) * q:(m + 2) * q] - idx[m * q:(m + 1) * q]
+        if np.any(strides < 0):
+            continue
+        k = np.arange(dw) // q - m
+        pred = np.tile(idx[m * q:(m + 1) * q], dw // q + 1)[:dw] \
+            + k * np.tile(strides, dw // q + 1)[:dw]
+        # out-of-range entries go to the head/tail fallback gather (their
+        # fallback uses clipped indices = the clamp semantics callers want)
+        bad = np.nonzero((pred != idx) | (pred < 0) | (pred > length - 1))[0]
+        if bad.size > 4 * q + 16:
+            continue
+        head = int(bad[bad < dw // 2].max() + 1) if np.any(bad < dw // 2) \
+            else 0
+        tail_lo = int(bad[bad >= dw // 2].min()) if np.any(bad >= dw // 2) \
+            else dw
+        if head >= tail_lo:
+            continue
+        d0 = head
+        nd = (tail_lo - d0) // q
+        if nd < 1:
+            continue
+        bases = idx[d0:d0 + q]
+        strides = idx[d0 + q:d0 + 2 * q] - bases if nd > 1 else \
+            np.zeros(q, np.int64)
+        if bases.min() < 0 or (bases + strides * (nd - 1)).max() > length - 1:
+            continue
+        return (q, d0, int(nd), bases, strides, head, dw - (d0 + nd * q))
+    return None
+
+
+def _phase_gather(x, idx, axis):
+    """Axis-aligned gather with host-constant indices; lowers to strided
+    slices when the index vector is phase-decomposable (see above)."""
+    length = x.shape[axis]
+    idx = np.asarray(idx, np.int64)
+    plan = _phase_plan(idx, length)
+    cidx = np.clip(idx, 0, length - 1)
+    if plan is None:
+        return jnp.take(x, jnp.asarray(cidx, np.int32), axis=axis)
+    q, d0, nd, bases, strides, head, tail = plan
+
+    def axslice(start, stride, n):
+        sl = [slice(None)] * x.ndim
+        if stride == 0:
+            sl[axis] = slice(start, start + 1)
+            reps = [1] * x.ndim
+            reps[axis] = n
+            return jnp.tile(x[tuple(sl)], reps)
+        sl[axis] = slice(start, start + stride * (n - 1) + 1, stride)
+        return x[tuple(sl)]
+
+    parts = [axslice(int(bases[r]), int(strides[r]), nd)
+             for r in range(q)]
+    if q == 1:
+        mid = parts[0]
+    else:
+        mid = jnp.stack(parts, axis=axis + 1)
+        shp = list(mid.shape)
+        shp[axis:axis + 2] = [nd * q]
+        mid = mid.reshape(shp)
+    chunks = []
+    if head:
+        chunks.append(jnp.take(x, jnp.asarray(cidx[:head], np.int32),
+                               axis=axis))
+    chunks.append(mid)
+    if tail:
+        chunks.append(jnp.take(x, jnp.asarray(cidx[len(idx) - tail:],
+                                              np.int32), axis=axis))
+    return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks,
+                                                              axis=axis)
+
+
 def _gather_w(x, idx):
-    return jnp.take(x, jnp.asarray(np.clip(idx, 0, x.shape[2] - 1), np.int32), axis=2)
+    return _phase_gather(x, idx, 2)
 
 
 def _gather_h(x, idx):
-    return jnp.take(x, jnp.asarray(np.clip(idx, 0, x.shape[1] - 1), np.int32), axis=1)
+    return _phase_gather(x, idx, 1)
 
 
 def _col_const(v, dtype):
@@ -350,8 +443,34 @@ def _resize_area(x, dw, dh, out_dtype):
 
 def _resize_area_fast(x, dw, dh, sx, sy, out_dtype):
     """Integer-ratio AREA: exact mean over sx×sy blocks
-    (resizeAreaFast_Invoker, resize.cpp:2975)."""
+    (resizeAreaFast_Invoker, resize.cpp:2975).
+
+    TPU layout note: the divisible case accumulates via strided slices —
+    H-strides directly on u8 (cheap) and W-strides only after widening
+    (sub-16-bit lane strides are pathological on the VPU), which measures
+    ~5x faster than a blocked-reshape reduction."""
     N, H, W, C = x.shape
+    if W % sx == 0 and H % sy == 0:
+        if x.dtype == jnp.uint8 and sx * sy <= 128:
+            adt = jnp.int16
+        elif x.dtype.kind in "ui":
+            adt = jnp.int32
+        else:
+            adt = jnp.float32
+        a = x[:, 0::sy].astype(adt)
+        for r in range(1, sy):
+            a = a + x[:, r::sy].astype(adt)
+        ssum = a[:, :, 0::sx]
+        for c in range(1, sx):
+            ssum = ssum + a[:, :, c::sx]
+        if x.dtype == jnp.uint8 and sx == 2 and sy == 2:
+            return ((ssum + 2) >> 2).astype(out_dtype)
+        if x.dtype.kind in "ui":
+            v = jnp.rint(ssum.astype(jnp.float32)
+                         * jnp.float32(1.0 / (sx * sy)))
+            return saturate_cast(v, out_dtype)
+        return saturate_cast(ssum * jnp.float32(1.0 / (sx * sy)),
+                             out_dtype)
     # pad so the reshape covers dw*sx, dh*sy (partial windows masked below)
     ph, pw = dh * sy, dw * sx
     xpad = jnp.pad(x.astype(jnp.int32 if x.dtype.kind in "ui" else jnp.float32),
@@ -371,6 +490,9 @@ def _resize_area_fast(x, dw, dh, sx, sy, out_dtype):
                                      * jnp.float32(1.0 / (sx * sy))), 0, None)
     else:
         out_full = ssum * jnp.float32(1.0 / (sx * sy))
+    if W % sx == 0 and H % sy == 0:
+        # no partial windows: skip the ragged-edge machinery entirely
+        return saturate_cast(out_full, out_dtype)
     counts_safe = np.where(counts == 0, 1, counts)
     partial = ssum.astype(jnp.float32) / jnp.asarray(
         counts_safe[None, :, :, None], jnp.float32)
