@@ -196,18 +196,42 @@ def _fast_atan2_jnp(y, x):
     return a
 
 
+def _ic_weight_mats(half_patch: int):
+    """(31, 32) du/dv centroid weight matrices masked by the umax disk
+    (IC_Angle, orb.cpp:99) for the sliding-window moment dot."""
+    umax = _umax_table(half_patch)
+    rows = 2 * half_patch + 1
+    w10 = np.zeros((rows, 32), np.float32)
+    w01 = np.zeros((rows, 32), np.float32)
+    for r in range(rows):
+        dv = r - half_patch
+        lim = umax[abs(dv)]
+        for j in range(32):
+            du = j - half_patch
+            if abs(du) <= lim:
+                w10[r, j] = du
+                w01[r, j] = dv
+    return w10.reshape(-1), w01.reshape(-1)
+
+
 def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
                      et: int, n2: int, cap: int, wta_k: int = 2,
-                     dcap: int = None):
+                     dcap: int = None, nper: int = None,
+                     is_harris: bool = True):
     """Batched device candidate extraction + descriptors for one level.
 
-    img4d: (B, H, W, 1) u8.  Everything data-dependent is deferred by
-    computing for the top-`cap` FAST candidates per image: Harris terms,
-    IC angle, AND the rotated-BRIEF descriptor — so the host transfer is
-    (cap, 9) floats + (cap, 32) bytes per image instead of 7 full maps
-    (the axon-tunnel round-trip/bandwidth killer).  `n2` = retainBest
-    budget; n_ge reports how many candidates tie-or-beat the n2-th score
-    so the host can verify the cap covered every retainBest tie.
+    img4d: (B, H, W, 1) u8.  TPU shape of the stage (vs the reference's
+    per-keypoint loops, orb.cpp:826):
+    - top-`cap` FAST candidates per image via one top_k;
+    - Harris RESCORE ON DEVICE (HarrisResponses, orb.cpp:131): a second
+      top_k over the tie-masked responses, so IC moments and descriptors
+      run on only the top-`dcap` retained rows (~3x fewer);
+    - IC moments via 31 row-payload gathers against a sliding-window
+      operand (XLA gather on TPU costs per INDEX, so 31 row-segments of
+      32 bytes beat 709 scalar disk taps ~20x);
+    - host transfer is (dcap, 4) floats + (dcap, 32) bytes per image.
+    n_ge / n_ge2 report tie counts at the two retainBest boundaries so
+    the host can verify cap coverage (regrow-and-rerun on overflow).
     """
     score, keep, a, b, c, blurred = _level_maps(
         img4d, fast_threshold, half_patch)
@@ -223,43 +247,67 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
     iy = idx // W
     ix = idx % W
 
-    # moments + descriptors only for the top-dcap rows: the host tail
-    # consumes at most the tie-extended n2 (verified via n_ge), so the
-    # expensive disk/pattern gathers skip the score-margin rows
     if dcap is None:
         dcap = cap
     dcap = min(dcap, cap)
-    iy_d = iy[:, :dcap]
-    ix_d = ix[:, :dcap]
+    if nper is None:
+        nper = n2
 
-    def g(m):
-        return jnp.take_along_axis(m[..., 0].reshape(B, -1), idx,
-                                   axis=1).astype(jnp.float32)
-
-    # sparse IC moments: gather each candidate's disk patch and dot with
-    # the centroid coordinate weights (IC_Angle, orb.cpp:99)
-    du, dv = _ic_offsets(half_patch)
-    ocy = jnp.clip(iy_d[..., None] + jnp.asarray(dv)[None, None, :], 0, H - 1)
-    ocx = jnp.clip(ix_d[..., None] + jnp.asarray(du)[None, None, :], 0, W - 1)
-    obase = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None, None]
-    opix = jnp.take(img4d[..., 0].reshape(-1).astype(jnp.int32),
-                    ocy * W + ocx + obase)          # (B, dcap, P_disk)
-    opix = opix.astype(jnp.float32)
-    m10g = opix @ jnp.asarray(du.astype(np.float32))
-    m01g = opix @ jnp.asarray(dv.astype(np.float32))
-    angle = _fast_atan2_jnp(m01g, m10g)
-
-    def padc(v):
-        return jnp.pad(v, ((0, 0), (0, cap - dcap)))
-
-    cand = jnp.stack([vals, iy.astype(jnp.float32), ix.astype(jnp.float32),
-                      g(a), g(b), g(c), padc(m10g), padc(m01g),
-                      padc(angle)], axis=-1)
     boundary = vals[:, min(n2, cap) - 1]
     n_ge = jnp.sum(jnp.where(jnp.isfinite(boundary)[:, None],
                              masked >= boundary[:, None],
                              masked > -jnp.inf), axis=1).astype(jnp.int32)
 
+    if is_harris:
+        # single payload gather for the three Harris terms (three separate
+        # batched take_along_axis calls measured ~12ms each on TPU)
+        abc = jnp.stack([a[..., 0], b[..., 0], c[..., 0]], axis=-1) \
+            .reshape(B * H * W, 3).astype(jnp.float32)
+        flat_idx = (idx + (jnp.arange(B, dtype=jnp.int32)
+                           * (H * W))[:, None]).reshape(-1)
+        gabc = jnp.take(abc, flat_idx, axis=0).reshape(B, cap, 3)
+        aa, bb, cc = gabc[..., 0], gabc[..., 1], gabc[..., 2]
+        scale_h = np.float32(1.0 / ((1 << 2) * 7 * 255.0))
+        s4 = np.float32(scale_h ** 4)
+        resp = (aa * bb - cc * cc
+                - np.float32(HARRIS_K) * (aa + bb) * (aa + bb)) * s4
+        # rescore only the tie-extended retainBest(n2) set (orb.cpp:899)
+        resp = jnp.where(vals >= boundary[:, None], resp, -jnp.inf)
+        resp = jnp.where(jnp.isfinite(vals), resp, -jnp.inf)
+        rvals, rord = jax.lax.top_k(resp, dcap)     # (B, dcap)
+        iy_d = jnp.take_along_axis(iy, rord, axis=1)
+        ix_d = jnp.take_along_axis(ix, rord, axis=1)
+        out_score = rvals
+        boundary2 = rvals[:, min(nper, dcap) - 1]
+        n_ge2 = jnp.sum(jnp.where(jnp.isfinite(boundary2)[:, None],
+                                  resp >= boundary2[:, None],
+                                  resp > -jnp.inf), axis=1) \
+            .astype(jnp.int32)
+    else:
+        iy_d = iy[:, :dcap]
+        ix_d = ix[:, :dcap]
+        out_score = vals[:, :dcap]
+        n_ge2 = n_ge
+
+    # sliding-window IC moments: P[b,y,x,j] = img[b, y, x + j - hp]
+    hp = half_patch
+    imgp = jnp.pad(img4d[..., 0], ((0, 0), (0, 0), (hp, 32 - hp)))
+    P = jnp.stack([imgp[:, :, j:j + W] for j in range(32)], axis=-1)
+    P = P.reshape(B * H * W, 32)
+    dvs = jnp.arange(-hp, hp + 1, dtype=jnp.int32)
+    rbase = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None, None]
+    ridx = (jnp.clip(iy_d[..., None] + dvs[None, None, :], 0, H - 1) * W
+            + ix_d[..., None] + rbase)              # (B, dcap, 31)
+    patches = jnp.take(P, ridx.reshape(-1), axis=0) \
+        .reshape(B * dcap, (2 * hp + 1) * 32).astype(jnp.float32)
+    w10, w01 = _ic_weight_mats(hp)
+    mm = patches @ jnp.stack([jnp.asarray(w10), jnp.asarray(w01)], axis=1)
+    m10g = mm[:, 0].reshape(B, dcap)
+    m01g = mm[:, 1].reshape(B, dcap)
+    angle = _fast_atan2_jnp(m01g, m10g)
+
+    cand = jnp.stack([out_score, iy_d.astype(jnp.float32),
+                      ix_d.astype(jnp.float32), angle], axis=-1)
 
     # rotated-BRIEF for every candidate (computeOrbDescriptors, orb.cpp:220)
     # 2-D (B*cap, 512) layout throughout: 3-D layouts with a 512-minor dim
@@ -311,7 +359,7 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
     desc = d.astype(jnp.int32).astype(jnp.uint8).reshape(B, dcap, 32)
-    return cand, n_ge, desc
+    return cand, n_ge, n_ge2, desc
 
 
 class ORB:
@@ -374,14 +422,12 @@ class ORB:
         is_harris = self.score_type == K.ORB_HARRIS_SCORE
         nper = self._budget()
 
-        capmax = max(min(caps[lv], sizes[lv][1] * sizes[lv][0])
-                     for lv in range(nlevels))
         dcapmax = max(min(dcaps[lv], caps[lv],
                           sizes[lv][1] * sizes[lv][0])
                       for lv in range(nlevels))
 
         def fn(x4):
-            cands, nges, descs = [], [], []
+            cands, nges, nge2s, descs = [], [], [], []
             cur = x4
             for lv in range(nlevels):
                 if lv:
@@ -389,24 +435,24 @@ class ORB:
                                  interpolation=K.INTER_LINEAR_EXACT)
                 n2 = max(2 * nper[lv] if is_harris else nper[lv], 1)
                 h, w = sizes[lv][1], sizes[lv][0]
-                cand, n_ge, desc = _level_cand_desc(
+                cand, n_ge, n_ge2, desc = _level_cand_desc(
                     cur, self.fast_threshold, half_patch, et, n2,
                     min(caps[lv], h * w), self.wta_k,
-                    dcap=min(dcaps[lv], h * w))
+                    dcap=min(dcaps[lv], caps[lv], h * w),
+                    nper=max(nper[lv], 1), is_harris=is_harris)
                 # pad to the common cap so ALL levels ship home in one
-                # stacked transfer (3 readbacks total instead of 3 per
-                # level — the axon tunnel is round-trip-latency bound)
-                pad = capmax - cand.shape[1]
+                # stacked transfer (a few readbacks total instead of a
+                # few per level — the axon tunnel is round-trip bound)
+                pad = dcapmax - cand.shape[1]
                 if pad:
                     cand = jnp.pad(cand, ((0, 0), (0, pad), (0, 0)),
                                    constant_values=-jnp.inf)
-                dpad = dcapmax - desc.shape[1]
-                if dpad:
-                    desc = jnp.pad(desc, ((0, 0), (0, dpad), (0, 0)))
+                    desc = jnp.pad(desc, ((0, 0), (0, pad), (0, 0)))
                 cands.append(cand)
                 nges.append(n_ge)
+                nge2s.append(n_ge2)
                 descs.append(desc)
-            return (jnp.stack(cands), jnp.stack(nges),
+            return (jnp.stack(cands), jnp.stack(nges), jnp.stack(nge2s),
                     jnp.stack(descs))
 
         jitted = jax.jit(fn)
@@ -430,90 +476,62 @@ class ORB:
         is_harris = self.score_type == K.ORB_HARRIS_SCORE
         layer_scale = [float(np.float32(self.scale_factor) ** lv)
                        for lv in range(nlevels)]
-        # rows shipped home: tie-extended budget + headroom; the n_ge
-        # check below regrows (and recompiles) only on pathological
-        # score-tie storms.  n_ge fully verifies coverage, so no extra
-        # score margin beyond the headroom is needed.
+        # rows shipped home: retained budget + tie headroom; the n_ge /
+        # n_ge2 checks below regrow (and recompile) only on pathological
+        # score-tie storms.  The device rescores by Harris response and
+        # returns only the top-dcap retained rows (4 floats + 32 bytes
+        # each), so both the descriptor gathers and the tunnel readback
+        # scale with the RETAINED count, not the candidate pool.
         caps = [max((2 if is_harris else 1) * nper[lv] + 256, 320)
                 for lv in range(nlevels)]
-        dcaps = list(caps)
+        dcaps = [min(nper[lv] + 64, caps[lv]) for lv in range(nlevels)]
 
         x4 = jnp.asarray(imgs)[..., None]
         while True:
-            cand_all, nge_all, desc_all = \
+            cand_all, nge_all, nge2_all, desc_all = \
                 self._detect_fn(H, W, caps, dcaps)(x4)
             n_ge = np.asarray(nge_all)                     # (L, B)
+            n_ge2 = np.asarray(nge2_all)                   # (L, B)
             over = [lv for lv in range(nlevels)
-                    if (n_ge[lv] > dcaps[lv]).any()]
-            if not over:
+                    if (n_ge[lv] > caps[lv]).any()]
+            over2 = [lv for lv in range(nlevels)
+                     if (n_ge2[lv] > dcaps[lv]).any()]
+            if not over and not over2:
                 break
-            for lv in over:  # tie storm: grow the caps and re-run
-                dcaps[lv] = int(max(2 * n_ge[lv].max(), 2 * dcaps[lv]))
-                caps[lv] = max(caps[lv], 2 * dcaps[lv])
+            for lv in over:  # FAST tie storm: grow the candidate pool
+                caps[lv] = int(max(2 * n_ge[lv].max(), 2 * caps[lv]))
+            for lv in over2:  # response ties past the shipped rows
+                dcaps[lv] = int(max(2 * n_ge2[lv].max(), 2 * dcaps[lv]))
+                caps[lv] = max(caps[lv], dcaps[lv])
 
-        cand_np = np.asarray(cand_all)             # (L, B, capmax, 9)
-        desc_np = np.asarray(desc_all)             # (L, B, capmax, 32)
-        cands = [cand_np[lv] for lv in range(nlevels)]
-        descs = [desc_np[lv] for lv in range(nlevels)]
-
-        scale_h = np.float32(1.0 / ((1 << 2) * 7 * 255.0))
-        s4 = scale_h * scale_h * scale_h * scale_h
-        hk = np.float32(HARRIS_K)
+        cand_np = np.asarray(cand_all)             # (L, B, dcapmax, 4)
+        desc_np = np.asarray(desc_all)             # (L, B, dcapmax, 32)
 
         results = []
         for b in range(B):
             all_kps = []
             drows = []
             for lv in range(nlevels):
-                c = cands[lv][b]
+                c = cand_np[lv][b]
                 n = int(np.isfinite(c[:, 0]).sum())
                 if n == 0:
                     continue
-                c = c[:n]
-                scores = c[:, 0]  # sorted desc by top_k
-                if is_harris:
-                    n2 = 2 * nper[lv]
-                    if n > n2:
-                        cut = scores[n2 - 1]
-                        m = int(np.searchsorted(-scores, -cut, side="right"))
-                    else:
-                        m = n
-                    sl = c[:m]
-                    aa = sl[:, 3].astype(np.float32)
-                    bb = sl[:, 4].astype(np.float32)
-                    cc = sl[:, 5].astype(np.float32)
-                    resp = ((aa * bb - cc * cc
-                             - hk * (aa + bb) * (aa + bb)) * s4)
-                    order = np.argsort(-resp, kind="stable")
-                    nl = nper[lv]
-                    if len(order) > nl:
-                        cut2 = resp[order[nl - 1]]
-                        keep_n = int((resp >= cut2).sum())
-                    else:
-                        keep_n = len(order)
-                    sel = order[:keep_n]
-                    fin = sl[sel]
-                    fresp = resp[sel]
+                resp = c[:n, 0]                    # sorted desc by top_k
+                nl = nper[lv]
+                if n > nl:
+                    cut = resp[nl - 1]
+                    m = int(np.searchsorted(-resp, -cut, side="right"))
                 else:
-                    nl = nper[lv]
-                    if n > nl:
-                        cut = scores[nl - 1]
-                        m = int(np.searchsorted(-scores, -cut, side="right"))
-                    else:
-                        m = n
-                    sel = np.arange(m)
-                    fin = c[sel]
-                    fresp = fin[:, 0]
+                    m = n
+                fin = c[:m]
                 sf = layer_scale[lv]
-                dsel = descs[lv][b][:n][sel] if is_harris else \
-                    descs[lv][b][sel]
-                for i in range(len(fin)):
+                for i in range(m):
                     kp = KeyPoint(float(fin[i, 2]) * sf,
                                   float(fin[i, 1]) * sf,
                                   self.patch_size * sf,
-                                  float(fin[i, 8]), float(fresp[i]), lv)
+                                  float(fin[i, 3]), float(fin[i, 0]), lv)
                     all_kps.append(kp)
-                drows.append(dsel)
+                drows.append(desc_np[lv][b][:m])
             desc = (np.concatenate(drows, axis=0) if drows
                     else np.zeros((0, 32), np.uint8))
             results.append((all_kps, desc if compute_desc else None))
