@@ -29,3 +29,25 @@ try:
     _xb._backend_factories.pop("axon", None)
 except Exception:
     pass
+
+
+# ---------------------------------------------------------------------------
+# test tiers: `-m smoke` selects the fast tier (< 5 min); the slow model/
+# algorithm suites (features2d pyramids, stitching, trackers, ...) are the
+# non-smoke remainder, mirroring the reference's CV_TEST_TAG_VERYLONG gating
+# (modules/ts/src/ts_tags.cpp).
+_SMOKE_FILES = {
+    "test_analysis", "test_borders", "test_color", "test_constants",
+    "test_contours", "test_core_ops", "test_filters2", "test_flann",
+    "test_hough_seg", "test_imgcodecs", "test_kernels", "test_misc_ops",
+    "test_onnx_ops", "test_parallel", "test_resize", "test_smooth",
+    "test_warp",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.module.__name__ in _SMOKE_FILES:
+            item.add_marker(pytest.mark.smoke)
