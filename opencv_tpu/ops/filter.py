@@ -200,6 +200,27 @@ def _correlate2d_float(x, kernel, anchor, border_type, border_value=0,
     )
 
 
+def _correlate2d_fft(x, kernel, anchor, border_type, border_value=0):
+    """Dense 2-D correlation via rfft2 for large kernels (`dftFilter2D`,
+    filter.dispatch.cpp:1274).  The border is applied spatially first, so
+    the circular wrap of the FFT never touches real data."""
+    kh, kw = kernel.shape
+    ax = kw // 2 if anchor[0] < 0 else anchor[0]
+    ay = kh // 2 if anchor[1] < 0 else anchor[1]
+    xp = pad_nhwc(x, ay, kh - 1 - ay, ax, kw - 1 - ax, border_type,
+                  border_value)
+    xf = xp.astype(jnp.float32)
+    N, Hp, Wp, C = xf.shape
+    H, W = x.shape[1], x.shape[2]
+    kpad = np.zeros((Hp, Wp), np.float32)
+    kpad[:kh, :kw] = np.asarray(kernel, np.float64)
+    Xf = jnp.fft.rfft2(xf, axes=(1, 2))
+    Kf = jnp.asarray(np.conj(np.fft.rfft2(kpad)), jnp.complex64)
+    out = jnp.fft.irfft2(Xf * Kf[None, :, :, None], s=(Hp, Wp),
+                         axes=(1, 2))
+    return out[:, :H, :W, :]
+
+
 # --------------------------------------------------------------------------
 # GaussianBlur
 # --------------------------------------------------------------------------
@@ -338,7 +359,15 @@ def filter2D(src, ddepth, kernel, anchor=(-1, -1), delta=0.0,
     kern = np.asarray(kernel, np.float64)
     if kern.ndim == 1:
         kern = kern[None, :]
-    acc = _correlate2d_float(x, kern, anchor, borderType)
+    # large kernels go through DFT like the reference (dftFilter2D,
+    # filter.dispatch.cpp:1274; crossover :1288 — 130 for 8U->8U/16S,
+    # 50 otherwise; both paths share the float tolerance contract)
+    dft_size = 130 if (x.dtype == jnp.uint8
+                       and out_dtype in (jnp.uint8, jnp.int16)) else 50
+    if kern.shape[0] * kern.shape[1] >= dft_size:
+        acc = _correlate2d_fft(x, kern, anchor, borderType)
+    else:
+        acc = _correlate2d_float(x, kern, anchor, borderType)
     acc = acc + jnp.asarray(delta, acc.dtype)
     y = saturate_cast(acc, out_dtype)
     return from_batched(y, meta)

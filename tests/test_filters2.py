@@ -253,3 +253,21 @@ def test_integral3_tilted():
     osum, osq, otil = tcv.integral3(img)
     assert_exact(np.asarray(osum), rsum)
     assert_exact(np.asarray(otil).astype(rtil.dtype), rtil, "tilted")
+
+
+def test_filter2d_large_kernel_dft_path():
+    """Large kernels route through the DFT path (filter.dispatch.cpp:1274)
+    and must stay within the float tolerance contract vs cv2."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (96, 120, 3), np.uint8)
+    k = rng.random((13, 11)).astype(np.float32)
+    k /= k.sum()
+    ref = cv2.filter2D(img, -1, k)
+    ours = np.asarray(tcv.filter2D(img, -1, k))
+    assert_near(ours, ref, atol=1, msg="filter2D dft u8")
+
+    imf = rng.random((80, 90), np.float32)
+    kf = rng.standard_normal((9, 9)).astype(np.float32)
+    reff = cv2.filter2D(imf, -1, kf)
+    oursf = np.asarray(tcv.filter2D(imf, -1, kf))
+    assert np.max(np.abs(oursf - reff)) < 1e-3 * np.abs(reff).max()
