@@ -253,10 +253,15 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
     if nper is None:
         nper = n2
 
+    # tie count at the retainBest(n2) boundary, counted over the KEPT
+    # top-k rows only (a full-map count measured 17ms/level): if every
+    # tie fits inside cap the count is exact; n_ge == cap means ties may
+    # extend past the pool, which the host treats as regrow-and-rerun.
     boundary = vals[:, min(n2, cap) - 1]
-    n_ge = jnp.sum(jnp.where(jnp.isfinite(boundary)[:, None],
-                             masked >= boundary[:, None],
-                             masked > -jnp.inf), axis=1).astype(jnp.int32)
+    n_ge = jnp.where(
+        jnp.isfinite(boundary),
+        jnp.sum(vals >= boundary[:, None], axis=1),
+        jnp.sum(jnp.isfinite(vals), axis=1)).astype(jnp.int32)
 
     if is_harris:
         # single payload gather for the three Harris terms (three separate
@@ -493,7 +498,7 @@ class ORB:
             n_ge = np.asarray(nge_all)                     # (L, B)
             n_ge2 = np.asarray(nge2_all)                   # (L, B)
             over = [lv for lv in range(nlevels)
-                    if (n_ge[lv] > caps[lv]).any()]
+                    if (n_ge[lv] >= caps[lv]).any()]
             over2 = [lv for lv in range(nlevels)
                      if (n_ge2[lv] > dcaps[lv]).any()]
             if not over and not over2:

@@ -378,18 +378,30 @@ def filter2D(src, ddepth, kernel, anchor=(-1, -1), delta=0.0,
 # --------------------------------------------------------------------------
 
 def _box_sum_int(x, ksize, anchor, border_type):
-    """Integer box sum via separable ones-kernel (int32)."""
+    """Integer box sum (int32), exact.
+
+    Small kernels use separable static shift-adds (XLA fuses the k
+    offset reads into ~one pass); large kernels use the cumsum sliding
+    window, whose two scans are O(1) in taps but cost ~4 full passes —
+    the crossover on TPU is around k=16 per axis."""
     kw, kh = ksize
     ax = kw // 2 if anchor[0] < 0 else anchor[0]
     ay = kh // 2 if anchor[1] < 0 else anchor[1]
     xp = pad_nhwc(x, ay, kh - 1 - ay, ax, kw - 1 - ax, border_type)
     xi = xp.astype(jnp.int32)
-    # cumulative-sum sliding windows: O(1) in taps, bandwidth-bound
-    ch = jnp.cumsum(xi, axis=2)
     W = x.shape[2]
+    H = x.shape[1]
+    if kw <= 16 and kh <= 16:
+        h = xi[:, :, 0:W, :]
+        for i in range(1, kw):
+            h = h + xi[:, :, i:i + W, :]
+        v = h[:, 0:H]
+        for j in range(1, kh):
+            v = v + h[:, j:j + H]
+        return v
+    ch = jnp.cumsum(xi, axis=2)
     h = ch[:, :, kw - 1:kw - 1 + W, :] - jnp.pad(ch, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :W, :]
     cv = jnp.cumsum(h, axis=1)
-    H = x.shape[1]
     v = cv[:, kh - 1:kh - 1 + H, :, :] - jnp.pad(cv, ((0, 0), (1, 0), (0, 0), (0, 0)))[:, :H, :, :]
     return v
 
