@@ -80,6 +80,14 @@ class VideoCapture:
         if isinstance(source, (int, np.integer)):
             return False  # no camera devices in this environment
         s = str(source)
+        if s.lower().endswith(".y4m") and os.path.exists(s):
+            with open(s, "rb") as f:
+                data = f.read()
+            self._frames, self._fps, self._size = _parse_y4m(data)
+            self._files = None
+            self._y4m = True
+            self._opened = self._frames is not None
+            return self._opened
         if s.lower().endswith(".avi") and os.path.exists(s):
             with open(s, "rb") as f:
                 data = f.read()
@@ -122,6 +130,9 @@ class VideoCapture:
 
     def retrieve(self):
         pos = self._pos - 1
+        if getattr(self, "_y4m", False):
+            img = _y4m_to_bgr(self._frames[pos], self._size)
+            return True, img
         if self._frames is not None:
             img = imdecode(np.frombuffer(self._frames[pos], np.uint8), 1)
         else:
@@ -174,6 +185,7 @@ class VideoWriter:
         self._fps = float(fps) if fps else 25.0
         self._size = tuple(int(v) for v in frameSize)
         self._seq = "%" in self._path
+        self._y4m = self._path.lower().endswith(".y4m")
         self._frames = []
         self._count = 0
         self._opened = True
@@ -187,6 +199,9 @@ class VideoWriter:
             imwrite(self._path % self._count, np.asarray(frame))
             self._count += 1
             return
+        if self._y4m:
+            self._frames.append(_bgr_to_y4m_frame(np.asarray(frame)))
+            return
         ok, buf = imencode(".jpg", np.asarray(frame), [1, 95])
         self._frames.append(bytes(buf))
 
@@ -195,6 +210,17 @@ class VideoWriter:
             return
         self._opened = False
         if self._seq or not self._frames:
+            return
+        if self._y4m:
+            w, h = self._size
+            num = int(round(self._fps * 1000))
+            hdr = ("YUV4MPEG2 W%d H%d F%d:1000 Ip A1:1 C420mpeg2\n"
+                   % (w, h, num)).encode()
+            with open(self._path, "wb") as fo:
+                fo.write(hdr)
+                for fr in self._frames:
+                    fo.write(b"FRAME\n")
+                    fo.write(fr)
             return
         w, h = self._size
         fps = self._fps
@@ -233,3 +259,59 @@ class VideoWriter:
         body = b"AVI " + hdrl + movi + idx1
         with open(self._path, "wb") as fo:
             fo.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — uncompressed 4:2:0 interchange (cap_images/cap_mjpeg
+# analogue; the reference reads these via its FFmpeg backend)
+# ---------------------------------------------------------------------------
+
+def _parse_y4m(data):
+    """Parse a YUV4MPEG2 stream -> (list of raw I420 frame bytes, fps,
+    (w, h)).  Only C420 family colorspaces are supported."""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        return None, 25.0, (0, 0)
+    w = h = 0
+    fps = 25.0
+    for tok in data[:nl].split()[1:]:
+        t, v = tok[:1], tok[1:]
+        if t == b"W":
+            w = int(v)
+        elif t == b"H":
+            h = int(v)
+        elif t == b"F":
+            num, den = v.split(b":")
+            fps = int(num) / int(den)
+        elif t == b"C" and not v.startswith(b"420"):
+            return None, fps, (w, h)
+    fsz = w * h * 3 // 2
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or not data[pos:pos + 5] == b"FRAME":
+            break
+        body = fnl + 1
+        if body + fsz > len(data):
+            break
+        frames.append(data[body:body + fsz])
+        pos = body + fsz
+    return frames, fps, (w, h)
+
+
+def _y4m_to_bgr(raw, size):
+    from .ops.color import cvtColor
+    from . import constants as K
+    w, h = size
+    yuv = np.frombuffer(raw, np.uint8).reshape(h * 3 // 2, w)
+    return np.asarray(cvtColor(yuv, K.COLOR_YUV2BGR_I420))
+
+
+def _bgr_to_y4m_frame(frame):
+    from .ops.color import cvtColor
+    from . import constants as K
+    if frame.ndim == 2:
+        frame = np.repeat(frame[:, :, None], 3, axis=2)
+    i420 = np.asarray(cvtColor(frame, K.COLOR_BGR2YUV_I420))
+    return i420.tobytes()

@@ -252,3 +252,31 @@ def test_gapi_compiled_serialization():
     fn = gapi.deserialize_compiled(blob)
     out = np.asarray(fn(img))
     assert np.array_equal(out, np.asarray(pipe(img)))
+
+
+def test_y4m_roundtrip():
+    """Y4M writer/capture round-trip through the bit-exact I420 path."""
+    import tempfile, os
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (48, 64, 3), np.uint8) for _ in range(3)]
+    path = os.path.join(tempfile.mkdtemp(), "clip.y4m")
+    wr = tcv.VideoWriter(path, 0, 30.0, (64, 48))
+    for f in frames:
+        wr.write(f)
+    wr.release()
+    cap = tcv.VideoCapture(path)
+    assert cap.isOpened()
+    assert cap.get(tcv.CAP_PROP_FPS) == 30.0
+    got = []
+    while True:
+        ok, img = cap.read()
+        if not ok:
+            break
+        got.append(img)
+    assert len(got) == 3
+    # 4:2:0 chroma subsampling is lossy; luma-dominant content should be
+    # close after the round trip
+    for a, b in zip(got, frames):
+        ya = cv2.cvtColor(a, cv2.COLOR_BGR2GRAY).astype(int)
+        yb = cv2.cvtColor(b, cv2.COLOR_BGR2GRAY).astype(int)
+        assert np.abs(ya - yb).mean() < 3
