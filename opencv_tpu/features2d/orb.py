@@ -1,13 +1,13 @@
 """ORB detector + descriptor (features2d/src/orb.cpp).
 
-TPU-native split: everything dense runs on device per pyramid level —
-bit-exact INTER_LINEAR_EXACT level resize (orb.cpp:1126), FAST score maps,
-the Harris rescoring response as a dense Sobel-product box sum
-(HarrisResponses, orb.cpp:131, computed densely instead of per-keypoint),
-the intensity-centroid moment maps m01/m10 as two disk-kernel MXU convs
-(ICAngles, orb.cpp:181), and the 7×7 σ=2 descriptor blur (orb.cpp:1228).
-The data-dependent tails — retainBest ties, keypoint lists, descriptor
-bit packing — run on host over the gathered maps (SURVEY §7 hard part #2).
+TPU-native split: per pyramid level ONE fused device program — bit-exact
+INTER_LINEAR_EXACT level resize (orb.cpp:1126), FAST score maps with a
+lossless 1x2 pre-pool feeding top_k, sparse per-candidate Harris rescore
+(HarrisResponses, orb.cpp:131) and intensity-centroid moments (ICAngles,
+orb.cpp:181) computed from row-payload patch gathers, the 7×7 σ=2
+descriptor blur (orb.cpp:1228), and rotated-BRIEF packing on the MXU.
+The data-dependent tails — retainBest ties, keypoint lists — run on host
+over the shipped top rows (SURVEY §7 hard part #2).
 
 Numeric contracts: scale per level `scaleFactor^level`, level sizes
 `cvRound(dim/scale)`; per-level feature budget `nfeatures(1-f)/(1-f^n)`;
@@ -29,10 +29,9 @@ import jax.numpy as jnp
 from .. import constants as K
 from ..core.arrays import to_batched
 from ..ops.resize import resize
-from ..ops.filter import GaussianBlur, _box_sum_int
-from ..ops.deriv import Sobel
+from ..ops.filter import GaussianBlur
 from .fast import fast_keypoint_mask
-from .keypoint import KeyPoint, retain_best
+from .keypoint import KeyPoint
 
 __all__ = ["ORB", "ORB_create"]
 
@@ -116,66 +115,18 @@ def _umax_table(half_patch: int) -> np.ndarray:
     return umax
 
 
-def _ic_kernels(half_patch: int):
-    """Disk-masked u and v coordinate kernels for dense m10/m01 maps."""
-    umax = _umax_table(half_patch)
-    k = 2 * half_patch + 1
-    ku = np.zeros((k, k), np.float32)
-    kv = np.zeros((k, k), np.float32)
-    c = half_patch
-    # v = 0 line
-    for u in range(-half_patch, half_patch + 1):
-        ku[c, c + u] = u
-    for v in range(1, half_patch + 1):
-        d = int(umax[v])
-        for u in range(-d, d + 1):
-            ku[c + v, c + u] = u
-            ku[c - v, c + u] = u
-            kv[c + v, c + u] = v
-            kv[c - v, c + u] = -v
-    return ku, kv
-
-
-def _ic_offsets(half_patch: int):
-    """Disk sample offsets + centroid weights for SPARSE per-candidate
-    IC moments (IC_Angle, orb.cpp:99): (du, dv, wu, wv) flat arrays."""
-    umax = _umax_table(half_patch)
-    pts = []
-    for u in range(-half_patch, half_patch + 1):
-        pts.append((u, 0))
-    for v in range(1, half_patch + 1):
-        d = int(umax[v])
-        for u in range(-d, d + 1):
-            pts.append((u, v))
-            pts.append((u, -v))
-    pts = np.asarray(pts, np.int32)
-    return pts[:, 0], pts[:, 1]
-
-
 def _level_maps(img4d, fast_threshold: int, half_patch: int):
-    """One fused device program per level: FAST score/mask, dense Harris
-    a/b/c sums, IC moment maps, blurred image."""
+    """One fused device program per level: FAST score/mask + blurred
+    image.  Harris terms and IC moments are computed SPARSELY at the
+    top-k candidates in _level_cand_desc — dense per-pixel Sobel +
+    7x7 box maps measured ~20ms/level and 99.98% of them were never
+    read (HarrisResponses is per-keypoint in the reference too,
+    orb.cpp:131)."""
     score, keep = fast_keypoint_mask(img4d, fast_threshold, True)
-
-    # dense Harris building blocks (int32-exact sums over 7x7 blocks)
-    src = img4d
     from ..core.arrays import from_batched
-    dx, _ = to_batched(Sobel(from_batched(src, "nhwc"), K.CV_16S, 1, 0, 3,
-                             borderType=K.BORDER_REPLICATE))
-    dy, _ = to_batched(Sobel(from_batched(src, "nhwc"), K.CV_16S, 0, 1, 3,
-                             borderType=K.BORDER_REPLICATE))
-    dxi = dx.astype(jnp.int32)
-    dyi = dy.astype(jnp.int32)
-    a = _box_sum_int(dxi * dxi, (7, 7), (-1, -1), K.BORDER_REPLICATE)
-    b = _box_sum_int(dyi * dyi, (7, 7), (-1, -1), K.BORDER_REPLICATE)
-    c = _box_sum_int(dxi * dyi, (7, 7), (-1, -1), K.BORDER_REPLICATE)
-
-    # m10/m01 are computed SPARSELY at candidates in _level_cand_desc:
-    # a dense 31x31 one-channel conv cannot tile onto the MXU and was
-    # the single hottest stage of the whole detector.
     blurred, _ = to_batched(GaussianBlur(from_batched(img4d, "nhwc"), (7, 7),
                                          2.0, 2.0, K.BORDER_REFLECT_101))
-    return score, keep, a, b, c, blurred
+    return score, keep, blurred
 
 
 def _fast_atan2_jnp(y, x):
@@ -233,19 +184,34 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
     n_ge / n_ge2 report tie counts at the two retainBest boundaries so
     the host can verify cap coverage (regrow-and-rerun on overflow).
     """
-    score, keep, a, b, c, blurred = _level_maps(
-        img4d, fast_threshold, half_patch)
+    score, keep, blurred = _level_maps(img4d, fast_threshold, half_patch)
     B, H, W = img4d.shape[0], img4d.shape[1], img4d.shape[2]
     s = score[..., 0].astype(jnp.float32)
     k = keep[..., 0]
     ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     inside = (xs >= et) & (xs < W - et) & (ys >= et) & (ys < H - et)
-    masked = jnp.where(k & inside[None], s, -jnp.inf).reshape(B, -1)
+    masked = jnp.where(k & inside[None], s, -jnp.inf)
+
+    # lossless 1x2 pre-pool: the strict 3x3 NMS (score > all neighbors)
+    # means two horizontally adjacent survivors are impossible, so the
+    # pair-max keeps every candidate while halving top_k's input (top_k
+    # cost on TPU is linear in BOTH n and k; ~57ms at n=2M, k=476)
+    if W % 2:
+        masked = jnp.pad(masked, ((0, 0), (0, 0), (0, 1)),
+                         constant_values=-jnp.inf)
+    W2 = masked.shape[2] // 2
+    m0 = masked[:, :, 0::2]
+    m1 = masked[:, :, 1::2]
+    win1 = m1 > m0
+    pooled = jnp.where(win1, m1, m0).reshape(B, -1)
     cap = min(cap, H * W)
-    vals, idx = jax.lax.top_k(masked, cap)          # (B, cap)
-    iy = idx // W
-    ix = idx % W
+    vals, pidx = jax.lax.top_k(pooled, cap)         # (B, cap)
+    bbase = (jnp.arange(B, dtype=jnp.int32) * (H * W2))[:, None]
+    off = jnp.take(win1.reshape(-1), pidx + bbase).astype(jnp.int32)
+    iy = pidx // W2
+    ix = (pidx % W2) * 2 + off
+    idx = iy * W + ix
 
     if dcap is None:
         dcap = cap
@@ -263,18 +229,43 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
         jnp.sum(vals >= boundary[:, None], axis=1),
         jnp.sum(jnp.isfinite(vals), axis=1)).astype(jnp.int32)
 
+    # sliding-window operand (shared by sparse Harris, IC moments):
+    # P[b,y,x,j] = img[b, y, x + j - hp] — row-payload gathers cost one
+    # index per ROW instead of one per scalar tap
+    hp = half_patch
+    imgp = jnp.pad(img4d[..., 0], ((0, 0), (0, 0), (hp, 32 - hp)))
+    P = jnp.stack([imgp[:, :, j:j + W] for j in range(32)], axis=-1)
+    P = P.reshape(B * H * W, 32)
+    rbase = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None, None]
+
     if is_harris:
-        # flat 1-D gathers of the INT maps (batched take_along_axis and
-        # full-map f32 casts both measured ~20ms/level on TPU; casting
-        # only the gathered 7k values is free)
-        flat_idx = (idx + (jnp.arange(B, dtype=jnp.int32)
-                           * (H * W))[:, None]).reshape(-1)
-        aa = jnp.take(a.reshape(-1), flat_idx).reshape(B, cap) \
-            .astype(jnp.float32)
-        bb = jnp.take(b.reshape(-1), flat_idx).reshape(B, cap) \
-            .astype(jnp.float32)
-        cc = jnp.take(c.reshape(-1), flat_idx).reshape(B, cap) \
-            .astype(jnp.float32)
+        # sparse HarrisResponses (orb.cpp:131): 9-row patches around each
+        # candidate; Sobel 3x3 + 7x7 box sums as exact int32 vector math
+        # on (B, cap, 9, 32) patches (the dense maps this replaces cost
+        # ~20ms/level and were read at 0.02% of pixels)
+        dr9 = jnp.arange(-4, 5, dtype=jnp.int32)
+        hidx = (jnp.clip(iy[..., None] + dr9[None, None, :], 0, H - 1) * W
+                + ix[..., None] + rbase)
+        hpat = jnp.take(P, hidx.reshape(-1), axis=0) \
+            .reshape(B, cap, 9, 32).astype(jnp.int32)
+        # dx/dy at patch rows 1..7, img cols x-14..x+15 -> need x-3..x+3
+        right = hpat[:, :, :, 2:]
+        left = hpat[:, :, :, :-2]
+        gx = ((right[:, :, :7] + 2 * right[:, :, 1:8] + right[:, :, 2:9])
+              - (left[:, :, :7] + 2 * left[:, :, 1:8] + left[:, :, 2:9]))
+        top = hpat[:, :, :7, 1:-1]
+        bot = hpat[:, :, 2:9, 1:-1]
+        gy = ((bot[:, :, :, :-2] + 2 * bot[:, :, :, 1:-1]
+               + bot[:, :, :, 2:])
+              - (top[:, :, :, :-2] + 2 * top[:, :, :, 1:-1]
+                 + top[:, :, :, 2:]))
+        # gx[..., r, j] sits at img col x + j - 14, gy[..., r, c] at
+        # x + c - 13; keep the 7x7 box (col offsets -3..3) of each
+        gxw = gx[:, :, :, 11:18]
+        gyw = gy[:, :, :, 10:17]
+        aa = (gxw * gxw).sum(axis=(2, 3)).astype(jnp.float32)
+        bb = (gyw * gyw).sum(axis=(2, 3)).astype(jnp.float32)
+        cc = (gxw * gyw).sum(axis=(2, 3)).astype(jnp.float32)
         scale_h = np.float32(1.0 / ((1 << 2) * 7 * 255.0))
         s4 = np.float32(scale_h ** 4)
         resp = (aa * bb - cc * cc
@@ -297,13 +288,8 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
         out_score = vals[:, :dcap]
         n_ge2 = n_ge
 
-    # sliding-window IC moments: P[b,y,x,j] = img[b, y, x + j - hp]
-    hp = half_patch
-    imgp = jnp.pad(img4d[..., 0], ((0, 0), (0, 0), (hp, 32 - hp)))
-    P = jnp.stack([imgp[:, :, j:j + W] for j in range(32)], axis=-1)
-    P = P.reshape(B * H * W, 32)
+    # sliding-window IC moments over the shared P operand
     dvs = jnp.arange(-hp, hp + 1, dtype=jnp.int32)
-    rbase = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None, None]
     ridx = (jnp.clip(iy_d[..., None] + dvs[None, None, :], 0, H - 1) * W
             + ix_d[..., None] + rbase)              # (B, dcap, 31)
     patches = jnp.take(P, ridx.reshape(-1), axis=0) \
@@ -490,7 +476,7 @@ class ORB:
         # returns only the top-dcap retained rows (4 floats + 32 bytes
         # each), so both the descriptor gathers and the tunnel readback
         # scale with the RETAINED count, not the candidate pool.
-        caps = [max((2 if is_harris else 1) * nper[lv] + 256, 320)
+        caps = [max((2 if is_harris else 1) * nper[lv] + 128, 256)
                 for lv in range(nlevels)]
         dcaps = [min(nper[lv] + 64, caps[lv]) for lv in range(nlevels)]
 
