@@ -96,9 +96,15 @@ def _dct_matrix():
 _DCTM = _dct_matrix()
 
 
+class _DecTable(dict):
+    """(length, code) -> symbol map; carries the raw (bits, values) spec
+    so the native entropy decoder can rebuild its canonical tables."""
+    bits = None
+    vals = None
+
+
 def _build_decoder_table(bits, values):
-    """(length, code) -> symbol map plus a fast max-length lookup."""
-    table = {}
+    table = _DecTable()
     code = 0
     k = 0
     for length in range(1, 17):
@@ -107,6 +113,8 @@ def _build_decoder_table(bits, values):
             code += 1
             k += 1
         code <<= 1
+    table.bits = list(bits)
+    table.vals = list(values)
     return table
 
 
@@ -258,6 +266,27 @@ def _decode_scan(data, pos, frame, scomp, qt, huff_dc, huff_ac, dri):
     mcux = (W + 8 * hmax - 1) // (8 * hmax)
     mcuy = (H + 8 * vmax - 1) // (8 * vmax)
 
+    by_id = {c[0]: k for k, (c) in enumerate(
+        [(cc["id"],) for cc in comps])}
+    order = [by_id[cs] for cs, _, _ in scomp]
+
+    # native C++ entropy decoder (hosttails.cpp jpeg_decode_blocks);
+    # the Python loop below is the exact-fallback twin
+    from ..native import jpeg_decode_blocks as _native_decode
+    dc_raw = [(huff_dc[i].bits, huff_dc[i].vals)
+              if i in huff_dc and getattr(huff_dc[i], "bits", None)
+              is not None else None for i in range(4)]
+    ac_raw = [(huff_ac[i].bits, huff_ac[i].vals)
+              if i in huff_ac and getattr(huff_ac[i], "bits", None)
+              is not None else None for i in range(4)]
+    comp_dims = [(mcuy * c["v"], mcux * c["h"]) for c in comps]
+    res = _native_decode(
+        data[pos:], [c["h"] for c in comps], [c["v"] for c in comps],
+        order, [td for _, td, _ in scomp], [ta for _, _, ta in scomp],
+        mcux, mcuy, dri, dc_raw, ac_raw, comp_dims)
+    if res is not None:
+        return _finish_decode(frame, res, qt)
+
     rd = _BitReader(data[pos:])
     coeff = []
     for c in comps:
@@ -265,9 +294,6 @@ def _decode_scan(data, pos, frame, scomp, qt, huff_dc, huff_ac, dri):
         bh = mcuy * c["v"]
         coeff.append(np.zeros((bh, bw, 64), np.int32))
     pred = [0] * len(comps)
-    by_id = {c[0]: k for k, (c) in enumerate(
-        [(cc["id"],) for cc in comps])}
-    order = [by_id[cs] for cs, _, _ in scomp]
 
     nmcu = 0
     for my in range(mcuy):
@@ -471,12 +497,21 @@ def jpeg_encode(img, quality=95):
         qz = np.rint(Fn / q[None, :].astype(np.float64)).astype(np.int32)
         qcoef.append(qz.reshape(bh, bw, 64)[..., _ZIGZAG])
 
+    # native C++ entropy encoder; the Python loop below is the fallback
+    from ..native import jpeg_encode_blocks as _native_encode
+    ent = _native_encode(qcoef, [s[0] for s in samp],
+                         [s[1] for s in samp], qts, mcux, mcuy,
+                         [_HT_DC_LUM, _HT_DC_CHR],
+                         [_HT_AC_LUM, _HT_AC_CHR])
+
     dc_tabs = [_encode_table(*_HT_DC_LUM), _encode_table(*_HT_DC_CHR)]
     ac_tabs = [_encode_table(*_HT_AC_LUM), _encode_table(*_HT_AC_CHR)]
 
     bw_ = _BitWriter()
+    if ent is not None:
+        bw_.out = bytearray(ent)
     pred = [0] * len(planes)
-    for my in range(mcuy):
+    for my in range(0 if ent is None else 0, mcuy if ent is None else 0):
         for mx in range(mcux):
             for pi in range(len(planes)):
                 h, v = samp[pi]

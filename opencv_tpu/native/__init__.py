@@ -166,3 +166,123 @@ def maxflow_grid(srcw, snkw, leftw, upleftw, upw, uprightw):
     out = np.zeros((H, W), np.uint8)
     lib.maxflow_grid(H, W, *(a.ctypes.data for a in arrs), out.ctypes.data)
     return out.astype(bool)
+
+
+def _ensure_jpeg_sigs(lib):
+    if hasattr(lib, "_jpg_ready"):
+        return
+    lib.jpeg_decode_blocks.restype = ctypes.c_longlong
+    lib.jpeg_decode_blocks.argtypes = [
+        ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.jpeg_encode_blocks.restype = ctypes.c_longlong
+    lib.jpeg_encode_blocks.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+    ]
+    lib._jpg_ready = True
+
+
+def jpeg_decode_blocks(data: bytes, comp_h, comp_v, scan_ci, scan_td,
+                       scan_ta, mcux, mcuy, dri, dc_tables, ac_tables,
+                       comp_dims):
+    """Native baseline-JPEG entropy decode.  dc/ac_tables: list of up to 4
+    (bits, values) pairs (None entries allowed); comp_dims: per-component
+    (bh, bw) block-grid dims.  Returns list of (bh, bw, 64) int32 arrays
+    in ZIGZAG coefficient order, or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _ensure_jpeg_sigs(lib)
+
+    def pack_tables(tabs, n):
+        bits = np.zeros((n, 16), np.uint8)
+        vals = np.zeros((n, 256), np.uint8)
+        for i, t in enumerate(tabs[:n]):
+            if t is None:
+                continue
+            b, v = t
+            bits[i, :len(b)] = b
+            vals[i, :len(v)] = v
+        return bits, vals
+
+    dcb, dcv = pack_tables(dc_tables, 4)
+    acb, acv = pack_tables(ac_tables, 4)
+    ncomp = len(comp_h)
+    offs = np.zeros(ncomp, np.int64)
+    total = 0
+    for ci, (bh, bw) in enumerate(comp_dims):
+        offs[ci] = total
+        total += bh * bw * 64
+    coeff = np.zeros(total, np.int32)
+    ch = np.asarray(comp_h, np.int32)
+    cv_ = np.asarray(comp_v, np.int32)
+    sci = np.asarray(scan_ci, np.int32)
+    std = np.asarray(scan_td, np.int32)
+    sta = np.asarray(scan_ta, np.int32)
+    buf = np.frombuffer(data, np.uint8)
+    rc = lib.jpeg_decode_blocks(
+        buf.ctypes.data, len(buf), ncomp,
+        ch.ctypes.data, cv_.ctypes.data,
+        sci.ctypes.data, std.ctypes.data, sta.ctypes.data, len(sci),
+        mcux, mcuy, dri,
+        dcb.ctypes.data, dcv.ctypes.data,
+        acb.ctypes.data, acv.ctypes.data,
+        coeff.ctypes.data, offs.ctypes.data)
+    if rc != 0:
+        return None
+    return [coeff[offs[ci]:offs[ci] + bh * bw * 64].reshape(bh, bw, 64)
+            for ci, (bh, bw) in enumerate(comp_dims)]
+
+
+def jpeg_encode_blocks(qcoef, comp_h, comp_v, comp_tq, mcux, mcuy,
+                       dc_tables, ac_tables):
+    """Native baseline-JPEG entropy encode.  qcoef: per-component
+    (bh, bw, 64) int32 zigzag blocks; dc/ac_tables: 2 (bits, values)
+    pairs (lum, chr).  Returns the stuffed entropy bytes or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _ensure_jpeg_sigs(lib)
+    ncomp = len(qcoef)
+    offs = np.zeros(ncomp, np.int64)
+    total = 0
+    for ci, q in enumerate(qcoef):
+        offs[ci] = total
+        total += q.size
+    coeff = np.concatenate([np.ascontiguousarray(q, np.int32).reshape(-1)
+                            for q in qcoef])
+
+    def pack_tables(tabs):
+        bits = np.zeros((2, 16), np.uint8)
+        vals = np.zeros((2, 256), np.uint8)
+        for i, (b, v) in enumerate(tabs[:2]):
+            bits[i, :len(b)] = b
+            vals[i, :len(v)] = v
+        return bits, vals
+
+    dcb, dcv = pack_tables(dc_tables)
+    acb, acv = pack_tables(ac_tables)
+    cap = max(total * 4, 1 << 16)
+    out = np.empty(cap, np.uint8)
+    ch = np.asarray(comp_h, np.int32)
+    cv_ = np.asarray(comp_v, np.int32)
+    ctq = np.asarray(comp_tq, np.int32)
+    n = lib.jpeg_encode_blocks(
+        coeff.ctypes.data, offs.ctypes.data, ncomp,
+        ch.ctypes.data, cv_.ctypes.data, ctq.ctypes.data,
+        mcux, mcuy,
+        dcb.ctypes.data, dcv.ctypes.data,
+        acb.ctypes.data, acv.ctypes.data,
+        out.ctypes.data, cap)
+    if n < 0:
+        return None
+    return bytes(out[:n])

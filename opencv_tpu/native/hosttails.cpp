@@ -452,3 +452,272 @@ extern "C" double maxflow_grid(int H, int W,
     for (int i = 0; i < N; i++) out_fg[i] = vis[i];
     return flow;
 }
+
+// ===========================================================================
+// JPEG baseline entropy codec (grfmt_jpeg analogue — the reference links
+// libjpeg-turbo; this is the sequential Huffman hot loop the Python tier
+// cannot do fast).  Semantics mirror imgcodecs/jpeg.py exactly:
+//  - bit reader stops feeding at any non-stuffing marker, zero-pads reads
+//  - coefficients are stored in ZIGZAG index order per 64-block
+//  - restart intervals resync by scanning for FFD0..FFD7
+// ===========================================================================
+
+namespace jpegent {
+
+struct HuffDec {
+    // canonical decode: mincode/maxcode/valptr per code length 1..16
+    int32_t mincode[17], maxcode[17], valptr[17];
+    const uint8_t* vals;
+    void build(const uint8_t* bits, const uint8_t* values) {
+        vals = values;
+        int code = 0, k = 0;
+        for (int l = 1; l <= 16; l++) {
+            valptr[l] = k;
+            mincode[l] = code;
+            code += bits[l - 1];
+            k += bits[l - 1];
+            maxcode[l] = code - 1;       // inclusive; -1 span if none
+            code <<= 1;
+        }
+    }
+};
+
+struct BitReader {
+    const uint8_t* data;
+    long long n, pos;
+    uint64_t buf;
+    int nbits;
+    BitReader(const uint8_t* d, long long nn)
+        : data(d), n(nn), pos(0), buf(0), nbits(0) {}
+    void fill() {
+        while (nbits <= 24 && pos < n) {
+            uint8_t b = data[pos++];
+            if (b == 0xFF) {
+                uint8_t nxt = pos < n ? data[pos] : 0;
+                if (nxt == 0x00) {
+                    pos++;
+                } else {           // marker: stop feeding
+                    pos--;
+                    return;
+                }
+            }
+            buf = (buf << 8) | b;
+            nbits += 8;
+        }
+    }
+    int read(int nb) {
+        if (!nb) return 0;
+        fill();
+        if (nbits < nb) {          // zero-pad past the end (python parity)
+            buf <<= (nb - nbits);
+            nbits = nb;
+        }
+        int v = (int)((buf >> (nbits - nb)) & ((1u << nb) - 1));
+        nbits -= nb;
+        buf &= (nbits >= 64) ? ~0ull : ((1ull << nbits) - 1);
+        return v;
+    }
+    int decode(const HuffDec& h) {
+        int code = 0;
+        for (int l = 1; l <= 16; l++) {
+            code = (code << 1) | read(1);
+            if (h.maxcode[l] >= h.mincode[l] && code >= h.mincode[l]
+                && code <= h.maxcode[l])
+                return h.vals[h.valptr[l] + (code - h.mincode[l])];
+        }
+        return -1;                 // bad code
+    }
+    void resync() {                // skip to just past the next RST marker
+        nbits = 0;
+        buf = 0;
+        while (pos < n - 1) {
+            if (data[pos] == 0xFF && data[pos + 1] >= 0xD0
+                && data[pos + 1] <= 0xD7) {
+                pos += 2;
+                return;
+            }
+            pos++;
+        }
+        pos = n;
+    }
+};
+
+static inline int extend(int v, int t) {
+    return (t > 0 && v < (1 << (t - 1))) ? v - (1 << t) + 1 : v;
+}
+
+}  // namespace jpegent
+
+extern "C" long long jpeg_decode_blocks(
+    const uint8_t* data, long long nbytes,
+    int ncomp, const int* comp_h, const int* comp_v,
+    const int* scan_ci, const int* scan_td, const int* scan_ta, int nscan,
+    int mcux, int mcuy, int dri,
+    const uint8_t* dcb, const uint8_t* dcv,   // (4,16) and (4,256)
+    const uint8_t* acb, const uint8_t* acv,
+    int32_t* coeff, const long long* comp_off) {
+    using namespace jpegent;
+    HuffDec dc[4], ac[4];
+    for (int t = 0; t < 4; t++) {
+        dc[t].build(dcb + 16 * t, dcv + 256 * t);
+        ac[t].build(acb + 16 * t, acv + 256 * t);
+    }
+    BitReader rd(data, nbytes);
+    int pred[4] = {0, 0, 0, 0};
+    long long nmcu = 0;
+    for (int my = 0; my < mcuy; my++)
+        for (int mx = 0; mx < mcux; mx++) {
+            if (dri && nmcu && nmcu % dri == 0) {
+                rd.resync();
+                for (int c = 0; c < 4; c++) pred[c] = 0;
+            }
+            for (int si = 0; si < nscan; si++) {
+                int ci = scan_ci[si];
+                const HuffDec& hd = dc[scan_td[si]];
+                const HuffDec& ha = ac[scan_ta[si]];
+                int bw = mcux * comp_h[ci];
+                for (int v = 0; v < comp_v[ci]; v++)
+                    for (int h = 0; h < comp_h[ci]; h++) {
+                        int32_t* blk = coeff + comp_off[ci]
+                            + ((long long)(my * comp_v[ci] + v) * bw
+                               + (mx * comp_h[ci] + h)) * 64;
+                        int t = rd.decode(hd);
+                        if (t < 0) return -1;
+                        pred[ci] += extend(rd.read(t), t);
+                        blk[0] = pred[ci];
+                        int k = 1;
+                        while (k < 64) {
+                            int rs = rd.decode(ha);
+                            if (rs < 0) return -1;
+                            int r = rs >> 4, s = rs & 15;
+                            if (s == 0) {
+                                if (r == 15) { k += 16; continue; }
+                                break;
+                            }
+                            k += r;
+                            if (k > 63) return -1;
+                            blk[k] = extend(rd.read(s), s);
+                            k++;
+                        }
+                    }
+            }
+            nmcu++;
+        }
+    return 0;
+}
+
+namespace jpegent {
+
+struct HuffEnc {
+    uint16_t code[256];
+    uint8_t len[256];
+    void build(const uint8_t* bits, const uint8_t* values) {
+        for (int i = 0; i < 256; i++) len[i] = 0;
+        int c = 0, k = 0;
+        for (int l = 1; l <= 16; l++) {
+            for (int i = 0; i < bits[l - 1]; i++) {
+                code[values[k]] = (uint16_t)c;
+                len[values[k]] = (uint8_t)l;
+                c++;
+                k++;
+            }
+            c <<= 1;
+        }
+    }
+};
+
+struct BitWriter {
+    uint8_t* out;
+    long long cap, n;
+    uint64_t acc;
+    int nb;
+    bool overflow;
+    BitWriter(uint8_t* o, long long c)
+        : out(o), cap(c), n(0), acc(0), nb(0), overflow(false) {}
+    void put(uint32_t code, int length) {
+        acc = (acc << length) | (code & ((1u << length) - 1));
+        nb += length;
+        while (nb >= 8) {
+            uint8_t b = (uint8_t)((acc >> (nb - 8)) & 0xFF);
+            if (n >= cap) { overflow = true; return; }
+            out[n++] = b;
+            if (b == 0xFF) {
+                if (n >= cap) { overflow = true; return; }
+                out[n++] = 0x00;
+            }
+            nb -= 8;
+            acc &= (1ull << nb) - 1;
+        }
+    }
+    void flush() {
+        if (nb) {
+            int pad = 8 - nb;
+            put((1u << pad) - 1, pad);
+        }
+    }
+};
+
+}  // namespace jpegent
+
+extern "C" long long jpeg_encode_blocks(
+    const int32_t* coeff, const long long* comp_off,
+    int ncomp, const int* comp_h, const int* comp_v, const int* comp_tq,
+    int mcux, int mcuy,
+    const uint8_t* dcb, const uint8_t* dcv,   // (2,16), (2,256)
+    const uint8_t* acb, const uint8_t* acv,
+    uint8_t* out, long long cap) {
+    using namespace jpegent;
+    HuffEnc dc[2], ac[2];
+    for (int t = 0; t < 2; t++) {
+        dc[t].build(dcb + 16 * t, dcv + 256 * t);
+        ac[t].build(acb + 16 * t, acv + 256 * t);
+    }
+    BitWriter wr(out, cap);
+    int pred[4] = {0, 0, 0, 0};
+    for (int my = 0; my < mcuy; my++)
+        for (int mx = 0; mx < mcux; mx++)
+            for (int ci = 0; ci < ncomp; ci++) {
+                int tq = comp_tq[ci];
+                const HuffEnc& hd = dc[tq];
+                const HuffEnc& ha = ac[tq];
+                int bw = mcux * comp_h[ci];
+                for (int dv = 0; dv < comp_v[ci]; dv++)
+                    for (int dh = 0; dh < comp_h[ci]; dh++) {
+                        const int32_t* blk = coeff + comp_off[ci]
+                            + ((long long)(my * comp_v[ci] + dv) * bw
+                               + (mx * comp_h[ci] + dh)) * 64;
+                        int diff = blk[0] - pred[ci];
+                        pred[ci] = blk[0];
+                        int a = diff < 0 ? -diff : diff;
+                        int t = 0;
+                        while (a >> t) t++;
+                        int bitsv = diff < 0 ? diff + (1 << t) - 1 : diff;
+                        wr.put(hd.code[t], hd.len[t]);
+                        if (t) wr.put((uint32_t)bitsv & ((1u << t) - 1), t);
+                        int last = 0;
+                        for (int k = 63; k >= 1; k--)
+                            if (blk[k]) { last = k; break; }
+                        int run = 0;
+                        for (int k = 1; k <= last; k++) {
+                            int val = blk[k];
+                            if (!val) { run++; continue; }
+                            while (run >= 16) {
+                                wr.put(ha.code[0xF0], ha.len[0xF0]);
+                                run -= 16;
+                            }
+                            a = val < 0 ? -val : val;
+                            t = 0;
+                            while (a >> t) t++;
+                            bitsv = val < 0 ? val + (1 << t) - 1 : val;
+                            wr.put(ha.code[(run << 4) | t],
+                                   ha.len[(run << 4) | t]);
+                            wr.put((uint32_t)bitsv & ((1u << t) - 1), t);
+                            run = 0;
+                        }
+                        if (last < 63) wr.put(ha.code[0], ha.len[0]);
+                        if (wr.overflow) return -1;
+                    }
+            }
+    wr.flush();
+    return wr.overflow ? -1 : wr.n;
+}
