@@ -750,3 +750,160 @@ def _onnx_nms(ins, at):
                 order = rest[iou <= iou_t]
             sel += [[b, c, int(i)] for i in keep]
     return np.asarray(sel, np.int64).reshape(-1, 3)
+
+
+# ------------------------------------------------------------- recurrent
+# LSTM/GRU/RNN (the reference's recurrent_layers.cpp) as lax.scan over
+# the sequence axis; weights follow the ONNX layouts (gate order iofc
+# for LSTM, zrh for GRU).
+
+def _rnn_dir_params(ins, at, ngate):
+    hs = int(at["hidden_size"])
+    W = _a(ins[1]).astype(jnp.float32)      # (D, ngate*hs, input)
+    R = _a(ins[2]).astype(jnp.float32)      # (D, ngate*hs, hs)
+    D = W.shape[0]
+    if len(ins) > 3 and ins[3] is not None:
+        Bx = _a(ins[3]).astype(jnp.float32)  # (D, 2*ngate*hs)
+        Wb = Bx[:, :ngate * hs]
+        Rb = Bx[:, ngate * hs:]
+    else:
+        Wb = jnp.zeros((D, ngate * hs), jnp.float32)
+        Rb = jnp.zeros((D, ngate * hs), jnp.float32)
+    return hs, D, W, R, Wb, Rb
+
+
+def _rnn_run(X, D, direction, cell, h0s, outs_per_step):
+    """Scan `cell` over (seq, batch, input) X for each direction."""
+    ys = []
+    lasts = []
+    for d in range(D):
+        rev = (direction == "reverse") or (d == 1)
+        xd = X[::-1] if rev else X
+        carry, y = jax.lax.scan(cell[d], h0s[d], xd)
+        if rev:
+            y = y[::-1]
+        ys.append(y)
+        lasts.append(carry)
+    return ys, lasts
+
+
+@op("LSTM")
+def _lstm(ins, at):
+    hs, D, W, R, Wb, Rb = _rnn_dir_params(ins, at, 4)
+    X = _a(ins[0]).astype(jnp.float32)      # (seq, batch, input)
+    B = X.shape[1]
+    direction = at.get("direction", b"forward")
+    if isinstance(direction, bytes):
+        direction = direction.decode()
+    h0 = (_a(ins[5]).astype(jnp.float32) if len(ins) > 5
+          and ins[5] is not None else jnp.zeros((D, B, hs), jnp.float32))
+    c0 = (_a(ins[6]).astype(jnp.float32) if len(ins) > 6
+          and ins[6] is not None else jnp.zeros((D, B, hs), jnp.float32))
+    P = (_a(ins[7]).astype(jnp.float32) if len(ins) > 7
+         and ins[7] is not None else None)  # (D, 3*hs) peepholes
+
+    def make_cell(d):
+        Wd = W[d].T
+        Rd = R[d].T
+        bd = Wb[d] + Rb[d]
+        pi = P[d, :hs] if P is not None else None
+        po = P[d, hs:2 * hs] if P is not None else None
+        pf = P[d, 2 * hs:] if P is not None else None
+
+        def cell(carry, xt):
+            h, c = carry
+            g = xt @ Wd + h @ Rd + bd
+            gi, go, gf, gc = (g[:, :hs], g[:, hs:2 * hs],
+                              g[:, 2 * hs:3 * hs], g[:, 3 * hs:])
+            if P is not None:
+                gi = gi + pi * c
+                gf = gf + pf * c
+            i = jax.nn.sigmoid(gi)
+            f = jax.nn.sigmoid(gf)
+            cn = f * c + i * jnp.tanh(gc)
+            if P is not None:
+                go = go + po * cn
+            o = jax.nn.sigmoid(go)
+            hn = o * jnp.tanh(cn)
+            return (hn, cn), hn
+        return cell
+
+    cells = [make_cell(d) for d in range(D)]
+    ys, lasts = _rnn_run(X, D, direction, cells,
+                         [(h0[d], c0[d]) for d in range(D)], 1)
+    Y = jnp.stack(ys, axis=1)               # (seq, D, batch, hs)
+    Yh = jnp.stack([l[0] for l in lasts], axis=0)
+    Yc = jnp.stack([l[1] for l in lasts], axis=0)
+    return (Y, Yh, Yc)
+
+
+@op("GRU")
+def _gru(ins, at):
+    hs, D, W, R, Wb, Rb = _rnn_dir_params(ins, at, 3)
+    X = _a(ins[0]).astype(jnp.float32)
+    B = X.shape[1]
+    direction = at.get("direction", b"forward")
+    if isinstance(direction, bytes):
+        direction = direction.decode()
+    lbr = int(at.get("linear_before_reset", 0))
+    h0 = (_a(ins[5]).astype(jnp.float32) if len(ins) > 5
+          and ins[5] is not None else jnp.zeros((D, B, hs), jnp.float32))
+
+    def make_cell(d):
+        Wd = W[d].T
+        Rd = R[d].T
+        wb = Wb[d]
+        rb = Rb[d]
+
+        def cell(h, xt):
+            gx = xt @ Wd + wb                   # (batch, 3hs)
+            gz = gx[:, :hs]
+            gr = gx[:, hs:2 * hs]
+            gh = gx[:, 2 * hs:]
+            hr = h @ Rd
+            z = jax.nn.sigmoid(gz + hr[:, :hs] + rb[:hs])
+            r = jax.nn.sigmoid(gr + hr[:, hs:2 * hs] + rb[hs:2 * hs])
+            if lbr:
+                hh = jnp.tanh(gh + r * (hr[:, 2 * hs:] + rb[2 * hs:]))
+            else:
+                hh = jnp.tanh(gh + (r * h) @ Rd[:, 2 * hs:]
+                              + rb[2 * hs:])
+            hn = (1 - z) * hh + z * h
+            return hn, hn
+        return cell
+
+    cells = [make_cell(d) for d in range(D)]
+    ys, lasts = _rnn_run(X, D, direction, cells,
+                         [h0[d] for d in range(D)], 1)
+    Y = jnp.stack(ys, axis=1)
+    Yh = jnp.stack(lasts, axis=0)
+    return (Y, Yh)
+
+
+@op("RNN")
+def _rnn_op(ins, at):
+    hs, D, W, R, Wb, Rb = _rnn_dir_params(ins, at, 1)
+    X = _a(ins[0]).astype(jnp.float32)
+    B = X.shape[1]
+    direction = at.get("direction", b"forward")
+    if isinstance(direction, bytes):
+        direction = direction.decode()
+    h0 = (_a(ins[5]).astype(jnp.float32) if len(ins) > 5
+          and ins[5] is not None else jnp.zeros((D, B, hs), jnp.float32))
+
+    def make_cell(d):
+        Wd = W[d].T
+        Rd = R[d].T
+        bd = Wb[d] + Rb[d]
+
+        def cell(h, xt):
+            hn = jnp.tanh(xt @ Wd + h @ Rd + bd)
+            return hn, hn
+        return cell
+
+    cells = [make_cell(d) for d in range(D)]
+    ys, lasts = _rnn_run(X, D, direction, cells,
+                         [h0[d] for d in range(D)], 1)
+    Y = jnp.stack(ys, axis=1)
+    Yh = jnp.stack(lasts, axis=0)
+    return (Y, Yh)

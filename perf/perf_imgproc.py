@@ -25,6 +25,8 @@ import time
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 BATCH = int(os.environ.get("PERF_BATCH", "16"))
 ITERS = int(os.environ.get("PERF_ITERS", "4"))
 

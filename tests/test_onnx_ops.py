@@ -292,3 +292,78 @@ def test_einsum_gathernd_scatternd():
     ref = data.copy()
     ref[[0, 3], [1, 4]] = upd
     np.testing.assert_allclose(out, ref)
+
+
+def _rnn_feeds(seq, b, inp, hs, ngate, bidi=False):
+    D = 2 if bidi else 1
+    w = RNG.normal(0, 0.3, (D, ngate * hs, inp)).astype(np.float32)
+    r = RNG.normal(0, 0.3, (D, ngate * hs, hs)).astype(np.float32)
+    bb = RNG.normal(0, 0.3, (D, 2 * ngate * hs)).astype(np.float32)
+    x = RNG.normal(0, 1, (seq, b, inp)).astype(np.float32)
+    return x, w, r, bb
+
+
+def test_onnx_lstm_matches_torch():
+    seq, b, inp, hs = 5, 3, 4, 6
+    x, w, r, bb = _rnn_feeds(seq, b, inp, hs, 4)
+    nodes = [_node("LSTM", ["x", "w", "r", "b"], ["y", "yh", "yc"],
+                   hidden_size=hs)]
+    inits = [_tensor("w", w), _tensor("r", r), _tensor("b", bb)]
+    y, yh, yc = _run(nodes, inits, {"x": x}, out="y",
+                     extra_outputs=("yh", "yc"))
+
+    # torch uses gate order i f g o; ONNX uses i o f c
+    perm = np.concatenate([np.arange(hs), 2 * hs + np.arange(hs),
+                           3 * hs + np.arange(hs), hs + np.arange(hs)])
+    m = torch.nn.LSTM(inp, hs, 1, batch_first=False)
+    with torch.no_grad():
+        m.weight_ih_l0.copy_(torch.from_numpy(w[0][perm]))
+        m.weight_hh_l0.copy_(torch.from_numpy(r[0][perm]))
+        m.bias_ih_l0.copy_(torch.from_numpy(bb[0, :4 * hs][perm]))
+        m.bias_hh_l0.copy_(torch.from_numpy(bb[0, 4 * hs:][perm]))
+        yt, (ht, ct) = m(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(y)[:, 0], yt.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(yh)[0], ht.numpy()[0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(yc)[0], ct.numpy()[0], atol=1e-5)
+
+
+def test_onnx_gru_matches_torch():
+    seq, b, inp, hs = 4, 2, 5, 3
+    x, w, r, bb = _rnn_feeds(seq, b, inp, hs, 3)
+    nodes = [_node("GRU", ["x", "w", "r", "b"], ["y", "yh"],
+                   hidden_size=hs, linear_before_reset=1)]
+    inits = [_tensor("w", w), _tensor("r", r), _tensor("b", bb)]
+    y, yh = _run(nodes, inits, {"x": x}, out="y", extra_outputs=("yh",))
+
+    # torch gate order r z n; ONNX z r n.  torch == linear_before_reset=1
+    perm = np.concatenate([hs + np.arange(hs), np.arange(hs),
+                           2 * hs + np.arange(hs)])
+    m = torch.nn.GRU(inp, hs, 1)
+    with torch.no_grad():
+        m.weight_ih_l0.copy_(torch.from_numpy(w[0][perm]))
+        m.weight_hh_l0.copy_(torch.from_numpy(r[0][perm]))
+        m.bias_ih_l0.copy_(torch.from_numpy(bb[0, :3 * hs][perm]))
+        m.bias_hh_l0.copy_(torch.from_numpy(bb[0, 3 * hs:][perm]))
+        yt, ht = m(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(y)[:, 0], yt.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(yh)[0], ht.numpy()[0], atol=1e-5)
+
+
+def test_onnx_lstm_bidirectional_reverse_consistency():
+    seq, b, inp, hs = 6, 2, 3, 4
+    x, w, r, bb = _rnn_feeds(seq, b, inp, hs, 4, bidi=True)
+    nodes = [_node("LSTM", ["x", "w", "r", "b"], ["y", "yh", "yc"],
+                   hidden_size=hs, direction="bidirectional")]
+    y, yh, yc = _run(nodes, [_tensor("w", w), _tensor("r", r),
+                             _tensor("b", bb)], {"x": x},
+                     out="y", extra_outputs=("yh", "yc"))
+    assert np.asarray(y).shape == (seq, 2, b, hs)
+    # the reverse lane equals a forward run on the reversed sequence
+    nodes_f = [_node("LSTM", ["x", "w", "r", "b"], ["y", "yh", "yc"],
+                     hidden_size=hs)]
+    y2, _, _ = _run(nodes_f, [_tensor("w", w[1:]), _tensor("r", r[1:]),
+                              _tensor("b", bb[1:])],
+                    {"x": x[::-1].copy()}, out="y",
+                    extra_outputs=("yh", "yc"))
+    np.testing.assert_allclose(np.asarray(y)[:, 1],
+                               np.asarray(y2)[::-1, 0], atol=1e-5)
