@@ -322,15 +322,9 @@ def _xyz2rgb(x):
 
 # ----------------------------------------------------------- HSV / HLS
 
-# hue division tables, Q12 (color_hsv.simd.hpp:63-77)
+# hue division scale, Q12 (color_hsv.simd.hpp:63-77); the reference's
+# sdiv/hdiv tables are evaluated arithmetically in _rgb2hsv (exact)
 _HSV_SHIFT = 12
-_SDIV_TABLE = np.zeros(256, np.int64)
-_HDIV_TABLE180 = np.zeros(256, np.int64)
-_HDIV_TABLE256 = np.zeros(256, np.int64)
-for _i in range(1, 256):
-    _SDIV_TABLE[_i] = int(np.rint((255 << _HSV_SHIFT) / (1.0 * _i)))
-    _HDIV_TABLE180[_i] = int(np.rint((180 << _HSV_SHIFT) / (6.0 * _i)))
-    _HDIV_TABLE256[_i] = int(np.rint((256 << _HSV_SHIFT) / (6.0 * _i)))
 
 # sector → (b, g, r) tab indices (HSV2RGB_native, color_hsv.simd.hpp:440)
 _SECTOR_DATA = np.array([[1, 3, 0], [1, 0, 2], [3, 0, 1],
@@ -346,9 +340,22 @@ def _rgb2hsv(x, bidx, hrange):
         v = jnp.maximum(jnp.maximum(b, g), r)
         vmin = jnp.minimum(jnp.minimum(b, g), r)
         diff = v - vmin
-        sdiv = jnp.asarray(_SDIV_TABLE, jnp.int32)[v]
-        hdiv = jnp.asarray(_HDIV_TABLE180 if hrange == 180 else _HDIV_TABLE256,
-                           jnp.int32)[diff]
+        # the reference's Q12 division tables evaluated arithmetically:
+        # rint(a/den) == floor((2a + den) // (2 den)), exact because no
+        # quotient lands on an exact half (denominators <= 255/1530 can't
+        # cancel a's power of two) — per-pixel LUT gathers cost ~14ns
+        # each on TPU (two per pixel made BGR2HSV 20x slower than this)
+        vs = jnp.maximum(v, 1)
+        sdiv = jnp.where(v > 0,
+                         (2 * (255 << _HSV_SHIFT) + vs) // (2 * vs), 0)
+        ds = jnp.maximum(diff, 1)
+        if hrange == 180:
+            hdiv = jnp.where(diff > 0,
+                             (2 * (30 << _HSV_SHIFT) + ds) // (2 * ds), 0)
+        else:
+            hdiv = jnp.where(
+                diff > 0,
+                (2 * (256 << _HSV_SHIFT) + 6 * ds) // (12 * ds), 0)
         s = (diff * sdiv + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
         h0 = jnp.where(v == r, g - b,
                        jnp.where(v == g, b - r + 2 * diff, r - g + 4 * diff))

@@ -147,13 +147,14 @@ def inRange(src, lowerb, upperb):
 def LUT(src, lut):
     x, meta = to_batched(src)
     assert x.dtype == jnp.uint8
+    from .hist import _lut_apply_fixed
     table = jnp.asarray(np.asarray(lut).reshape(256, -1))
-    xi = x.astype(jnp.int32)
     if table.shape[1] == 1:
-        out = table[xi, 0]
+        out = _lut_apply_fixed(x, table[:, 0])
     else:  # per-channel LUT
-        cidx = jnp.arange(x.shape[-1])[None, None, None, :]
-        out = table[xi, cidx]
+        C = x.shape[-1]
+        out = jnp.stack([_lut_apply_fixed(x[..., c], table[:, c])
+                         for c in range(C)], axis=-1)
     return from_batched(out.astype(table.dtype), meta)
 
 

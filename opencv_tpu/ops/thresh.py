@@ -24,7 +24,8 @@ def _otsu_u8(x):
     N = x.size
     # f32 histogram math (f64 unavailable on TPU); counts are exact in f32
     # up to 16M pixels per histogram bin.
-    hist = jnp.bincount(x.reshape(-1).astype(jnp.int32), length=256).astype(jnp.float32)
+    from .hist import _hist_fixed
+    hist = _hist_fixed(x.astype(jnp.int32), 256).astype(jnp.float32)
     scale = 1.0 / N
     i = jnp.arange(256, dtype=jnp.float32)
     p = hist * scale
@@ -43,7 +44,8 @@ def _triangle_u8(x):
     """Triangle threshold (thresh.cpp getThreshVal_Triangle_8u): maximize
     a*i + b*h[i] over (left_bound, max_ind], with the histogram flipped
     when the peak sits closer to the left bound."""
-    hist = jnp.bincount(x.reshape(-1).astype(jnp.int32), length=256)
+    from .hist import _hist_fixed
+    hist = _hist_fixed(x.astype(jnp.int32), 256)
     idx = jnp.arange(256)
     nz = hist > 0
     left = jnp.argmax(nz)
