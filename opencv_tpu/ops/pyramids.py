@@ -31,18 +31,21 @@ def _pyr_down_nhwc(x, border_type):
     pad_b = 2 * (dh - 1) + 2 - (H - 1)
     pad_r = 2 * (dw - 1) + 2 - (W - 1)
     xp = pad_nhwc(x, 2, pad_b, 2, pad_r, border_type)
-    acc_t = jnp.int32 if is_int else jnp.float32
+    # u8 input: the whole 1-4-6-4-1 x 1-4-6-4-1 accumulation fits u16
+    # (max 256*255 = 65280), halving the traffic of an int32 pipeline
+    acc_t = (jnp.uint16 if x.dtype == jnp.uint8
+             else jnp.int32 if is_int else jnp.float32)
     xa = xp.astype(acc_t)
     h = None
     for i, c in enumerate(_PD_K):
-        t = xa[:, :, i:i + 2 * (dw - 1) + 1:2, :] * c
+        t = xa[:, :, i:i + 2 * (dw - 1) + 1:2, :] * acc_t(c)
         h = t if h is None else h + t
     v = None
     for j, c in enumerate(_PD_K):
-        t = h[:, j:j + 2 * (dh - 1) + 1:2, :, :] * c
+        t = h[:, j:j + 2 * (dh - 1) + 1:2, :, :] * acc_t(c)
         v = t if v is None else v + t
     if is_int:
-        out = (v + 128) >> 8
+        out = (v + acc_t(128)) >> acc_t(8)
         return saturate_cast(out, x.dtype)
     return (v * jnp.asarray(1.0 / 256, acc_t)).astype(x.dtype)
 

@@ -119,7 +119,7 @@ def run_tpu():
         rng.integers(0, 256, (32, 32), np.uint8))
     out = {}
     for name, (h, w, c), fn, _ in _cases():
-        shape = (BATCH, h, w, c) if c > 1 else (BATCH, h, w)
+        shape = (BATCH, h, w, c)
         x = jax.device_put(rng.integers(0, 256, shape, np.uint8))
         f = jax.jit(lambda v, fn=fn: fn(cv, v))
         try:
