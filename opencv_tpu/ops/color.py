@@ -380,6 +380,20 @@ def _rgb2hsv(x, bidx, hrange):
     return jnp.stack([h * hscale, s, v], axis=-1)
 
 
+def _sector_select(sec, tab0, tab1, tab2, tab3):
+    """(b, g, r) from the 6-sector table via select chains — per-pixel
+    table gathers cost ~14ns/idx on TPU; selects are VPU-free."""
+    outs = []
+    for ch in range(3):
+        idxs = _SECTOR_DATA[:, ch]
+        tabs = (tab0, tab1, tab2, tab3)
+        val = tabs[int(idxs[5])]
+        for s_ in range(4, -1, -1):
+            val = jnp.where(sec == s_, tabs[int(idxs[s_])], val)
+        outs.append(val)
+    return outs
+
+
 def _hsv2rgb_native(h, s, v, hscale):
     """HSV2RGB_native (color_hsv.simd.hpp:430): float sector math."""
     hh = h * jnp.float32(hscale)
@@ -391,14 +405,7 @@ def _hsv2rgb_native(h, s, v, hscale):
     tab1 = v * (1.0 - s)
     tab2 = v * (1.0 - s * frac)
     tab3 = v * (1.0 - s * (1.0 - frac))
-    tabs = jnp.stack([tab0, tab1, tab2, tab3], axis=-1)
-    sd = jnp.asarray(_SECTOR_DATA)
-    bi = sd[sec, 0]
-    gi = sd[sec, 1]
-    ri = sd[sec, 2]
-    b = jnp.take_along_axis(tabs, bi[..., None], axis=-1)[..., 0]
-    g = jnp.take_along_axis(tabs, gi[..., None], axis=-1)[..., 0]
-    r = jnp.take_along_axis(tabs, ri[..., None], axis=-1)[..., 0]
+    b, g, r = _sector_select(sec, tab0, tab1, tab2, tab3)
     gray = s == 0
     return (jnp.where(gray, v, b), jnp.where(gray, v, g),
             jnp.where(gray, v, r))
@@ -475,11 +482,7 @@ def _hls2rgb_native(h, l, s, hscale):
     tab1 = p1
     tab2 = p1 + (p2 - p1) * (1.0 - frac)
     tab3 = p1 + (p2 - p1) * frac
-    tabs = jnp.stack([tab0, tab1, tab2, tab3], axis=-1)
-    sd = jnp.asarray(_SECTOR_DATA)
-    b = jnp.take_along_axis(tabs, sd[sec, 0][..., None], axis=-1)[..., 0]
-    g = jnp.take_along_axis(tabs, sd[sec, 1][..., None], axis=-1)[..., 0]
-    r = jnp.take_along_axis(tabs, sd[sec, 2][..., None], axis=-1)[..., 0]
+    b, g, r = _sector_select(sec, tab0, tab1, tab2, tab3)
     gray = s == 0
     return (jnp.where(gray, l, b), jnp.where(gray, l, g),
             jnp.where(gray, l, r))
