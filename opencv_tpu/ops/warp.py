@@ -277,9 +277,10 @@ def _remap_fixed(x, sx, sy, fxy, interpolation, border_type, border_value):
 def _remap_linear_float(x, mapx, mapy, border_type, border_value):
     """Bilinear remap with host float64 coordinate maps.
 
-    Gathers 4 taps (host-resolved borders) and blends in float32 on the
-    VPU; fractions are shipped as float32 device constants.
-    """
+    Host-resolved borders + ONE patch-operand gather per output pixel
+    (see _patch_operand); tap decode masks are host-precomputed booleans.
+    BORDER_WRAP falls back to four independent tap gathers (resolved
+    pairs are not adjacent across the wrap seam)."""
     N, H, W, C = x.shape
     dh, dw = mapx.shape
     x0 = np.floor(mapx).astype(np.int64)
@@ -298,6 +299,64 @@ def _remap_linear_float(x, mapx, mapy, border_type, border_value):
         cvals = bval
     cval_dev = jnp.asarray(cvals[[k & 3 for k in range(C)]], jnp.float32)
 
+    bt = border_type & ~K.BORDER_ISOLATED
+    if bt == K.BORDER_WRAP:
+        return _remap_linear_float_4tap(
+            x, x0, y0, ax, ay, border_type, cval_dev)
+
+    rx0, xm0 = _resolve_tap(x0, W, border_type)
+    rx1, xm1 = _resolve_tap(x0 + 1, W, border_type)
+    ry0, ym0 = _resolve_tap(y0, H, border_type)
+    ry1, ym1 = _resolve_tap(y0 + 1, H, border_type)
+    bx = np.minimum(rx0, rx1)
+    by = np.minimum(ry0, ry1)
+
+    patch = _patch_operand(x)
+    idx = jnp.asarray((by * W + bx).astype(np.int32).ravel())
+    g = jnp.take(patch, idx, axis=0).astype(jnp.float32)
+    g = g.reshape(-1, 2, 2, N * C)
+
+    def dev_mask(m):
+        return jnp.asarray(m.ravel()[:, None])
+
+    selx0 = dev_mask(rx0 == bx)
+    selx1 = dev_mask(rx1 == bx)
+    sely0 = dev_mask(ry0 == by)
+    sely1 = dev_mask(ry1 == by)
+    r0x0 = jnp.where(selx0, g[:, 0, 0], g[:, 0, 1])
+    r0x1 = jnp.where(selx1, g[:, 0, 0], g[:, 0, 1])
+    r1x0 = jnp.where(selx0, g[:, 1, 0], g[:, 1, 1])
+    r1x1 = jnp.where(selx1, g[:, 1, 0], g[:, 1, 1])
+    t00 = jnp.where(sely0, r0x0, r1x0)
+    t01 = jnp.where(sely0, r0x1, r1x1)
+    t10 = jnp.where(sely1, r0x0, r1x0)
+    t11 = jnp.where(sely1, r0x1, r1x1)
+
+    cvalr = jnp.tile(cval_dev, N).reshape(1, N * C)
+    t00 = jnp.where(dev_mask(xm0 | ym0), cvalr, t00)
+    t01 = jnp.where(dev_mask(xm1 | ym0), cvalr, t01)
+    t10 = jnp.where(dev_mask(xm0 | ym1), cvalr, t10)
+    t11 = jnp.where(dev_mask(xm1 | ym1), cvalr, t11)
+
+    axd = jnp.asarray(ax.astype(np.float32).ravel()[:, None])
+    ayd = jnp.asarray(ay.astype(np.float32).ravel()[:, None])
+    acc = (t00 * ((1 - axd) * (1 - ayd)) + t01 * (axd * (1 - ayd))
+           + t10 * ((1 - axd) * ayd) + t11 * (axd * ayd))
+
+    out = saturate_cast(acc, x.dtype).reshape(dh, dw, N, C)
+    out = out.transpose(2, 0, 1, 3)
+    fully_out = (x0 >= W) | (x0 + 1 < 0) | (y0 >= H) | (y0 + 1 < 0)
+    if bt == K.BORDER_CONSTANT and fully_out.any():
+        m = jnp.asarray(fully_out[None, :, :, None])
+        out = jnp.where(m, cval_dev.astype(x.dtype).reshape(1, 1, 1, C),
+                        out)
+    return out
+
+
+def _remap_linear_float_4tap(x, x0, y0, ax, ay, border_type, cval_dev):
+    """Per-tap fallback (BORDER_WRAP)."""
+    N, H, W, C = x.shape
+    dh, dw = x0.shape
     flat = x.reshape(N, H * W, C)
     fully_out = (x0 >= W) | (x0 + 1 < 0) | (y0 >= H) | (y0 + 1 < 0)
 
@@ -324,7 +383,8 @@ def _remap_linear_float(x, mapx, mapy, border_type, border_value):
     bt = border_type & ~K.BORDER_ISOLATED
     if bt == K.BORDER_CONSTANT and fully_out.any():
         m = jnp.asarray(fully_out[None, :, :, None])
-        out = jnp.where(m, cval_dev.astype(x.dtype).reshape(1, 1, 1, C), out)
+        out = jnp.where(m, cval_dev.astype(x.dtype).reshape(1, 1, 1, C),
+                        out)
     return out
 
 
@@ -624,6 +684,20 @@ def _remap_linear_dev(x, x0, fx, y0, fy, border_type, border_value):
     return out
 
 
+def _patch_operand(x):
+    """(H*W, 4*N*C) pre-stacked 2x2-patch gather operand: all four
+    bilinear taps and the whole batch ride in one gathered row (TPU
+    gather cost is per-index).  Edge rows/cols are duplicated — the
+    duplicate is only read where a resolved tap pair is equal."""
+    N, H, W, C = x.shape
+    xt = x.transpose(1, 2, 0, 3).reshape(H, W, N * C)
+    xr = jnp.concatenate([xt[:, 1:], xt[:, -1:]], axis=1)
+    patch = jnp.stack([xt, xr], axis=2)                  # (H, W, 2, NC)
+    pdown = jnp.concatenate([patch[1:], patch[-1:]], axis=0)
+    patch = jnp.concatenate([patch, pdown], axis=2)      # (H, W, 4, NC)
+    return patch.reshape(H * W, 4 * N * C)
+
+
 def _gather_patch_taps(x, x0, y0, border_type, cval):
     """Shared patch-gather for bilinear remaps: ONE gather per output
     pixel against a pre-stacked (H*W, 4*N*C) 2x2-patch operand, then a
@@ -639,15 +713,7 @@ def _gather_patch_taps(x, x0, y0, border_type, cval):
     bx = jnp.minimum(rx0, rx1)
     by = jnp.minimum(ry0, ry1)
 
-    # pre-stacked 2x2 patches, edge rows/cols duplicated (the duplicate
-    # is only read where the resolved pair is equal, so it never leaks)
-    xt = x.transpose(1, 2, 0, 3).reshape(H, W, N * C)
-    xr = jnp.concatenate([xt[:, 1:], xt[:, -1:]], axis=1)
-    patch = jnp.stack([xt, xr], axis=2)                  # (H, W, 2, NC)
-    pdown = jnp.concatenate([patch[1:], patch[-1:]], axis=0)
-    patch = jnp.concatenate([patch, pdown], axis=2)      # (H, W, 4, NC)
-    patch = patch.reshape(H * W, 4 * N * C)
-
+    patch = _patch_operand(x)
     idx = (by * W + bx).reshape(-1)
     g = jnp.take(patch, idx, axis=0)
     g = g.reshape(-1, 2, 2, N * C)                       # (.., dy, dx, NC)
