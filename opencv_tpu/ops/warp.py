@@ -225,49 +225,105 @@ def _remap_fixed(x, sx, sy, fxy, interpolation, border_type, border_value):
     cval_dev = jnp.asarray(cval[[k & 3 for k in range(C)]],
                            jnp.int32 if is_u8 else jnp.float32)
 
-    flat = x.reshape(N, H * W, C)
-
-    if fxy is None:  # nearest
+    if fxy is None:  # nearest: batch+channels ride the gathered row
         xi, xmask = _resolve_tap(sx, W, border_type)
         yi, ymask = _resolve_tap(sy, H, border_type)
         use_c = xmask | ymask
         idx = (yi * W + xi).astype(np.int32)
-        g = jnp.take(flat, jnp.asarray(idx.ravel()), axis=1)
-        g = g.reshape(N, dh, dw, C)
+        flatp = x.transpose(1, 2, 0, 3).reshape(H * W, N * C)
+        g = jnp.take(flatp, jnp.asarray(idx.ravel()), axis=0)
+        g = g.reshape(dh, dw, N, C).transpose(2, 0, 1, 3)
         if use_c.any():
             m = jnp.asarray(use_c[None, :, :, None])
             g = jnp.where(m, cval_dev.astype(x.dtype).reshape(1, 1, 1, C), g)
         return g
 
-    ftab, itab = _inter_tab(2)
+    bt = border_type & ~K.BORDER_ISOLATED
     acc_dtype = jnp.int32 if is_u8 else jnp.float32
-    wtab = jnp.asarray(itab if is_u8 else ftab).astype(acc_dtype)
-    wsel = wtab[jnp.asarray(fxy.astype(np.int32).ravel())]  # (dh*dw, 4)
-
     # fully-outside windows under BORDER_CONSTANT → cval
     # (remapBilinear, imgwarp.cpp:823-827)
     fully_out = ((sx >= W) | (sx + 1 < 0) | (sy >= H) | (sy + 1 < 0))
 
-    acc = None
-    for t, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-        xi, xmask = _resolve_tap(sx + dx, W, border_type)
-        yi, ymask = _resolve_tap(sy + dy, H, border_type)
-        use_c = xmask | ymask
-        idx = (yi * W + xi).astype(np.int32)
-        g = jnp.take(flat, jnp.asarray(idx.ravel()), axis=1).astype(acc_dtype)
-        if use_c.any():
-            m = jnp.asarray(use_c.ravel()[None, :, None])
-            g = jnp.where(m, cval_dev.reshape(1, 1, C), g)
-        term = g * wsel[None, :, t:t + 1]
-        acc = term if acc is None else acc + term
+    # BilinearTab weights computed arithmetically: the ksize=2 table
+    # entries are exact products (32-fy)(32-fx)*32 in Q15 / vy*vx in f32
+    # (initInterTab2D's sum-correction never fires for LINEAR), so the
+    # (dh*dw)-index table gather is unnecessary
+    fq = jnp.asarray(fxy.astype(np.int32).ravel()[:, None])
+    fyq = fq >> 5
+    fxq = fq & 31
+    if is_u8:
+        w00 = (32 - fxq) * (32 - fyq) * 32
+        w01 = fxq * (32 - fyq) * 32
+        w10 = (32 - fxq) * fyq * 32
+        w11 = fxq * fyq * 32
+    else:
+        sc = jnp.float32(1.0 / INTER_TAB_SIZE)
+        vx0 = jnp.float32(1.0) - fxq.astype(jnp.float32) * sc
+        vx1 = fxq.astype(jnp.float32) * sc
+        vy0 = jnp.float32(1.0) - fyq.astype(jnp.float32) * sc
+        vy1 = fyq.astype(jnp.float32) * sc
+        w00 = vy0 * vx0
+        w01 = vy0 * vx1
+        w10 = vy1 * vx0
+        w11 = vy1 * vx1
+
+    if bt == K.BORDER_WRAP:
+        # wrap seams break tap adjacency: per-tap gathers
+        flat = x.reshape(N, H * W, C)
+        wts = [w00, w01, w10, w11]
+        acc = None
+        for t, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            xi, xmask = _resolve_tap(sx + dx, W, border_type)
+            yi, ymask = _resolve_tap(sy + dy, H, border_type)
+            use_c = xmask | ymask
+            idx = (yi * W + xi).astype(np.int32)
+            g = jnp.take(flat, jnp.asarray(idx.ravel()), axis=1)                 .astype(acc_dtype)
+            if use_c.any():
+                m = jnp.asarray(use_c.ravel()[None, :, None])
+                g = jnp.where(m, cval_dev.reshape(1, 1, C), g)
+            acc = (g * wts[t][None] if acc is None
+                   else acc + g * wts[t][None])
+        acc = acc.reshape(N, dh * dw, C).transpose(1, 0, 2)             .reshape(dh * dw, N * C)
+    else:
+        rx0, xm0 = _resolve_tap(sx, W, border_type)
+        rx1, xm1 = _resolve_tap(sx + 1, W, border_type)
+        ry0, ym0 = _resolve_tap(sy, H, border_type)
+        ry1, ym1 = _resolve_tap(sy + 1, H, border_type)
+        bx = np.minimum(rx0, rx1)
+        by = np.minimum(ry0, ry1)
+        patch = _patch_operand(x)
+        idx = jnp.asarray((by * W + bx).astype(np.int32).ravel())
+        g = jnp.take(patch, idx, axis=0).astype(acc_dtype)
+        g = g.reshape(-1, 2, 2, N * C)
+
+        def dm(m):
+            return jnp.asarray(m.ravel()[:, None])
+
+        selx0 = dm(rx0 == bx)
+        selx1 = dm(rx1 == bx)
+        sely0 = dm(ry0 == by)
+        sely1 = dm(ry1 == by)
+        r0x0 = jnp.where(selx0, g[:, 0, 0], g[:, 0, 1])
+        r0x1 = jnp.where(selx1, g[:, 0, 0], g[:, 0, 1])
+        r1x0 = jnp.where(selx0, g[:, 1, 0], g[:, 1, 1])
+        r1x1 = jnp.where(selx1, g[:, 1, 0], g[:, 1, 1])
+        t00 = jnp.where(sely0, r0x0, r1x0)
+        t01 = jnp.where(sely0, r0x1, r1x1)
+        t10 = jnp.where(sely1, r0x0, r1x0)
+        t11 = jnp.where(sely1, r0x1, r1x1)
+        cvalr = jnp.tile(cval_dev, N).reshape(1, N * C)
+        t00 = jnp.where(dm(xm0 | ym0), cvalr, t00)
+        t01 = jnp.where(dm(xm1 | ym0), cvalr, t01)
+        t10 = jnp.where(dm(xm0 | ym1), cvalr, t10)
+        t11 = jnp.where(dm(xm1 | ym1), cvalr, t11)
+        acc = t00 * w00 + t01 * w01 + t10 * w10 + t11 * w11
 
     if is_u8:
         out = (acc + (1 << (REMAP_COEF_BITS - 1))) >> REMAP_COEF_BITS
         out = jnp.clip(out, 0, 255).astype(jnp.uint8)
     else:
         out = saturate_cast(acc, x.dtype)
-    out = out.reshape(N, dh, dw, C)
-    bt = border_type & ~K.BORDER_ISOLATED
+    out = out.reshape(dh, dw, N, C).transpose(2, 0, 1, 3)
     if bt in (K.BORDER_CONSTANT,) and fully_out.any():
         m = jnp.asarray(fully_out[None, :, :, None])
         out = jnp.where(m, cval_dev.astype(x.dtype).reshape(1, 1, 1, C), out)
