@@ -337,16 +337,30 @@ class CLAHE:
 
         pix = xp[..., 0].astype(jnp.int32)  # (N, Hp, Wp)
 
+        # ONE payload gather for all four neighbor-tile LUT values (TPU
+        # gather cost is per-index): operand Q[n, tid, v] = the (2x2
+        # tile-neighborhood) LUT values, rows of 4 floats
+        T = ty * tx
+        lutg = luts.reshape(N, ty, tx, 256)
+        lut_r = jnp.concatenate([lutg[:, :, 1:], lutg[:, :, -1:]], axis=2)
+        lut_d = jnp.concatenate([lutg[:, 1:], lutg[:, -1:]], axis=1)
+        lut_dr = jnp.concatenate([lut_d[:, :, 1:], lut_d[:, :, -1:]],
+                                 axis=2)
+        Q = jnp.stack([lutg, lut_r, lut_d, lut_dr], axis=-1)             .reshape(N * T * 256, 4)
+        tid00 = (ty0[:, None] * tx + tx0[None, :])[None]    # (1, Hp, Wp)
         nidx = jnp.arange(N)[:, None, None]
-
-        def lut_at(tyi, txi):
-            tid = (tyi[:, None] * tx + txi[None, :])[None]  # (1, Hp, Wp)
-            return luts[nidx, tid, pix]                     # (N, Hp, Wp)
-
-        v00 = lut_at(ty0, tx0)
-        v01 = lut_at(ty0, tx1)
-        v10 = lut_at(ty1, tx0)
-        v11 = lut_at(ty1, tx1)
+        flat_idx = ((nidx * T + tid00) * 256 + pix).reshape(-1)
+        g = jnp.take(Q, flat_idx, axis=0).reshape(N, Hp, Wp, 4)
+        # decode: tx1==tx0 at the right edge (clamped) -> the "right"
+        # payload column duplicates the base, matching the clamp
+        v00 = g[..., 0]
+        v01 = jnp.where((tx1 > tx0)[None, None, :], g[..., 1], g[..., 0])
+        v10 = jnp.where((ty1 > ty0)[None, :, None], g[..., 2], g[..., 0])
+        sel_d = ((ty1 > ty0)[:, None] & (tx1 > tx0)[None, :])[None]
+        v11 = jnp.where(sel_d, g[..., 3],
+                        jnp.where((tx1 > tx0)[None, None, :], g[..., 1],
+                                  jnp.where((ty1 > ty0)[None, :, None],
+                                            g[..., 2], g[..., 0])))
         fyb = fy[None, :, None]
         fxb = fx[None, None, :]
         out = (v00 * (1 - fyb) * (1 - fxb) + v01 * (1 - fyb) * fxb
