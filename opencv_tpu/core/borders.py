@@ -6,12 +6,13 @@ REPLICATE / REFLECT / WRAP / REFLECT_101 (+ISOLATED, which is a no-op here
 because this library has no ROI-carrying views — arrays are always
 "isolated").
 
-TPU-first design: pad amounts and border types are static at trace time, so
-the source row/column indices are computed **on the host with numpy** and
-the device work is two cheap gathers (`jnp.take`) along H and W — XLA fuses
-these into whatever consumes the padded array.  BORDER_CONSTANT masks the
-gathered rows/cols with the fill value, which makes corners constant too,
-matching copyMakeBorder.
+TPU-first design: pad amounts and border types are static at trace time,
+so the border segments are built as SMALL host-indexed gathers (a few
+rows/cols each) concatenated around the untouched interior — a full-image
+index-vector gather along each axis measured several ms per op on TPU,
+while concat of contiguous pieces is a plain copy that XLA fuses into the
+consumer.  BORDER_CONSTANT masks corners constant too, matching
+copyMakeBorder.
 """
 
 from __future__ import annotations
@@ -92,18 +93,30 @@ def pad_nhwc(x, top: int, bottom: int, left: int, right: int,
         cidx = border_index(W, left, right, bt)
         rmask = (ridx < 0)[None, :, None, None]
         cmask = (cidx < 0)[None, None, :, None]
-        y = jnp.take(x, jnp.asarray(np.maximum(ridx, 0)), axis=1)
-        y = jnp.take(y, jnp.asarray(np.maximum(cidx, 0)), axis=2)
+        y = jnp.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)))
         y = jnp.where(jnp.asarray(rmask) | jnp.asarray(cmask), val, y)
         return y
-    ridx = border_index(H, top, bottom, bt)
-    cidx = border_index(W, left, right, bt)
-    y = x
-    if top or bottom:
-        y = jnp.take(y, jnp.asarray(ridx), axis=1)
-    if left or right:
-        y = jnp.take(y, jnp.asarray(cidx), axis=2)
+    y = _axis_pad(x, top, bottom, 1, bt, H)
+    y = _axis_pad(y, left, right, 2, bt, W)
     return y
+
+
+def _axis_pad(y, before: int, after: int, axis: int, bt: int,
+              length: int):
+    """Pad one axis: small border-segment gathers + concat (the interior
+    passes through untouched)."""
+    if not (before or after):
+        return y
+    idx = border_index(length, before, after, bt)
+    parts = []
+    if before:
+        parts.append(jnp.take(y, jnp.asarray(idx[:before]), axis=axis))
+    parts.append(y)
+    if after:
+        parts.append(jnp.take(y, jnp.asarray(idx[before + length:]),
+                              axis=axis))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                            axis=axis)
 
 
 def copy_make_border(src, top: int, bottom: int, left: int, right: int,
