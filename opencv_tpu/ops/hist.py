@@ -188,7 +188,7 @@ def equalizeHist(src):
         lut = _equalize_lut(hist, total)
         return _lut_apply_fixed(img, lut).astype(x.dtype)
 
-    y = jnp.stack([one(x[i]) for i in range(N)]) if N > 1 else one(x[0])[None]
+    y = jax.vmap(one)(x) if N > 1 else one(x[0])[None]
     return from_batched(y, meta)
 
 
