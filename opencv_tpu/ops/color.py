@@ -1011,6 +1011,11 @@ def cvtColor(src, code: int, dstCn: int = 0):
     Mirrors `cv::cvtColor` (imgproc/src/color.cpp:192).  ``code`` must be a
     static Python int (it selects the program, like the reference's switch).
     """
+    if K.COLOR_BayerBG2BGR <= code <= K.COLOR_BayerGR2BGR:
+        # Bayer family routes to the demosaicing engine like the
+        # reference's cvtColor switch (color.cpp demosaicing cases)
+        from .misc import demosaicing
+        return demosaicing(src, code, dstCn)
     try:
         fn = _REGISTRY[code]
     except KeyError:

@@ -260,3 +260,16 @@ def test_yuv_encode(code, cn):
     ref = cv2.cvtColor(img, getattr(cv2, code))
     ours = tcv.cvtColor(img, getattr(tcv, code))
     assert_exact(ours, ref, code)
+
+
+@pytest.mark.parametrize("code", ["COLOR_BayerBG2BGR", "COLOR_BayerGR2RGB",
+                                  "COLOR_BayerRG2BGR", "COLOR_BayerGB2RGB"])
+def test_cvtcolor_bayer_routing(code):
+    """cvtColor routes Bayer codes to the demosaicing engine
+    (color.cpp's demosaicing cases); interior bit-exact vs cv2, the
+    2px border follows the documented demosaicing edge convention."""
+    rng = np.random.default_rng(5)
+    raw = rng.integers(0, 256, (64, 80), np.uint8)
+    ours = np.asarray(tcv.cvtColor(raw, getattr(tcv, code)))
+    ref = cv2.cvtColor(raw, getattr(cv2, code))
+    assert_exact(ours[2:-2, 2:-2], ref[2:-2, 2:-2], code)
