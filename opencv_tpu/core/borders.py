@@ -75,15 +75,21 @@ def border_index(length: int, before: int, after: int, border_type: int) -> np.n
 
 
 def pad_nhwc(x, top: int, bottom: int, left: int, right: int,
-             border_type: int, value=0):
-    """Pad an (N, H, W, C) array. Static pad sizes; gathers along H then W."""
-    if top == 0 and bottom == 0 and left == 0 and right == 0:
+             border_type: int, value=0, extra_bottom: int = 0,
+             extra_right: int = 0):
+    """Pad an (N, H, W, C) array; static pad sizes.
+
+    ``extra_bottom``/``extra_right`` append DON'T-CARE rows/cols (edge
+    copies) in the same concat — callers that need tile-aligned shapes
+    (Pallas kernels) fold both pads into one materialization."""
+    if top == 0 and bottom == 0 and left == 0 and right == 0             and extra_bottom == 0 and extra_right == 0:
         return x
     bt = border_type & ~BORDER_ISOLATED
     N, H, W, C = x.shape
     if bt == BORDER_CONSTANT:
         if np.isscalar(value) or np.ndim(value) == 0:
-            pads = ((0, 0), (top, bottom), (left, right), (0, 0))
+            pads = ((0, 0), (top, bottom + extra_bottom),
+                    (left, right + extra_right), (0, 0))
             return jnp.pad(x, pads, mode="constant",
                            constant_values=jnp.asarray(value, dtype=x.dtype))
         # per-channel scalar (cv2 Scalar): pad with zeros then fix borders
@@ -93,28 +99,35 @@ def pad_nhwc(x, top: int, bottom: int, left: int, right: int,
         cidx = border_index(W, left, right, bt)
         rmask = (ridx < 0)[None, :, None, None]
         cmask = (cidx < 0)[None, None, :, None]
-        y = jnp.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)))
+        y = jnp.pad(x, ((0, 0), (top, bottom + extra_bottom),
+                        (left, right + extra_right), (0, 0)))
+        rmask = np.append(rmask.ravel(),
+                          np.ones(extra_bottom, bool))[None, :, None, None]
+        cmask = np.append(cmask.ravel(),
+                          np.ones(extra_right, bool))[None, None, :, None]
         y = jnp.where(jnp.asarray(rmask) | jnp.asarray(cmask), val, y)
         return y
-    y = _axis_pad(x, top, bottom, 1, bt, H)
-    y = _axis_pad(y, left, right, 2, bt, W)
+    y = _axis_pad(x, top, bottom, 1, bt, H, extra_bottom)
+    y = _axis_pad(y, left, right, 2, bt, W, extra_right)
     return y
 
 
 def _axis_pad(y, before: int, after: int, axis: int, bt: int,
-              length: int):
+              length: int, extra: int = 0):
     """Pad one axis: small border-segment gathers + concat (the interior
-    passes through untouched)."""
-    if not (before or after):
+    passes through untouched).  ``extra`` appends don't-care edge rows."""
+    if not (before or after or extra):
         return y
     idx = border_index(length, before, after, bt)
+    post = idx[before + length:]
+    if extra:
+        post = np.append(post, np.full(extra, length - 1, np.int32))
     parts = []
     if before:
         parts.append(jnp.take(y, jnp.asarray(idx[:before]), axis=axis))
     parts.append(y)
-    if after:
-        parts.append(jnp.take(y, jnp.asarray(idx[before + length:]),
-                              axis=axis))
+    if len(post):
+        parts.append(jnp.take(y, jnp.asarray(post), axis=axis))
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
                                                             axis=axis)
 

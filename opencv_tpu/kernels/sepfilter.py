@@ -121,18 +121,44 @@ def sep_filter_u8(x, kx, ky, shift: int,
     N, H, W, C = x.shape
     ax, ay = kw // 2, kh // 2
 
-    xp = pad_nhwc(x, ay, kh - 1 - ay, ax, kw - 1 - ax, border, border_value)
-    # fold channels into lanes: (N, Hp, Wp*C)
-    xf = xp.reshape(N, H + kh - 1, (W + kw - 1) * C)
-
     Wf = W * C
     Hp = _round_up(H, _TH)
     Wp = _round_up(Wf, _TW)
     ih = _TH + _round_up(kh - 1, 8)
     iw = _TW + _round_up((kw - 1) * C, 128)
-    pad_h = Hp + ih - _TH - xf.shape[1]
-    pad_w = Wp + iw - _TW - xf.shape[2]
-    xf = jnp.pad(xf, ((0, 0), (0, pad_h), (0, pad_w)))
+    bt = border & ~K.BORDER_ISOLATED
+    if bt == K.BORDER_CONSTANT:
+        # XLA PadOp is cheap; two pads are fine for the constant border
+        xp = pad_nhwc(x, ay, kh - 1 - ay, ax, kw - 1 - ax, border,
+                      border_value)
+        xf = xp.reshape(N, H + kh - 1, (W + kw - 1) * C)
+        pad_h = Hp + ih - _TH - xf.shape[1]
+        pad_w = Wp + iw - _TW - xf.shape[2]
+        xf = jnp.pad(xf, ((0, 0), (0, pad_h), (0, pad_w)))
+    else:
+        # fold the border pad AND the tile-alignment pad into one concat
+        # per axis (a separate alignment pad re-materialized the array
+        # and cost ~17% of the whole fused-blur pipeline)
+        from ..core.borders import _axis_pad, border_index
+        pad_h_extra = Hp + ih - _TH - (H + kh - 1)
+        xp = _axis_pad(x, ay, kh - 1 - ay, 1, bt, H, extra=pad_h_extra)
+        xf = xp.reshape(N, xp.shape[1], W * C)
+        cidx = border_index(W, ax, kw - 1 - ax, bt)
+        ar = np.arange(C)
+        left_idx = (cidx[:ax, None] * C + ar).ravel()
+        right_idx = (cidx[ax + W:, None] * C + ar).ravel()
+        extra_w = Wp + iw - _TW - (Wf + (kw - 1) * C)
+        right_idx = np.append(right_idx,
+                              np.full(extra_w, Wf - 1, np.int64))
+        parts = []
+        if len(left_idx):
+            parts.append(jnp.take(xf, jnp.asarray(left_idx, jnp.int32),
+                                  axis=2))
+        parts.append(xf)
+        if len(right_idx):
+            parts.append(jnp.take(xf, jnp.asarray(right_idx, jnp.int32),
+                                  axis=2))
+        xf = jnp.concatenate(parts, axis=2) if len(parts) > 1 else xf
     NI, NJ = Hp // _TH, Wp // _TW
 
     out = pl.pallas_call(
