@@ -206,7 +206,10 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
     win1 = m1 > m0
     pooled = jnp.where(win1, m1, m0).reshape(B, -1)
     cap = min(cap, H * W)
-    vals, pidx = jax.lax.top_k(pooled, cap)         # (B, cap)
+    # bf16 top_k: FAST scores are integers <= 255, exact in bf16, and
+    # top_k cost is bandwidth-bound (linear in n AND k)
+    valsh, pidx = jax.lax.top_k(pooled.astype(jnp.bfloat16), cap)
+    vals = valsh.astype(jnp.float32)
     bbase = (jnp.arange(B, dtype=jnp.int32) * (H * W2))[:, None]
     off = jnp.take(win1.reshape(-1), pidx + bbase).astype(jnp.int32)
     iy = pidx // W2
