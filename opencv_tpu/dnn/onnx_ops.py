@@ -907,3 +907,135 @@ def _rnn_op(ins, at):
     Y = jnp.stack(ys, axis=1)
     Yh = jnp.stack(lasts, axis=0)
     return (Y, Yh)
+
+
+# --------------------------------------------------------- spatial samplers
+
+@op("GridSample")
+def _grid_sample(ins, at):
+    """ONNX GridSample (STN-style warping; the reference implements it in
+    dnn/src/layers — here it is device index math + one batched gather).
+    X: (N, C, H, W); grid: (N, Ho, Wo, 2) in [-1, 1] xy order."""
+    x = _a(ins[0]).astype(jnp.float32)
+    grid = _a(ins[1]).astype(jnp.float32)
+    mode = at.get("mode", b"linear")
+    mode = mode.decode() if isinstance(mode, bytes) else mode
+    pad_mode = at.get("padding_mode", b"zeros")
+    pad_mode = pad_mode.decode() if isinstance(pad_mode, bytes) else pad_mode
+    align = bool(at.get("align_corners", 0))
+    N, C, H, W = x.shape
+    Ho, Wo = grid.shape[1], grid.shape[2]
+
+    def unnorm(g, size):
+        if align:
+            return (g + 1.0) * 0.5 * (size - 1)
+        return ((g + 1.0) * size - 1.0) * 0.5
+
+    gx = unnorm(grid[..., 0], W)
+    gy = unnorm(grid[..., 1], H)
+
+    def resolve(c, size):
+        if pad_mode == "border":
+            return jnp.clip(c, 0.0, size - 1.0)
+        if pad_mode == "reflection":
+            if align:
+                span = 2.0 * (size - 1)
+                if size == 1:
+                    return jnp.zeros_like(c)
+                m = jnp.mod(c, span)
+                return jnp.where(m > size - 1, span - m, m)
+            span = 2.0 * size
+            m = jnp.mod(c + 0.5, span)
+            m = jnp.where(m > size, span - m, m) - 0.5
+            return jnp.clip(m, 0.0, size - 1.0)
+        return c                      # zeros: mask below
+
+    gx = resolve(gx, W)
+    gy = resolve(gy, H)
+
+    flat = x.transpose(0, 2, 3, 1).reshape(N * H * W, C)
+    nb = (jnp.arange(N, dtype=jnp.int32) * (H * W))[:, None, None]
+
+    def fetch(iy, ix):
+        okx = (ix >= 0) & (ix <= W - 1)
+        oky = (iy >= 0) & (iy <= H - 1)
+        ic = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
+        rc = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
+        g = jnp.take(flat, (rc * W + ic + nb).reshape(-1), axis=0)
+        g = g.reshape(N, Ho, Wo, C)
+        if pad_mode == "zeros":
+            g = jnp.where((okx & oky)[..., None], g, 0.0)
+        return g
+
+    if mode in ("nearest",):
+        out = fetch(jnp.rint(gy), jnp.rint(gx))
+    else:  # linear (bilinear)
+        x0 = jnp.floor(gx)
+        y0 = jnp.floor(gy)
+        fx = (gx - x0)[..., None]
+        fy = (gy - y0)[..., None]
+        out = (fetch(y0, x0) * (1 - fx) * (1 - fy)
+               + fetch(y0, x0 + 1) * fx * (1 - fy)
+               + fetch(y0 + 1, x0) * (1 - fx) * fy
+               + fetch(y0 + 1, x0 + 1) * fx * fy)
+    return out.transpose(0, 3, 1, 2)
+
+
+@op("RoiAlign")
+def _roi_align(ins, at):
+    """ONNX RoiAlign (two-stage detector pooling): average of
+    sampling_ratio^2 bilinear samples per output bin."""
+    x = _a(ins[0]).astype(jnp.float32)       # (N, C, H, W)
+    rois = _a(ins[1]).astype(jnp.float32)    # (R, 4) x1 y1 x2 y2
+    bidx = _a(ins[2]).astype(jnp.int32)      # (R,)
+    oh = int(at.get("output_height", 1))
+    ow = int(at.get("output_width", 1))
+    sr = int(at.get("sampling_ratio", 0)) or 2
+    scale = float(at.get("spatial_scale", 1.0))
+    cmode = at.get("coordinate_transformation_mode", b"half_pixel")
+    cmode = cmode.decode() if isinstance(cmode, bytes) else cmode
+    off = 0.5 if cmode == "half_pixel" else 0.0
+    N, C, H, W = x.shape
+    R = rois.shape[0]
+
+    x1 = rois[:, 0] * scale - off
+    y1 = rois[:, 1] * scale - off
+    x2 = rois[:, 2] * scale - off
+    y2 = rois[:, 3] * scale - off
+    bw = jnp.maximum(x2 - x1, 1.0 if cmode != "half_pixel" else 0.0)
+    bh = jnp.maximum(y2 - y1, 1.0 if cmode != "half_pixel" else 0.0)
+    # sample positions: bin (i,j), sub-sample (a,b) of sr x sr
+    ii = jnp.arange(oh, dtype=jnp.float32)
+    jj = jnp.arange(ow, dtype=jnp.float32)
+    aa = (jnp.arange(sr, dtype=jnp.float32) + 0.5) / sr
+    ys = (y1[:, None, None] + (ii[None, :, None] + aa[None, None, :])
+          * (bh / oh)[:, None, None])              # (R, oh, sr)
+    xs = (x1[:, None, None] + (jj[None, :, None] + aa[None, None, :])
+          * (bw / ow)[:, None, None])              # (R, ow, sr)
+
+    flat = x.transpose(0, 2, 3, 1).reshape(N * H * W, C)
+    nb = (bidx * (H * W))[:, None, None, None, None]
+
+    yv = ys[:, :, None, :, None]                   # (R, oh, 1, sr, 1)
+    xv = xs[:, None, :, None, :]                   # (R, 1, ow, 1, sr)
+    y0 = jnp.floor(yv)
+    x0 = jnp.floor(xv)
+    fy = yv - y0
+    fx = xv - x0
+
+    def fetch(iy, ix):
+        oob = (ix < -1) | (ix > W) | (iy < -1) | (iy > H)
+        rc = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
+        ic = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
+        idx = (rc * W + ic + nb)
+        shp = jnp.broadcast_shapes(idx.shape, oob.shape)
+        idx = jnp.broadcast_to(idx, shp)
+        g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(shp + (C,))
+        return jnp.where(jnp.broadcast_to(oob, shp)[..., None], 0.0, g)
+
+    val = (fetch(y0, x0) * ((1 - fx) * (1 - fy))[..., None]
+           + fetch(y0, x0 + 1) * (fx * (1 - fy))[..., None]
+           + fetch(y0 + 1, x0) * ((1 - fx) * fy)[..., None]
+           + fetch(y0 + 1, x0 + 1) * (fx * fy)[..., None])
+    out = val.mean(axis=(3, 4))                    # (R, oh, ow, C)
+    return out.transpose(0, 3, 1, 2)

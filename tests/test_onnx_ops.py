@@ -367,3 +367,60 @@ def test_onnx_lstm_bidirectional_reverse_consistency():
                     extra_outputs=("yh", "yc"))
     np.testing.assert_allclose(np.asarray(y)[:, 1],
                                np.asarray(y2)[::-1, 0], atol=1e-5)
+
+
+@pytest.mark.parametrize("pad_mode,align", [("zeros", 0), ("border", 0),
+                                            ("reflection", 0),
+                                            ("zeros", 1)])
+def test_onnx_grid_sample_matches_torch(pad_mode, align):
+    x = RNG.normal(0, 1, (2, 3, 7, 9)).astype(np.float32)
+    grid = RNG.uniform(-1.3, 1.3, (2, 5, 6, 2)).astype(np.float32)
+    nodes = [_node("GridSample", ["x", "g"], ["y"], mode="linear",
+                   padding_mode=pad_mode, align_corners=align)]
+    y = _run(nodes, [], {"x": x, "g": grid})
+    ref = torch.nn.functional.grid_sample(
+        torch.from_numpy(x), torch.from_numpy(grid), mode="bilinear",
+        padding_mode=pad_mode if pad_mode != "zeros" else "zeros",
+        align_corners=bool(align)).numpy()
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)
+
+
+def test_onnx_roi_align_reference():
+    """RoiAlign vs a direct numpy evaluation of the ONNX spec."""
+    x = RNG.normal(0, 1, (1, 2, 12, 14)).astype(np.float32)
+    rois = np.array([[1.0, 1.0, 9.0, 8.0], [0.0, 0.0, 13.0, 11.0]],
+                    np.float32)
+    bi = np.zeros(2, np.int64)
+    oh, ow, sr = 3, 4, 2
+    nodes = [_node("RoiAlign", ["x", "r", "b"], ["y"], output_height=oh,
+                   output_width=ow, sampling_ratio=sr, spatial_scale=1.0,
+                   coordinate_transformation_mode="half_pixel")]
+    y = np.asarray(_run(nodes, [], {"x": x, "r": rois,
+                                    "b": bi.astype(np.float32)}))
+
+    def bil(img, yy, xx):
+        H, W = img.shape
+        if xx < -1 or xx > W or yy < -1 or yy > H:
+            return 0.0
+        x0 = int(np.floor(xx)); y0 = int(np.floor(yy))
+        fx = xx - x0; fy = yy - y0
+        def px(r, c):
+            return img[min(max(r, 0), H - 1), min(max(c, 0), W - 1)]
+        return ((1-fx)*(1-fy)*px(y0, x0) + fx*(1-fy)*px(y0, x0+1)
+                + (1-fx)*fy*px(y0+1, x0) + fx*fy*px(y0+1, x0+1))
+
+    ref = np.zeros((2, 2, oh, ow), np.float32)
+    for r in range(2):
+        x1, y1, x2, y2 = rois[r] - 0.5
+        bw, bh = x2 - x1, y2 - y1
+        for c in range(2):
+            for i in range(oh):
+                for j in range(ow):
+                    acc = 0.0
+                    for a in range(sr):
+                        for b in range(sr):
+                            yy = y1 + (i + (a + 0.5)/sr) * bh/oh
+                            xx = x1 + (j + (b + 0.5)/sr) * bw/ow
+                            acc += bil(x[0, c], yy, xx)
+                    ref[r, c, i, j] = acc / (sr*sr)
+    np.testing.assert_allclose(y, ref, atol=1e-4)
