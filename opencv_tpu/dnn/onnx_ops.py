@@ -967,6 +967,8 @@ def _grid_sample(ins, at):
             g = jnp.where((okx & oky)[..., None], g, 0.0)
         return g
 
+    if mode in ("bicubic", "cubic"):
+        raise NotImplementedError("GridSample mode=bicubic")
     if mode in ("nearest",):
         out = fetch(jnp.rint(gy), jnp.rint(gx))
     else:  # linear (bilinear)
@@ -990,7 +992,10 @@ def _roi_align(ins, at):
     bidx = _a(ins[2]).astype(jnp.int32)      # (R,)
     oh = int(at.get("output_height", 1))
     ow = int(at.get("output_width", 1))
-    sr = int(at.get("sampling_ratio", 0)) or 2
+    # sampling_ratio=0 means ADAPTIVE ceil(roi_size/out_size) per ROI;
+    # static shapes force a fixed SxS grid with per-ROI sample masking
+    sr_attr = int(at.get("sampling_ratio", 0))
+    sr = sr_attr if sr_attr > 0 else 8
     scale = float(at.get("spatial_scale", 1.0))
     cmode = at.get("coordinate_transformation_mode", b"half_pixel")
     cmode = cmode.decode() if isinstance(cmode, bytes) else cmode
@@ -1004,13 +1009,24 @@ def _roi_align(ins, at):
     y2 = rois[:, 3] * scale - off
     bw = jnp.maximum(x2 - x1, 1.0 if cmode != "half_pixel" else 0.0)
     bh = jnp.maximum(y2 - y1, 1.0 if cmode != "half_pixel" else 0.0)
-    # sample positions: bin (i,j), sub-sample (a,b) of sr x sr
+    # sample positions: bin (i,j), sub-sample (a,b); adaptive ratio uses
+    # nsy/nsx <= sr live samples per ROI (masked below)
     ii = jnp.arange(oh, dtype=jnp.float32)
     jj = jnp.arange(ow, dtype=jnp.float32)
-    aa = (jnp.arange(sr, dtype=jnp.float32) + 0.5) / sr
-    ys = (y1[:, None, None] + (ii[None, :, None] + aa[None, None, :])
+    ar = jnp.arange(sr, dtype=jnp.float32)
+    if sr_attr > 0:
+        nsy = jnp.full((R,), float(sr))
+        nsx = jnp.full((R,), float(sr))
+    else:
+        nsy = jnp.clip(jnp.ceil(bh / oh), 1.0, float(sr))
+        nsx = jnp.clip(jnp.ceil(bw / ow), 1.0, float(sr))
+    live_y = ar[None, :] < nsy[:, None]            # (R, sr)
+    live_x = ar[None, :] < nsx[:, None]
+    aa_y = (ar[None, :] + 0.5) / nsy[:, None]      # (R, sr)
+    aa_x = (ar[None, :] + 0.5) / nsx[:, None]
+    ys = (y1[:, None, None] + (ii[None, :, None] + aa_y[:, None, :])
           * (bh / oh)[:, None, None])              # (R, oh, sr)
-    xs = (x1[:, None, None] + (jj[None, :, None] + aa[None, None, :])
+    xs = (x1[:, None, None] + (jj[None, :, None] + aa_x[:, None, :])
           * (bw / ow)[:, None, None])              # (R, ow, sr)
 
     flat = x.transpose(0, 2, 3, 1).reshape(N * H * W, C)
@@ -1023,19 +1039,28 @@ def _roi_align(ins, at):
     fy = yv - y0
     fx = xv - x0
 
+    # OOB is decided per SAMPLE (bilinear_interpolate returns exactly 0
+    # for y < -1 or y > H), not per tap; in-range samples clamp taps
+    sample_oob = ((yv < -1) | (yv > H) | (xv < -1) | (xv > W))
+
     def fetch(iy, ix):
-        oob = (ix < -1) | (ix > W) | (iy < -1) | (iy > H)
         rc = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
         ic = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
         idx = (rc * W + ic + nb)
-        shp = jnp.broadcast_shapes(idx.shape, oob.shape)
+        shp = jnp.broadcast_shapes(idx.shape, sample_oob.shape)
         idx = jnp.broadcast_to(idx, shp)
-        g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(shp + (C,))
-        return jnp.where(jnp.broadcast_to(oob, shp)[..., None], 0.0, g)
+        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(shp + (C,))
 
+    # clamp fractional parts like bilinear_interpolate (x<0 -> x=0)
+    fx = jnp.where(xv < 0, 0.0, fx)
+    fy = jnp.where(yv < 0, 0.0, fy)
     val = (fetch(y0, x0) * ((1 - fx) * (1 - fy))[..., None]
            + fetch(y0, x0 + 1) * (fx * (1 - fy))[..., None]
            + fetch(y0 + 1, x0) * ((1 - fx) * fy)[..., None]
            + fetch(y0 + 1, x0 + 1) * (fx * fy)[..., None])
-    out = val.mean(axis=(3, 4))                    # (R, oh, ow, C)
+    live = (live_y[:, None, None, :, None] & live_x[:, None, None, None, :]
+            & ~sample_oob)
+    val = jnp.where(live[..., None], val, 0.0)
+    nlive = (nsy * nsx)[:, None, None]
+    out = val.sum(axis=(3, 4)) / nlive[..., None]  # (R, oh, ow, C)
     return out.transpose(0, 3, 1, 2)

@@ -214,7 +214,6 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
     off = jnp.take(win1.reshape(-1), pidx + bbase).astype(jnp.int32)
     iy = pidx // W2
     ix = (pidx % W2) * 2 + off
-    idx = iy * W + ix
 
     if dcap is None:
         dcap = cap
@@ -236,7 +235,8 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
     # P[b,y,x,j] = img[b, y, x + j - hp] — row-payload gathers cost one
     # index per ROW instead of one per scalar tap
     hp = half_patch
-    imgp = jnp.pad(img4d[..., 0], ((0, 0), (0, 0), (hp, 32 - hp)))
+    imgp = jnp.pad(img4d[..., 0], ((0, 0), (0, 0), (hp, 32 - hp)),
+                   mode="edge")
     P = jnp.stack([imgp[:, :, j:j + W] for j in range(32)], axis=-1)
     P = P.reshape(B * H * W, 32)
     rbase = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None, None]

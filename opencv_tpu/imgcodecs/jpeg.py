@@ -511,7 +511,7 @@ def jpeg_encode(img, quality=95):
     if ent is not None:
         bw_.out = bytearray(ent)
     pred = [0] * len(planes)
-    for my in range(0 if ent is None else 0, mcuy if ent is None else 0):
+    for my in range(mcuy if ent is None else 0):
         for mx in range(mcux):
             for pi in range(len(planes)):
                 h, v = samp[pi]

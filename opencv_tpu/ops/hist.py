@@ -73,10 +73,11 @@ def _hist_fixed(idx, n):
         fl = jnp.pad(flat, (0, pad)) if pad else flat
 
         def body(carry, row):
-            return carry + hist_chunk(row), None
-        h, _ = jax.lax.scan(body, jnp.zeros((256,), jnp.float32),
+            # per-chunk counts are exact in f32 (< 2^23); accumulate in
+            # int32 so multi-chunk bins past 2^24 stay exact
+            return carry + hist_chunk(row).astype(jnp.int32), None
+        h, _ = jax.lax.scan(body, jnp.zeros((256,), jnp.int32),
                             fl.reshape(-1, chunk))
-        h = h.astype(jnp.int32)
         if pad:  # the zero padding landed in bin 0; remove it (static)
             h = h.at[0].add(-pad)
         return h

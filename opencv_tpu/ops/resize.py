@@ -490,9 +490,6 @@ def _resize_area_fast(x, dw, dh, sx, sy, out_dtype):
                                      * jnp.float32(1.0 / (sx * sy))), 0, None)
     else:
         out_full = ssum * jnp.float32(1.0 / (sx * sy))
-    if W % sx == 0 and H % sy == 0:
-        # no partial windows: skip the ragged-edge machinery entirely
-        return saturate_cast(out_full, out_dtype)
     counts_safe = np.where(counts == 0, 1, counts)
     partial = ssum.astype(jnp.float32) / jnp.asarray(
         counts_safe[None, :, :, None], jnp.float32)
