@@ -147,6 +147,12 @@ def _fast_atan2_jnp(y, x):
     return a
 
 
+def _ref101(i, L):
+    """REFLECT_101 index fold for |overhang| < L (the reference's flat
+    pyramid buffer carries BORDER_REFLECT_101 margins, orb.cpp:1109+)."""
+    return jnp.where(i < 0, -i, jnp.where(i >= L, 2 * L - 2 - i, i))
+
+
 def _ic_weight_mats(half_patch: int):
     """(31, 32) du/dv centroid weight matrices masked by the umax disk
     (IC_Angle, orb.cpp:99) for the sliding-window moment dot."""
@@ -236,7 +242,7 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
     # index per ROW instead of one per scalar tap
     hp = half_patch
     imgp = jnp.pad(img4d[..., 0], ((0, 0), (0, 0), (hp, 32 - hp)),
-                   mode="edge")
+                   mode="reflect")
     P = jnp.stack([imgp[:, :, j:j + W] for j in range(32)], axis=-1)
     P = P.reshape(B * H * W, 32)
     rbase = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None, None]
@@ -247,7 +253,7 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
         # on (B, cap, 9, 32) patches (the dense maps this replaces cost
         # ~20ms/level and were read at 0.02% of pixels)
         dr9 = jnp.arange(-4, 5, dtype=jnp.int32)
-        hidx = (jnp.clip(iy[..., None] + dr9[None, None, :], 0, H - 1) * W
+        hidx = (_ref101(iy[..., None] + dr9[None, None, :], H) * W
                 + ix[..., None] + rbase)
         hpat = jnp.take(P, hidx.reshape(-1), axis=0) \
             .reshape(B, cap, 9, 32).astype(jnp.int32)
@@ -293,7 +299,7 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
 
     # sliding-window IC moments over the shared P operand
     dvs = jnp.arange(-hp, hp + 1, dtype=jnp.int32)
-    ridx = (jnp.clip(iy_d[..., None] + dvs[None, None, :], 0, H - 1) * W
+    ridx = (_ref101(iy_d[..., None] + dvs[None, None, :], H) * W
             + ix_d[..., None] + rbase)              # (B, dcap, 31)
     patches = jnp.take(P, ridx.reshape(-1), axis=0) \
         .reshape(B * dcap, (2 * hp + 1) * 32).astype(jnp.float32)
@@ -320,8 +326,8 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
     sa = jnp.sin(ang)
     rx = jnp.round(px[None, :] * ca - py[None, :] * sa).astype(jnp.int32)
     ry = jnp.round(px[None, :] * sa + py[None, :] * ca).astype(jnp.int32)
-    cy = jnp.clip(iy_d.reshape(R, 1) + ry, 0, H - 1)
-    cx = jnp.clip(ix_d.reshape(R, 1) + rx, 0, W - 1)
+    cy = _ref101(iy_d.reshape(R, 1) + ry, H)
+    cx = _ref101(ix_d.reshape(R, 1) + rx, W)
     base = (jnp.arange(B, dtype=jnp.int32) * (H * W)) \
         .repeat(dcap).reshape(R, 1)
     gidx = cy * W + cx + base

@@ -406,3 +406,29 @@ def test_orb_wta_k_variants():
         agree = sum(1 for a, b in zip(ref_m, our_m)
                     if a.trainIdx == b.trainIdx and a.distance == b.distance)
         assert agree >= 48, agree
+
+
+def test_orb_small_edge_threshold():
+    """edgeThreshold < half_patch: IC disk taps near the border must
+    replicate-clamp (the sliding-window operand pads with edge values,
+    not zeros) — angles near edges then match cv2."""
+    img = _img(7)
+    rk, _ = cv2.ORB_create(nfeatures=150, edgeThreshold=10) \
+        .detectAndCompute(img, None)
+    ok, _ = tcv.ORB_create(nfeatures=150, edgeThreshold=10) \
+        .detectAndCompute(img, None)
+    near = [k for k in rk if min(k.pt[0], k.pt[1],
+                                 img.shape[1] - k.pt[0],
+                                 img.shape[0] - k.pt[1]) < 16]
+    if not near:
+        return
+    omap = {(round(k.pt[0]), round(k.pt[1]), k.octave): k for k in ok}
+    checked = 0
+    for k in near:
+        key = (round(k.pt[0]), round(k.pt[1]), k.octave)
+        if key in omap:
+            da = abs(omap[key].angle - k.angle)
+            da = min(da, 360 - da)
+            assert da < 2.0, (key, omap[key].angle, k.angle)
+            checked += 1
+    assert checked > 0
