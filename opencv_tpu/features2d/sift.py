@@ -74,6 +74,7 @@ class SIFT:
         self.contrast = contrastThreshold
         self.edge = edgeThreshold
         self.sigma = sigma
+        self._pyr_cache = {}
 
     @staticmethod
     def create(nfeatures=0, nOctaveLayers=3, contrastThreshold=0.04,
@@ -83,34 +84,48 @@ class SIFT:
 
     # ------------------------------------------------------------ pyramids
     def _build_pyramids(self, gray):
-        base = np.asarray(resize(gray.astype(np.float32), None, 2.0, 2.0,
-                                 K.INTER_LINEAR))
-        sig_diff = math.sqrt(max(self.sigma ** 2 - 4 * _INIT_SIGMA ** 2, 0.01))
-        base = np.asarray(GaussianBlur(base, (0, 0), sig_diff, sig_diff))
-        n_oct = max(int(np.rint(math.log2(min(base.shape)) - 2)), 1)
-
-        k = 2.0 ** (1.0 / self.n_layers)
-        sig = [self.sigma]
-        for i in range(1, self.n_layers + 3):
-            sp = self.sigma * (k ** (i - 1))
-            st = k * sp
-            sig.append(math.sqrt(st * st - sp * sp))
-
-        gpyr = []
-        for o in range(n_oct):
-            if o == 0:
-                octv = [base]
-            else:
-                prev_top = gpyr[o - 1][self.n_layers]
-                h, w = prev_top.shape
-                octv = [np.asarray(resize(prev_top, (w // 2, h // 2),
-                                          interpolation=K.INTER_NEAREST))]
+        """Whole Gaussian + DoG pyramid in ONE jitted program per input
+        shape — the previous per-blur dispatch issued ~41 device calls
+        (each ~2-5ms of tunnel latency on TPU)."""
+        H0, W0 = gray.shape
+        n_oct = max(int(np.rint(math.log2(min(H0 * 2, W0 * 2)) - 2)), 1)
+        key = (H0, W0)
+        if key not in self._pyr_cache:
+            sig_diff = math.sqrt(max(self.sigma ** 2
+                                     - 4 * _INIT_SIGMA ** 2, 0.01))
+            k = 2.0 ** (1.0 / self.n_layers)
+            sig = [self.sigma]
             for i in range(1, self.n_layers + 3):
-                octv.append(np.asarray(GaussianBlur(octv[-1], (0, 0),
-                                                    sig[i], sig[i])))
-            gpyr.append(octv)
-        dog = [[octv[i + 1] - octv[i] for i in range(self.n_layers + 2)]
-               for octv in gpyr]
+                sp = self.sigma * (k ** (i - 1))
+                st = k * sp
+                sig.append(math.sqrt(st * st - sp * sp))
+            n_layers = self.n_layers
+
+            def build(g):
+                base = resize(g.astype(jnp.float32), None, 2.0, 2.0,
+                              K.INTER_LINEAR)
+                base = GaussianBlur(base, (0, 0), sig_diff, sig_diff)
+                gpyr = []
+                for o in range(n_oct):
+                    if o == 0:
+                        octv = [base]
+                    else:
+                        prev_top = gpyr[o - 1][n_layers]
+                        h, w = prev_top.shape
+                        octv = [resize(prev_top, (w // 2, h // 2),
+                                       interpolation=K.INTER_NEAREST)]
+                    for i in range(1, n_layers + 3):
+                        octv.append(GaussianBlur(octv[-1], (0, 0),
+                                                 sig[i], sig[i]))
+                    gpyr.append(octv)
+                dog = [[octv[i + 1] - octv[i]
+                        for i in range(n_layers + 2)] for octv in gpyr]
+                return gpyr, dog
+
+            self._pyr_cache[key] = jax.jit(build)
+        gpyr_d, dog_d = self._pyr_cache[key](jnp.asarray(gray))
+        gpyr = [[np.asarray(a) for a in octv] for octv in gpyr_d]
+        dog = [[np.asarray(a) for a in octv] for octv in dog_d]
         return gpyr, dog, n_oct
 
     # ------------------------------------------------------------- detect
