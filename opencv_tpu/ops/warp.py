@@ -754,31 +754,29 @@ def _patch_operand(x):
     return patch.reshape(H * W, 4 * N * C)
 
 
-def _gather_patch_taps(x, x0, y0, border_type, cval):
-    """Shared patch-gather for bilinear remaps: ONE gather per output
-    pixel against a pre-stacked (H*W, 4*N*C) 2x2-patch operand, then a
-    select-decode of the four border-resolved taps.  Returns t00..t11 of
-    shape (dh*dw, N*C) in x.dtype (cval-substituted taps are cast).
-    Requires adjacent-or-equal resolved tap pairs (any border but WRAP).
-    """
+def _decode_patch_taps(x, rx0, rx1, ry0, ry1, xm0, xm1, ym0, ym1, cval):
+    """Shared tap decode for the patch-operand gather: resolved per-axis
+    tap pairs (device jnp or host numpy planes) -> ONE gather + selects.
+    Returns t00..t11 of shape (dh*dw, N*C) in x.dtype."""
     N, H, W, C = x.shape
-    rx0, xm0 = _resolve_tap_dev(x0, W, border_type)
-    rx1, xm1 = _resolve_tap_dev(x0 + 1, W, border_type)
-    ry0, ym0 = _resolve_tap_dev(y0, H, border_type)
-    ry1, ym1 = _resolve_tap_dev(y0 + 1, H, border_type)
+    rx0 = jnp.asarray(rx0)
+    rx1 = jnp.asarray(rx1)
+    ry0 = jnp.asarray(ry0)
+    ry1 = jnp.asarray(ry1)
     bx = jnp.minimum(rx0, rx1)
     by = jnp.minimum(ry0, ry1)
-
     patch = _patch_operand(x)
-    idx = (by * W + bx).reshape(-1)
+    idx = (by * W + bx).reshape(-1).astype(jnp.int32)
     g = jnp.take(patch, idx, axis=0)
     g = g.reshape(-1, 2, 2, N * C)                       # (.., dy, dx, NC)
 
-    # decode resolved taps out of the patch
-    selx0 = (rx0 == bx).reshape(-1)[:, None]
-    selx1 = (rx1 == bx).reshape(-1)[:, None]
-    sely0 = (ry0 == by).reshape(-1)[:, None]
-    sely1 = (ry1 == by).reshape(-1)[:, None]
+    def m(a):
+        return jnp.asarray(a).reshape(-1)[:, None]
+
+    selx0 = m(rx0 == bx)
+    selx1 = m(rx1 == bx)
+    sely0 = m(ry0 == by)
+    sely1 = m(ry1 == by)
     r0x0 = jnp.where(selx0, g[:, 0, 0], g[:, 0, 1])
     r0x1 = jnp.where(selx1, g[:, 0, 0], g[:, 0, 1])
     r1x0 = jnp.where(selx0, g[:, 1, 0], g[:, 1, 1])
@@ -789,12 +787,24 @@ def _gather_patch_taps(x, x0, y0, border_type, cval):
     t11 = jnp.where(sely1, r0x1, r1x1)
 
     cvalr = jnp.tile(cval, N).reshape(1, N * C).astype(x.dtype)
-    t00 = jnp.where((xm0 | ym0).reshape(-1)[:, None], cvalr, t00)
-    t01 = jnp.where((xm1 | ym0).reshape(-1)[:, None], cvalr, t01)
-    t10 = jnp.where((xm0 | ym1).reshape(-1)[:, None], cvalr, t10)
-    t11 = jnp.where((xm1 | ym1).reshape(-1)[:, None], cvalr, t11)
+    t00 = jnp.where(m(xm0 | ym0), cvalr, t00)
+    t01 = jnp.where(m(xm1 | ym0), cvalr, t01)
+    t10 = jnp.where(m(xm0 | ym1), cvalr, t10)
+    t11 = jnp.where(m(xm1 | ym1), cvalr, t11)
     return t00, t01, t10, t11
 
+
+def _gather_patch_taps(x, x0, y0, border_type, cval):
+    """Device-plane front end of _decode_patch_taps: resolve the four tap
+    coordinates with the device borderInterpolate and decode.  Requires
+    adjacent-or-equal resolved tap pairs (any border but WRAP)."""
+    N, H, W, C = x.shape
+    rx0, xm0 = _resolve_tap_dev(x0, W, border_type)
+    rx1, xm1 = _resolve_tap_dev(x0 + 1, W, border_type)
+    ry0, ym0 = _resolve_tap_dev(y0, H, border_type)
+    ry1, ym1 = _resolve_tap_dev(y0 + 1, H, border_type)
+    return _decode_patch_taps(x, rx0, rx1, ry0, ry1, xm0, xm1, ym0, ym1,
+                              cval)
 
 def _remap_linear_dev_4tap(x, x0, fx, y0, fy, border_type, border_value):
     """Fallback bilinear remap: four independent tap gathers (needed for
