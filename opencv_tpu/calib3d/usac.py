@@ -322,7 +322,13 @@ def ransac_solve(estimator, n_points, flag=None, threshold=1.5,
         # USAC_DEFAULT / USAC_FM_8PTS keep the defaults above
 
     k = estimator.sample_size
-    if sampling == SAMPLING_PROSAC and prosac_order is not None:
+    if sampling == SAMPLING_PROSAC:
+        # the reference's PROSAC assumes the input is already sorted by
+        # match quality (usac/sampler.cpp ProsacSampler) — default to
+        # identity order so the USAC_PROSAC flag actually changes the
+        # sampling schedule even when no explicit order is passed
+        if prosac_order is None:
+            prosac_order = np.arange(n_points)
         sampler = ProsacSampler(rng, k, n_points)
     elif sampling in (SAMPLING_NAPSAC, SAMPLING_PROGRESSIVE_NAPSAC) \
             and points_for_napsac is not None:

@@ -454,7 +454,12 @@ def _onehot(ins, at):
     depth = int(np.asarray(ins[1]).ravel()[0])
     vals = np.asarray(ins[2]).ravel()
     ax = at.get("axis", -1)
-    oh = jax.nn.one_hot(jnp.asarray(idx % depth), depth, axis=ax)
+    # ONNX: indices in [-depth, depth-1] (negatives wrap once); anything
+    # outside produces an all-off_value row — map those to -1, which
+    # one_hot zeroes out
+    valid = (idx >= -depth) & (idx < depth)
+    norm = np.where(valid, np.where(idx < 0, idx + depth, idx), -1)
+    oh = jax.nn.one_hot(jnp.asarray(norm), depth, axis=ax)
     return oh * (vals[1] - vals[0]) + vals[0]
 
 
@@ -992,11 +997,27 @@ def _roi_align(ins, at):
     bidx = _a(ins[2]).astype(jnp.int32)      # (R,)
     oh = int(at.get("output_height", 1))
     ow = int(at.get("output_width", 1))
-    # sampling_ratio=0 means ADAPTIVE ceil(roi_size/out_size) per ROI;
-    # static shapes force a fixed SxS grid with per-ROI sample masking
-    sr_attr = int(at.get("sampling_ratio", 0))
-    sr = sr_attr if sr_attr > 0 else 8
+    # sampling_ratio=0 means ADAPTIVE ceil(roi_size/out_size) per ROI
+    # with no spec-side cap; static shapes force a fixed SxS grid with
+    # per-ROI sample masking.  Constant ROIs size the grid exactly; for
+    # traced ROIs the cap is OPENCV_TPU_ROIALIGN_MAX_SR (default 8) and
+    # ROIs whose bins exceed it average fewer samples than the spec —
+    # a documented deviation.
     scale = float(at.get("spatial_scale", 1.0))
+    sr_attr = int(at.get("sampling_ratio", 0))
+    if sr_attr > 0:
+        sr = sr_attr
+    else:
+        import os as _os
+        sr = int(_os.environ.get("OPENCV_TPU_ROIALIGN_MAX_SR", "8"))
+        if isinstance(ins[1], np.ndarray) and ins[1].size:
+            r = np.asarray(ins[1], np.float64)
+            oh_ = int(at.get("output_height", 1))
+            ow_ = int(at.get("output_width", 1))
+            need = max(
+                np.ceil((r[:, 3] - r[:, 1]).max() * scale / oh_),
+                np.ceil((r[:, 2] - r[:, 0]).max() * scale / ow_), 1.0)
+            sr = int(min(64.0, need))
     cmode = at.get("coordinate_transformation_mode", b"half_pixel")
     cmode = cmode.decode() if isinstance(cmode, bytes) else cmode
     off = 0.5 if cmode == "half_pixel" else 0.0

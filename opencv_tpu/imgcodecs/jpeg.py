@@ -629,8 +629,40 @@ def _decode_prog_scan(scan, frame, coeff, scomp, ss, se, ah, al,
             rd.pos += 1
 
     if ss == 0:
-        # ---- DC scan (interleaved over all scan components)
         pred = [0] * len(comps)
+
+        def dc_one(blk, td, ci):
+            if ah == 0:
+                t = rd.decode_huffman(huff_dc[td])
+                if not 0 <= t <= 15:  # corrupt/crafted DHT
+                    raise ValueError("bad DC category in progressive scan")
+                diff = _extend(rd.read(t), t)
+                pred[ci] += diff
+                blk[0] = pred[ci] << al
+            else:
+                if rd.read(1):
+                    blk[0] |= (1 << al)
+
+        if len(scomp) == 1:
+            # ---- non-interleaved DC scan: iterate the COMPONENT's own
+            # block grid (T.81 A.2.2), not the MCU grid — for subsampled
+            # luma the two differ by h*v
+            (cs, td, _ta) = scomp[0]
+            ci = by_id[cs]
+            c = comps[ci]
+            cw = (frame["W"] * c["h"] + 8 * hmax - 1) // (8 * hmax)
+            ch = (frame["H"] * c["v"] + 8 * vmax - 1) // (8 * vmax)
+            nblk = 0
+            for byi in range(ch):
+                for bxi in range(cw):
+                    if dri and nblk and nblk % dri == 0:
+                        resync()
+                        pred = [0] * len(comps)
+                    dc_one(coeff[ci][byi, bxi], td, ci)
+                    nblk += 1
+            return
+
+        # ---- interleaved DC scan over MCUs
         nmcu = 0
         for my in range(mcuy):
             for mx in range(mcux):
@@ -640,20 +672,10 @@ def _decode_prog_scan(scan, frame, coeff, scomp, ss, se, ah, al,
                 for (cs, td, _ta) in scomp:
                     ci = by_id[cs]
                     c = comps[ci]
-                    nv = c["v"] if len(scomp) > 1 else 1
-                    nh = c["h"] if len(scomp) > 1 else 1
-                    for v in range(nv):
-                        for h in range(nh):
-                            blk = coeff[ci][my * c["v"] + v,
-                                            mx * c["h"] + h]
-                            if ah == 0:
-                                t = rd.decode_huffman(huff_dc[td])
-                                diff = _extend(rd.read(t), t)
-                                pred[ci] += diff
-                                blk[0] = pred[ci] << al
-                            else:
-                                if rd.read(1):
-                                    blk[0] |= (1 << al)
+                    for v in range(c["v"]):
+                        for h in range(c["h"]):
+                            dc_one(coeff[ci][my * c["v"] + v,
+                                             mx * c["h"] + h], td, ci)
                 nmcu += 1
         return
 

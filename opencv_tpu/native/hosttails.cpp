@@ -506,13 +506,18 @@ struct BitReader {
         }
     }
     int read(int nb) {
-        if (!nb) return 0;
+        // nb comes from entropy-decoded symbols of untrusted files; a
+        // crafted DHT can yield nb up to 255.  Clamp to the widest legal
+        // JPEG bit-field (16) so shifts stay defined; callers validate
+        // the symbol and fail the decode before using such values.
+        if (nb <= 0) return 0;
+        if (nb > 16) nb = 16;
         fill();
         if (nbits < nb) {          // zero-pad past the end (python parity)
             buf <<= (nb - nbits);
             nbits = nb;
         }
-        int v = (int)((buf >> (nbits - nb)) & ((1u << nb) - 1));
+        int v = (int)((buf >> (nbits - nb)) & (((uint64_t)1 << nb) - 1));
         nbits -= nb;
         buf &= (nbits >= 64) ? ~0ull : ((1ull << nbits) - 1);
         return v;
@@ -582,7 +587,10 @@ extern "C" long long jpeg_decode_blocks(
                             + ((long long)(my * comp_v[ci] + v) * bw
                                + (mx * comp_h[ci] + h)) * 64;
                         int t = rd.decode(hd);
-                        if (t < 0) return -1;
+                        // DC categories are 0..15 (0..11 for 8-bit); a
+                        // larger symbol means a corrupt/crafted DHT —
+                        // fail the decode cleanly instead of hitting UB.
+                        if (t < 0 || t > 15) return -1;
                         pred[ci] += extend(rd.read(t), t);
                         blk[0] = pred[ci];
                         int k = 1;

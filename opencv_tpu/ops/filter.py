@@ -320,13 +320,31 @@ def sepFilter2D(src, ddepth, kernelX, kernelY, anchor=(-1, -1), delta=0.0,
 
     if (x.dtype == jnp.uint8 and out_dtype in (jnp.dtype(jnp.uint8), jnp.dtype(jnp.int16))
             and delta == int(delta)):
+        from ..core.dispatch import lookup
+
+        def _int_path(kxi, kyi, shift):
+            # dispatch ladder (CALL_HAL analogue): fused Pallas kernel
+            # when registered for this config, else composed XLA
+            max_abs = (int(np.abs(kxi).sum()) * int(np.abs(kyi).sum()) * 255
+                       + abs(int(delta)))
+            kern = lookup("sep_filter_int", dtype="uint8",
+                          kw=len(kxi), kh=len(kyi),
+                          channels=x.shape[3], border=borderType,
+                          shift=shift, delta=int(delta),
+                          out=out_dtype.name, max_abs_acc=max_abs)
+            if kern is not None:
+                return kern(x, tuple(int(v) for v in kxi),
+                            tuple(int(v) for v in kyi))
+            acc = _sep_correlate_int(x, kxi, kyi, borderType)
+            if shift:
+                acc = (acc + (1 << (shift - 1))) >> shift
+            return saturate_cast(acc + int(delta), out_dtype)
+
         # integer kernels (Sobel/Scharr/derivs): exact int32 MAC, no shift
         kxi = np.rint(kx).astype(np.int64)
         kyi = np.rint(ky).astype(np.int64)
         if np.all(kxi == kx) and np.all(kyi == ky):
-            acc = _sep_correlate_int(x, kxi, kyi, borderType)
-            y = saturate_cast(acc + int(delta), out_dtype)
-            return from_batched(y, meta)
+            return from_batched(_int_path(kxi, kyi, 0), meta)
         # fractional kernels: bit-exact Q8 scheme mirroring
         # filter.dispatch.cpp:332-362 (validity check incl.)
         bits = 8
@@ -335,10 +353,7 @@ def sepFilter2D(src, ddepth, kernelX, kernelY, anchor=(-1, -1), delta=0.0,
         eps = 10 * np.finfo(np.float32).eps * (1 << bits)
         if (np.all(np.abs(kxq - kx * (1 << bits)) <= eps)
                 and np.all(np.abs(kyq - ky * (1 << bits)) <= eps)):
-            acc = _sep_correlate_int(x, kxq, kyq, borderType)
-            out = ((acc + (1 << 15)) >> 16) + int(delta)
-            y = saturate_cast(out, out_dtype)
-            return from_batched(y, meta)
+            return from_batched(_int_path(kxq, kyq, 2 * bits), meta)
 
     acc = _sep_correlate_float(x, kx, ky, borderType)
     acc = acc + jnp.asarray(delta, acc.dtype)
@@ -415,6 +430,21 @@ def boxFilter(src, ddepth, ksize, anchor=(-1, -1), normalize: bool = True,
     out_dtype = _resolve_ddepth(x.dtype, ddepth)
     kw, kh = ksize
     if x.dtype.kind in "ui":
+        ax = kw // 2 if anchor[0] < 0 else anchor[0]
+        ay = kh // 2 if anchor[1] < 0 else anchor[1]
+        if (x.dtype == jnp.uint8 and (ax, ay) == (kw // 2, kh // 2)):
+            # dispatch ladder: fused Pallas kernel (sum + normalize in
+            # one VMEM pass) when registered
+            from ..core.dispatch import lookup
+            kern = lookup("sep_filter_int", dtype="uint8", kw=kw, kh=kh,
+                          channels=x.shape[3], border=borderType,
+                          shift=0, delta=0,
+                          scale=(1.0 / (kw * kh)) if normalize else None,
+                          out=jnp.dtype(out_dtype).name,
+                          max_abs_acc=kw * kh * 255)
+            if kern is not None:
+                y = kern(x, (1,) * kw, (1,) * kh)
+                return from_batched(y, meta)
         s = _box_sum_int(x, ksize, anchor, borderType)
         if normalize:
             scale = 1.0 / (kw * kh)

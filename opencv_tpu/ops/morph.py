@@ -108,6 +108,19 @@ def _morph_op(x, kernel, anchor, iterations, border_type, border_value,
     else:
         pad_val = 0
 
+    # dispatch ladder: fused VMEM sliding-min/max Pallas kernel for
+    # centered rect SEs on u8 (the common erode/dilate fast path)
+    if (is_rect and iterations <= 1 and dtype == np.uint8
+            and (ax, ay) == (kw // 2, kh // 2)):
+        from ..core.dispatch import lookup
+        kern = lookup("sep_minmax_u8", dtype="uint8", kw=kw, kh=kh,
+                      channels=x.shape[3], border=border_type,
+                      border_value=(int(pad_val)
+                                    if bt == K.BORDER_CONSTANT else None),
+                      is_min=is_erode)
+        if kern is not None:
+            return kern(x)
+
     op = jnp.minimum if is_erode else jnp.maximum
 
     def slide(v, k, axis):

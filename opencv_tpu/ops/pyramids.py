@@ -87,6 +87,13 @@ def pyrDown(src, dstsize=None, borderType: int = K.BORDER_DEFAULT):
         dw, dh = dstsize
         if (dw, dh) != ((x.shape[2] + 1) // 2, (x.shape[1] + 1) // 2):
             raise NotImplementedError("non-default pyrDown dstsize")
+    # dispatch ladder: stride-2 tap-folded MXU kernel when registered
+    from ..core.dispatch import lookup
+    kern = lookup("pyr_down_u8", dtype=jnp.dtype(x.dtype).name,
+                  channels=x.shape[3], border=borderType,
+                  h=x.shape[1], w=x.shape[2])
+    if kern is not None:
+        return from_batched(kern(x), meta)
     y = _pyr_down_nhwc(x, borderType)
     return from_batched(y, meta)
 

@@ -302,6 +302,86 @@ def test_progressive_jpeg_decode_vs_cv2():
         assert np.percentile(d, 99) <= 6, np.percentile(d, 99)
 
 
+def test_progressive_jpeg_noninterleaved_dc_scan():
+    """Regression: a per-component (non-interleaved, Ns=1) DC scan must
+    iterate the component's own block grid, not the MCU grid
+    (T.81 A.2.2) — for 4:2:0 luma those differ by a factor of 4.
+    libjpeg always emits interleaved DC scans, so this hand-crafts the
+    file other encoders produce."""
+    import struct
+    from opencv_tpu.imgcodecs import jpeg as J
+
+    def enc_map(bits, vals):
+        m, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                m[vals[k]] = (length, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return m
+
+    class BW:
+        def __init__(self):
+            self.bits = []
+
+        def put(self, val, n):
+            for i in range(n - 1, -1, -1):
+                self.bits.append((val >> i) & 1)
+
+        def tobytes(self):
+            bs = bytearray()
+            b = self.bits + [1] * (-len(self.bits) % 8)
+            for i in range(0, len(b), 8):
+                byte = 0
+                for bit in b[i:i + 8]:
+                    byte = byte * 2 + bit
+                bs.append(byte)
+                if byte == 0xFF:
+                    bs.append(0)  # byte stuffing
+            return bytes(bs)
+
+    dcmap = enc_map(*J._HT_DC_LUM)
+
+    def dc_scan_bytes(diffs):
+        w = BW()
+        for d in diffs:
+            t = max(0, abs(d)).bit_length()
+            ln, code = dcmap[t]
+            w.put(code, ln)
+            if t:
+                w.put(d if d >= 0 else d + (1 << t) - 1, t)
+        return w.tobytes()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, 16, 16, 3)
+    out += bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])  # Y 2x2, Cb/Cr 1x1
+    bits, vals = J._HT_DC_LUM
+    out += (b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + b"\x00"
+            + bytes(bits) + bytes(vals))
+
+    def sos(cid):
+        return (b"\xff\xda" + struct.pack(">H", 8)
+                + bytes([1, cid, 0x00, 0, 0, 0]))
+
+    # Y has a 2x2 block grid; diffs walk DC through 64,128,-64,0 in
+    # raster order -> flat 8x8 quadrants of 136,144,120,128
+    out += sos(1) + dc_scan_bytes([64, 64, -192, 64])
+    out += sos(2) + dc_scan_bytes([0])  # Cb flat 128
+    out += sos(3) + dc_scan_bytes([0])  # Cr flat 128
+    out += b"\xff\xd9"
+
+    img = np.asarray(tcv.imdecode(np.frombuffer(bytes(out), np.uint8),
+                                  tcv.IMREAD_COLOR))
+    assert img.shape == (16, 16, 3)
+    expect = np.zeros((16, 16), int)
+    expect[:8, :8], expect[:8, 8:] = 136, 144
+    expect[8:, :8], expect[8:, 8:] = 120, 128
+    for ch in range(3):  # Cb=Cr=128 -> B=G=R=Y
+        assert np.abs(img[:, :, ch].astype(int) - expect).max() <= 1, ch
+
+
 def test_progressive_jpeg_grayscale():
     rng = np.random.default_rng(8)
     img = cv2.GaussianBlur(

@@ -56,6 +56,109 @@ def test_sep_filter_u8_bitexact():
             assert_exact(got, ref, f"{H}x{W}x{C} k={ks} border={border}")
 
 
+def test_sep_filter_int_sobel_box():
+    """Generalized MAC kernel: integer taps → i16 out (Sobel) and
+    all-ones taps + float normalize (boxFilter)."""
+    import jax.numpy as jnp
+    from opencv_tpu.kernels.sepfilter import sep_filter_int
+    import opencv_tpu.constants as K
+
+    rng = np.random.default_rng(4)
+    x = rng.integers(0, 256, (2, 70, 90, 1), np.uint8)
+
+    out = np.asarray(sep_filter_int(x, (-1, 0, 1), (1, 2, 1), shift=0,
+                                    out_dtype=jnp.int16, interpret=True))
+    for i in range(2):
+        ref = cv2.Sobel(x[i, :, :, 0], cv2.CV_16S, 1, 0)
+        assert_exact(out[i, :, :, 0], ref, f"sobel img {i}")
+
+    for k, border in ((3, K.BORDER_REFLECT_101), (9, K.BORDER_REPLICATE)):
+        out = np.asarray(sep_filter_int(
+            x, (1,) * k, (1,) * k, shift=0, scale=1.0 / (k * k),
+            out_dtype=jnp.uint8, border=border, interpret=True))
+        for i in range(2):
+            ref = cv2.boxFilter(x[i, :, :, 0], -1, (k, k),
+                                borderType=border)
+            assert_exact(out[i, :, :, 0], ref, f"box k={k} img {i}")
+
+
+def test_sep_minmax_erode_dilate():
+    from opencv_tpu.kernels.sepfilter import sep_minmax_u8
+    import opencv_tpu.constants as K
+
+    rng = np.random.default_rng(5)
+    for C in (1, 3):
+        x = rng.integers(0, 256, (2, 60, 80, C), np.uint8)
+        for (kw, kh, is_min, border) in (
+                (3, 3, True, K.BORDER_CONSTANT),
+                (5, 5, False, K.BORDER_CONSTANT),
+                (9, 7, True, K.BORDER_REPLICATE)):
+            out = np.asarray(sep_minmax_u8(x, kw, kh, is_min,
+                                           border=border, interpret=True))
+            fn = cv2.erode if is_min else cv2.dilate
+            for i in range(2):
+                ref = fn(x[i] if C > 1 else x[i, :, :, 0],
+                         np.ones((kh, kw), np.uint8), borderType=border)
+                got = out[i] if C > 1 else out[i, :, :, 0]
+                assert_exact(got, ref,
+                             f"{'erode' if is_min else 'dilate'} "
+                             f"{kw}x{kh} C={C} b={border}")
+
+
+def test_pyr_down_kernel():
+    from opencv_tpu.kernels.sepfilter import pyr_down_u8
+
+    rng = np.random.default_rng(6)
+    for C, (H, W) in ((1, (40, 52)), (1, (41, 53)), (3, (37, 45))):
+        x = rng.integers(0, 256, (2, H, W, C), np.uint8)
+        out = np.asarray(pyr_down_u8(x, interpret=True))
+        for i in range(2):
+            ref = cv2.pyrDown(x[i] if C > 1 else x[i, :, :, 0])
+            got = out[i] if C > 1 else out[i, :, :, 0]
+            assert_exact(got, ref, f"pyrDown C={C} {H}x{W}")
+
+
+def test_dispatch_force_mode_new_ops():
+    """Force mode routes Sobel/boxFilter/erode/dilate/pyrDown through the
+    Pallas kernels — must stay bit-exact with the XLA tier and cv2."""
+    import os
+    import opencv_tpu as tcv
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 256, (50, 70), np.uint8)
+
+    def run_all():
+        return {
+            "sobel": np.asarray(tcv.Sobel(x, tcv.CV_16S, 1, 0)),
+            "box": np.asarray(tcv.blur(x, (5, 5))),
+            "erode": np.asarray(tcv.erode(x, np.ones((5, 5), np.uint8))),
+            "dilate": np.asarray(tcv.dilate(x, np.ones((3, 3), np.uint8),
+                                            iterations=2)),
+            "pyr": np.asarray(tcv.pyrDown(x)),
+        }
+
+    old = os.environ.get("OPENCV_TPU_PALLAS")
+    try:
+        os.environ["OPENCV_TPU_PALLAS"] = "force"
+        got = run_all()
+        os.environ["OPENCV_TPU_PALLAS"] = "0"
+        ref = run_all()
+    finally:
+        if old is None:
+            os.environ.pop("OPENCV_TPU_PALLAS", None)
+        else:
+            os.environ["OPENCV_TPU_PALLAS"] = old
+    for k in got:
+        assert_exact(got[k], ref[k], f"force vs xla: {k}")
+    assert_exact(got["sobel"], cv2.Sobel(x, cv2.CV_16S, 1, 0), "cv2 sobel")
+    assert_exact(got["box"], cv2.blur(x, (5, 5)), "cv2 blur")
+    assert_exact(got["erode"], cv2.erode(x, np.ones((5, 5), np.uint8)),
+                 "cv2 erode")
+    assert_exact(got["dilate"], cv2.dilate(x, np.ones((3, 3), np.uint8),
+                                           iterations=2), "cv2 dilate")
+    assert_exact(got["pyr"], cv2.pyrDown(x), "cv2 pyrDown")
+
+
 def test_dispatch_registry_force_mode():
     """OPENCV_TPU_PALLAS=force routes GaussianBlur through the Pallas
     kernel (interpret mode) — must stay bit-exact with the XLA tier."""
