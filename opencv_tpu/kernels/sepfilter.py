@@ -21,9 +21,6 @@ TPU-native design:
     * MAC (int32 taps, optional round-shift, optional float scale,
       u8 or i16 saturating output) — Gaussian Q8, integer Sobel/Scharr,
       normalized boxFilter;
-    * min/max (u8) — rectangular-SE erode/dilate (separable sliding
-      min/max; constant border resolves to the reduction identity like
-      morph.dispatch.cpp:113);
     * 2:1 downsample MAC via MXU matmuls — pyrDown's stride-2 taps as
       two tap-folded selection matmuls (f32 is exact for these integer
       ranges), avoiding sub-16-bit strided slices which are pathological
@@ -47,11 +44,11 @@ from ..core.borders import pad_nhwc
 from ..core.dispatch import register
 from .. import constants as K
 
-__all__ = ["sep_filter_u8", "sep_filter_int", "sep_minmax_u8",
-           "pyr_down_u8"]
+__all__ = ["sep_filter_u8", "sep_filter_int", "pyr_down_u8"]
 
 _TH = 128   # output tile rows
-_TW = 256   # output tile lanes (W*C)
+_TW = 512   # output tile lanes (W*C); 512 measured ~17% faster than 256
+            # on 1080p batch 32 (fewer tiles, better DMA/compute overlap)
 
 
 def _round_up(v, m):
@@ -141,7 +138,7 @@ def _pallas_tiled(kernel, xf, N, NI, NJ, ih, iw, out_dtype, n_consts=0,
 # ---------------------------------------------------------------------------
 
 def _pad_for_tiles(x, kw, kh, ax, ay, border, border_value, ih, iw,
-                   Hp, Wp):
+                   Hp, Wp, th=_TH, tw=_TW):
     """(N,H,W,C) u8 → flat (N, Hp+ih-TH, Wp+iw-TW) with the border
     applied and the tile-alignment region appended (alignment content is
     never read by in-range outputs)."""
@@ -152,8 +149,8 @@ def _pad_for_tiles(x, kw, kh, ax, ay, border, border_value, ih, iw,
         xp = pad_nhwc(x, ay, kh - 1 - ay, ax, kw - 1 - ax, border,
                       border_value)
         xf = xp.reshape(N, H + kh - 1, (W + kw - 1) * C)
-        pad_h = Hp + ih - _TH - xf.shape[1]
-        pad_w = Wp + iw - _TW - xf.shape[2]
+        pad_h = Hp + ih - th - xf.shape[1]
+        pad_w = Wp + iw - tw - xf.shape[2]
         cval = int(border_value) if np.isscalar(border_value) else 0
         return jnp.pad(xf, ((0, 0), (0, pad_h), (0, pad_w)),
                        constant_values=np.uint8(cval) if cval else 0)
@@ -161,14 +158,14 @@ def _pad_for_tiles(x, kw, kh, ax, ay, border, border_value, ih, iw,
     # per axis (a separate alignment pad re-materialized the array
     # and cost ~17% of the whole fused-blur pipeline)
     from ..core.borders import _axis_pad, border_index
-    pad_h_extra = Hp + ih - _TH - (H + kh - 1)
+    pad_h_extra = Hp + ih - th - (H + kh - 1)
     xp = _axis_pad(x, ay, kh - 1 - ay, 1, bt, H, extra=pad_h_extra)
     xf = xp.reshape(N, xp.shape[1], W * C)
     cidx = border_index(W, ax, kw - 1 - ax, bt)
     ar = np.arange(C)
     left_idx = (cidx[:ax, None] * C + ar).ravel()
     right_idx = (cidx[ax + W:, None] * C + ar).ravel()
-    extra_w = Wp + iw - _TW - (Wf + (kw - 1) * C)
+    extra_w = Wp + iw - tw - (Wf + (kw - 1) * C)
     right_idx = np.append(right_idx, np.full(extra_w, Wf - 1, np.int64))
     parts = []
     if len(left_idx):
@@ -185,7 +182,8 @@ def _pad_for_tiles(x, kw, kh, ax, ay, border, border_value, ih, iw,
 # MAC kernels (Gaussian Q8 / integer Sobel / boxFilter)
 # ---------------------------------------------------------------------------
 
-def _mac_compute(kx, ky, stride, shift, delta, scale, lo, hi, out_dtype):
+def _mac_compute(kx, ky, stride, shift, delta, scale, lo, hi, out_dtype,
+                 th=_TH, tw=_TW):
     kx = [int(v) for v in kx]
     ky = [int(v) for v in ky]
     half = 1 << (shift - 1) if shift > 0 else 0
@@ -194,13 +192,13 @@ def _mac_compute(kx, ky, stride, shift, delta, scale, lo, hi, out_dtype):
         w = w.astype(jnp.int32)
         h = None
         for i, c in enumerate(kx):
-            t = w[:, i * stride:i * stride + _TW]
+            t = w[:, i * stride:i * stride + tw]
             if c != 1:
                 t = t * c
             h = t if h is None else h + t
         v = None
         for j, c in enumerate(ky):
-            t = h[j:j + _TH]
+            t = h[j:j + th]
             if c != 1:
                 t = t * c
             v = t if v is None else v + t
@@ -218,11 +216,11 @@ def _mac_compute(kx, ky, stride, shift, delta, scale, lo, hi, out_dtype):
 @functools.partial(
     jax.jit,
     static_argnames=("kx", "ky", "shift", "delta", "scale", "out_dtype",
-                     "border", "border_value", "interpret"))
+                     "border", "border_value", "interpret", "th", "tw"))
 def sep_filter_int(x, kx, ky, shift: int = 0, delta: int = 0,
                    scale=None, out_dtype=jnp.uint8,
                    border: int = K.BORDER_DEFAULT, border_value=0,
-                   interpret: bool = False):
+                   interpret: bool = False, th: int = _TH, tw: int = _TW):
     """x: (N,H,W,C) u8.  Separable integer correlation with the full
     finishing chain:  acc = Σ ky ⊗ kx · x  (int32);
     shift>0 → (acc + 2^(shift-1)) >> shift;  +delta;
@@ -238,19 +236,20 @@ def sep_filter_int(x, kx, ky, shift: int = 0, delta: int = 0,
     info = np.iinfo(out_dtype)
 
     Wf = W * C
-    Hp = _round_up(H, _TH)
-    Wp = _round_up(Wf, _TW)
-    ih = _TH + _round_up(kh - 1, 8)
-    iw = _TW + _round_up((kw - 1) * C, 128)
+    Hp = _round_up(H, th)
+    Wp = _round_up(Wf, tw)
+    ih = th + _round_up(kh - 1, 8)
+    iw = tw + _round_up((kw - 1) * C, 128)
     xf = _pad_for_tiles(x, kw, kh, ax, ay, border, border_value, ih, iw,
-                        Hp, Wp)
-    NI, NJ = Hp // _TH, Wp // _TW
+                        Hp, Wp, th=th, tw=tw)
+    NI, NJ = Hp // th, Wp // tw
 
     compute = _mac_compute(kx, ky, C, shift, int(delta), scale,
-                           info.min, info.max, out_dtype)
-    out = _pallas_tiled(_scaffold(compute, ih, iw, NI, NJ), xf,
+                           info.min, info.max, out_dtype, th=th, tw=tw)
+    out = _pallas_tiled(_scaffold(compute, ih, iw, NI, NJ,
+                                  row_stride=th, col_stride=tw), xf,
                         N, NI, NJ, ih, iw, out_dtype,
-                        interpret=interpret)(xf)
+                        interpret=interpret, th=th, tw=tw)(xf)
     return out[:, :H, :Wf].reshape(N, H, W, C)
 
 
@@ -263,58 +262,6 @@ def sep_filter_u8(x, kx, ky, shift: int,
                           tuple(int(v) for v in ky), shift=shift,
                           out_dtype=jnp.uint8, border=border,
                           border_value=border_value, interpret=interpret)
-
-
-# ---------------------------------------------------------------------------
-# min/max kernels (rect-SE erode / dilate)
-# ---------------------------------------------------------------------------
-
-def _minmax_compute(kw, kh, stride, is_min):
-    op = jnp.minimum if is_min else jnp.maximum
-
-    def compute(w):
-        # Mosaic cannot legalize u8 vector min/max (arith.minui on i8
-        # vregs) — widen to int32 lanes and narrow at the end
-        w = w.astype(jnp.int32)
-        h = w[:, 0:_TW]
-        for i in range(1, kw):
-            h = op(h, w[:, i * stride:i * stride + _TW])
-        v = h[0:_TH]
-        for j in range(1, kh):
-            v = op(v, h[j:j + _TH])
-        return v.astype(jnp.uint8)
-
-    return compute
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("kw", "kh", "is_min", "border", "border_value",
-                     "interpret"))
-def sep_minmax_u8(x, kw: int, kh: int, is_min: bool,
-                  border: int = K.BORDER_CONSTANT, border_value=None,
-                  interpret: bool = False):
-    """Rectangular-SE erode (is_min) / dilate over (N,H,W,C) u8.
-
-    border_value=None resolves BORDER_CONSTANT to the reduction identity
-    (morphologyDefaultBorderValue semantics, morph.dispatch.cpp:113)."""
-    N, H, W, C = x.shape
-    ax, ay = kw // 2, kh // 2
-    if border_value is None:
-        border_value = 255 if is_min else 0
-    Wf = W * C
-    Hp = _round_up(H, _TH)
-    Wp = _round_up(Wf, _TW)
-    ih = _TH + _round_up(kh - 1, 8)
-    iw = _TW + _round_up((kw - 1) * C, 128)
-    xf = _pad_for_tiles(x, kw, kh, ax, ay, border, border_value, ih, iw,
-                        Hp, Wp)
-    NI, NJ = Hp // _TH, Wp // _TW
-    compute = _minmax_compute(kw, kh, C, is_min)
-    out = _pallas_tiled(_scaffold(compute, ih, iw, NI, NJ), xf,
-                        N, NI, NJ, ih, iw, jnp.uint8,
-                        interpret=interpret)(xf)
-    return out[:, :H, :Wf].reshape(N, H, W, C)
 
 
 # ---------------------------------------------------------------------------
@@ -360,7 +307,10 @@ def pyr_down_u8(x, border: int = K.BORDER_DEFAULT,
     dh, dw = (H + 1) // 2, (W + 1) // 2
     taps = (1, 4, 6, 4, 1)
     th = _TH
-    tw = 384 if C == 3 else _TW
+    # 256 (not the MAC kernels' 512): the (iw, tw) selection matrix must
+    # stay VMEM-resident and its matmul cost grows with iw·tw — measured
+    # 5.9 ms vs 12.3 ms at tw=512 for 1080p batch 32
+    tw = 384 if C == 3 else 256
 
     Hp = _round_up(dh, th)
     Wp = _round_up(dw * C, tw)
@@ -453,19 +403,6 @@ def _sep_filter_int_kernel(ctx, x, kx, ky):
         scale=ctx.get("scale"), out_dtype=ctx["out"],
         border=ctx.get("border", K.BORDER_DEFAULT),
         border_value=ctx.get("border_value", 0),
-        interpret=ctx.get("interpret", False))
-
-
-def _minmax_pred(ctx):
-    return _vmem_ok(ctx)
-
-
-@register("sep_minmax_u8", _minmax_pred)
-def _sep_minmax_u8_kernel(ctx, x):
-    return sep_minmax_u8(
-        x, ctx["kw"], ctx["kh"], ctx["is_min"],
-        border=ctx.get("border", K.BORDER_CONSTANT),
-        border_value=ctx.get("border_value"),
         interpret=ctx.get("interpret", False))
 
 

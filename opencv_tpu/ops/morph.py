@@ -108,19 +108,10 @@ def _morph_op(x, kernel, anchor, iterations, border_type, border_value,
     else:
         pad_val = 0
 
-    # dispatch ladder: fused VMEM sliding-min/max Pallas kernel for
-    # centered rect SEs on u8 (the common erode/dilate fast path)
-    if (is_rect and iterations <= 1 and dtype == np.uint8
-            and (ax, ay) == (kw // 2, kh // 2)):
-        from ..core.dispatch import lookup
-        kern = lookup("sep_minmax_u8", dtype="uint8", kw=kw, kh=kh,
-                      channels=x.shape[3], border=border_type,
-                      border_value=(int(pad_val)
-                                    if bt == K.BORDER_CONSTANT else None),
-                      is_min=is_erode)
-        if kern is not None:
-            return kern(x)
-
+    # No Pallas tier here by measurement: XLA fuses the log-doubling
+    # min/max chain into ~one pass (1.9 ms vs 2.6 ms for a VMEM kernel
+    # at 5x5 1080p batch 32 — Mosaic lacks u8 vector min/max, forcing
+    # int32 widening).  See kernels/README.md.
     op = jnp.minimum if is_erode else jnp.maximum
 
     def slide(v, k, axis):

@@ -82,29 +82,6 @@ def test_sep_filter_int_sobel_box():
             assert_exact(out[i, :, :, 0], ref, f"box k={k} img {i}")
 
 
-def test_sep_minmax_erode_dilate():
-    from opencv_tpu.kernels.sepfilter import sep_minmax_u8
-    import opencv_tpu.constants as K
-
-    rng = np.random.default_rng(5)
-    for C in (1, 3):
-        x = rng.integers(0, 256, (2, 60, 80, C), np.uint8)
-        for (kw, kh, is_min, border) in (
-                (3, 3, True, K.BORDER_CONSTANT),
-                (5, 5, False, K.BORDER_CONSTANT),
-                (9, 7, True, K.BORDER_REPLICATE)):
-            out = np.asarray(sep_minmax_u8(x, kw, kh, is_min,
-                                           border=border, interpret=True))
-            fn = cv2.erode if is_min else cv2.dilate
-            for i in range(2):
-                ref = fn(x[i] if C > 1 else x[i, :, :, 0],
-                         np.ones((kh, kw), np.uint8), borderType=border)
-                got = out[i] if C > 1 else out[i, :, :, 0]
-                assert_exact(got, ref,
-                             f"{'erode' if is_min else 'dilate'} "
-                             f"{kw}x{kh} C={C} b={border}")
-
-
 def test_pyr_down_kernel():
     from opencv_tpu.kernels.sepfilter import pyr_down_u8
 
