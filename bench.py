@@ -226,7 +226,7 @@ def bench_tpu():
 
     # ---- config 5: ORB end-to-end, 1080p (batched device pipeline) ------
     def run5():
-        n_img = min(16, BATCH_1080)
+        n_img = min(32, BATCH_1080)
         imgs5 = g1080[:n_img, :, :, 0]
         orb = cv.ORB_create(nfeatures=500)
         orb.detect_and_compute_batch(imgs5)  # warm (compiles)
