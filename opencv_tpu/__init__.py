@@ -36,6 +36,8 @@ from .ops.warp import (
     warpAffine,
     warpPerspective,
     warpPolar,
+    linearPolar,
+    logPolar,
     WARP_POLAR_LINEAR,
     WARP_POLAR_LOG,
     remap,
@@ -84,6 +86,8 @@ from .ops.core_ops import (
     split, merge, flip, rotate, transpose,
     minMaxLoc, mean, meanStdDev, norm, countNonZero, sumElems,
     magnitude, phase, cartToPolar, polarToCart,
+    mixChannels, setIdentity, completeSymm, solveCubic, solvePoly,
+    PSNR, batchDistance,
 )
 from .ops import core_ops as _core_ops
 min = _core_ops.min  # noqa: A001 — cv2-compatible names
@@ -94,14 +98,15 @@ sqrt = _core_ops.sqrt
 pow = _core_ops.pow  # noqa: A001
 from .ops.contours import (
     findContours, contourArea, arcLength, boundingRect, minAreaRect,
-    boxPoints, convexHull, approxPolyDP, isContourConvex,
+    boxPoints, convexHull, convexityDefects, approxPolyDP,
+    isContourConvex,
     pointPolygonTest, minEnclosingCircle, fitEllipse, HuMoments,
     rotatedRectangleIntersection, intersectConvexConvex,
     minEnclosingTriangle, INTERSECT_NONE, INTERSECT_PARTIAL,
     INTERSECT_FULL,
 )
 from .ops.drawing import (
-    line, rectangle, circle, ellipse, polylines, fillPoly,
+    line, rectangle, circle, ellipse, ellipse2Poly, polylines, fillPoly,
     fillConvexPoly, drawContours, drawMarker, arrowedLine,
     drawKeypoints, drawMatches,
     putText, getTextSize, getFontScaleFromHeight,
@@ -122,6 +127,8 @@ from .ops.hough import (
     HoughLines, HoughLinesP, HoughCircles, HoughLinesPointSet,
     GeneralizedHoughBallard, createGeneralizedHoughBallard,
 )
+from .ops.linefit import fitLine  # noqa: E402,F401
+from .ops.colormap import applyColorMap  # noqa: E402,F401
 from .ops.misc import (
     getRectSubPix,
     matchShapes,
@@ -162,9 +169,14 @@ from .imgcodecs import (
     imwrite,
     imdecode,
     imencode,
+    imreadmulti,
+    imwritemulti,
+    imcount,
     IMREAD_COLOR,
     IMREAD_GRAYSCALE,
     IMREAD_UNCHANGED,
+    IMREAD_ANYDEPTH,
+    IMREAD_ANYCOLOR,
 )
 from .photo import (
     fastNlMeansDenoising,

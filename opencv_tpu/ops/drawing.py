@@ -472,3 +472,66 @@ def getFontScaleFromHeight(fontFace, pixelHeight, thickness=1):
     base_line = ascii_table[0] & 15
     cap_line = (ascii_table[0] >> 4) & 15
     return (pixelHeight - (thickness + 1) / 2.0) / (cap_line + base_line)
+
+
+# ------------------------------------------------------------ ellipse2Poly
+
+_SIN_TABLE = np.sin(np.deg2rad(np.arange(491))).astype(np.float32)
+
+
+def ellipse2Poly(center, axes, angle: int, arcStart: int, arcEnd: int,
+                 delta: int):
+    """`cv::ellipse2Poly` (imgproc/src/drawing.cpp): per-degree float32
+    sin-table sampling, cvRound to int points, consecutive duplicates
+    removed; degenerate arcs return the center twice."""
+    assert 0 < delta <= 180
+    angle = int(angle)
+    while angle < 0:
+        angle += 360
+    while angle > 360:
+        angle -= 360
+    arc_start, arc_end = int(arcStart), int(arcEnd)
+    if arc_start > arc_end:
+        arc_start, arc_end = arc_end, arc_start
+    while arc_start < 0:
+        arc_start += 360
+        arc_end += 360
+    while arc_end > 360:
+        arc_end -= 360
+        arc_start -= 360
+    if arc_end - arc_start > 360:
+        arc_start, arc_end = 0, 360
+    alpha = _SIN_TABLE[450 - angle]
+    beta = _SIN_TABLE[angle]
+    cx, cy = float(center[0]), float(center[1])
+    aw, ah = float(axes[0]), float(axes[1])
+    pts = []
+    prev = None
+    i = arc_start
+    while i < arc_end + delta:
+        a = min(i, arc_end)
+        if a < 0:
+            a += 360
+        x = aw * float(_SIN_TABLE[450 - a])
+        y = ah * float(_SIN_TABLE[a])
+        px = _cv_round(cx + x * float(alpha) - y * float(beta))
+        py = _cv_round(cy + x * float(beta) + y * float(alpha))
+        if (px, py) != prev:
+            pts.append((px, py))
+            prev = (px, py)
+        i += delta
+    if len(pts) == 1:
+        pts = [(int(round(cx)), int(round(cy)))] * 2
+    return np.asarray(pts, np.int32)
+
+
+def _cv_round(v: float) -> int:
+    """cvRound: round half to even."""
+    import builtins
+    f = math.floor(v)
+    d = v - f
+    if d < 0.5:
+        return int(f)
+    if d > 0.5:
+        return int(f) + 1
+    return int(f) + (int(f) & 1)

@@ -1093,3 +1093,19 @@ def _fast_atan2_deg(y, x):
     a = _np.where(x < 0, f32(180) - a, a).astype(f32)
     a = _np.where(y < 0, f32(360) - a, a).astype(f32)
     return a
+
+
+def linearPolar(src, center, maxRadius, flags):
+    """`cv::linearPolar` (imgwarp.cpp:3848) — warpPolar without LOG."""
+    img = np.asarray(src)
+    dsize = (img.shape[1], img.shape[0])
+    return warpPolar(src, dsize, center, maxRadius,
+                     flags & ~WARP_POLAR_LOG)
+
+
+def logPolar(src, center, M, flags):
+    """`cv::logPolar` (imgwarp.cpp:3854): maxRadius = exp(w / M)."""
+    img = np.asarray(src)
+    dsize = (img.shape[1], img.shape[0])
+    maxR = np.exp(img.shape[1] / M) if M > 0 else 1.0
+    return warpPolar(src, dsize, center, maxR, flags | WARP_POLAR_LOG)
