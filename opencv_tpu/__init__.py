@@ -322,6 +322,11 @@ detail_CameraParams = detail.CameraParams
 detail_ImageFeatures = detail.ImageFeatures
 detail_MatchesInfo = detail.MatchesInfo
 from .objdetect import HOGDescriptor, QRCodeDetector, CascadeClassifier
+from .objdetect import QRCodeEncoder  # noqa: E402,F401
+
+
+def QRCodeEncoder_create(params=None):
+    return QRCodeEncoder.create(params)
 from .objdetect.hog import groupRectangles
 from .objdetect import aruco
 from . import ml
@@ -401,4 +406,6 @@ from .calib3d import (  # noqa: E402,F401
 from .features2d import (  # noqa: E402,F401
     BOWKMeansTrainer, BOWImgDescriptorExtractor,
     AffineFeature, AffineFeature_create,
+    evaluateFeatureDetector, computeRecallPrecisionCurve,
+    getRecall, getNearestPoint,
 )

@@ -29,3 +29,8 @@ KAZE_DIFF_WEICKERT = DIFF_WEICKERT
 KAZE_DIFF_CHARBONNIER = DIFF_CHARBONNIER
 from .bow import BOWKMeansTrainer, BOWImgDescriptorExtractor  # noqa: F401
 from .affine_feature import AffineFeature, AffineFeature_create  # noqa: F401
+
+from .evaluation import (  # noqa: E402,F401
+    evaluateFeatureDetector, computeRecallPrecisionCurve,
+    getRecall, getNearestPoint,
+)

@@ -5,6 +5,12 @@ from .classic import (  # noqa: F401
     ROW_SAMPLE, COL_SAMPLE,
 )
 from .svm import SVM, SVM_create  # noqa: F401
+from .svmsgd import SVMSGD  # noqa: F401
+
+
+def SVMSGD_create():
+    return SVMSGD.create()
+
 from .trees import (  # noqa: F401
     DTrees, DTrees_create, RTrees, RTrees_create, Boost, Boost_create,
 )

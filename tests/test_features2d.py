@@ -432,3 +432,40 @@ def test_orb_small_edge_threshold():
             assert da < 2.0, (key, omap[key].angle, k.angle)
             checked += 1
     assert checked > 0
+
+
+def test_evaluate_feature_detector():
+    """Detector repeatability (evaluation.cpp): identical keypoints under
+    the identity/translation homography must be fully repeatable; the
+    5.0 wheel removed the API so this is geometry-validated."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (120, 160), np.uint8)
+    kps = [tcv.KeyPoint(float(x), float(y), 16.0)
+           for x, y in rng.integers(30, 90, (12, 2))]
+    H = np.eye(3)
+    rep, n = tcv.evaluateFeatureDetector(img, img, H, kps, kps)
+    assert n == len(kps) and abs(rep - 1.0) < 1e-6, (rep, n)
+    # pure translation: shifted keypoints still correspond 1:1
+    H = np.array([[1, 0, 5.0], [0, 1, -3.0], [0, 0, 1]])
+    kps2 = [tcv.KeyPoint(k.pt[0] + 5.0, k.pt[1] - 3.0, 16.0) for k in kps]
+    rep, n = tcv.evaluateFeatureDetector(img, img, H, kps, kps2)
+    assert n == len(kps) and abs(rep - 1.0) < 1e-6, (rep, n)
+    # disjoint keypoints -> no correspondences
+    kps3 = [tcv.KeyPoint(k.pt[0] + 40.0, k.pt[1], 16.0) for k in kps]
+    rep, n = tcv.evaluateFeatureDetector(img, img, np.eye(3), kps, kps3)
+    assert n <= 2, n
+
+
+def test_recall_precision_curve():
+    class M:
+        def __init__(self, d):
+            self.distance = d
+    matches = [[M(0.1), M(0.5)], [M(0.2)], [M(0.3)]]
+    mask = [[1, 0], [1], [0]]
+    curve = tcv.computeRecallPrecisionCurve(matches, mask)
+    # sorted by distance: d=.1 ok, .2 ok, .3 bad, .5 bad
+    assert curve.shape == (4, 2)
+    assert np.allclose(curve[0], [0.0, 0.5])       # p=1, r=1/2
+    assert np.allclose(curve[1], [0.0, 1.0])       # p=1, r=1
+    assert np.allclose(curve[3], [0.5, 1.0])       # p=1/2
+    assert abs(tcv.getRecall(curve, 1.0) - 1.0) < 1e-6

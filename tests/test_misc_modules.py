@@ -280,3 +280,27 @@ def test_y4m_roundtrip():
         ya = cv2.cvtColor(a, cv2.COLOR_BGR2GRAY).astype(int)
         yb = cv2.cvtColor(b, cv2.COLOR_BGR2GRAY).astype(int)
         assert np.abs(ya - yb).mean() < 3
+
+
+def test_svmsgd():
+    """SVMSGD (ml/src/svmsgd.cpp): self-validated (the 5.0 wheel ships
+    no cv2.ml) — linearly separable data must be classified perfectly
+    by both SGD and ASGD, soft and hard margins."""
+    from opencv_tpu import ml
+    rng = np.random.default_rng(0)
+    n = 120
+    X = rng.normal(0, 1, (n, 2)).astype(np.float32)
+    w_true = np.array([1.5, -2.0], np.float32)
+    y = np.where(X @ w_true + 0.3 > 0, 1.0, -1.0).astype(np.float32)
+    # margin gap so the SGD iterates converge cleanly
+    keep = np.abs(X @ w_true + 0.3) > 0.4
+    X, y = X[keep], y[keep]
+    for t in (ml.SVMSGD.SGD, ml.SVMSGD.ASGD):
+        for m in (ml.SVMSGD.SOFT_MARGIN, ml.SVMSGD.HARD_MARGIN):
+            s = ml.SVMSGD_create()
+            s.setOptimalParameters(t, m)
+            assert s.train(X, 0, y)
+            _, pred = s.predict(X)
+            acc = float((pred.ravel() == y).mean())
+            assert acc >= 0.97, (t, m, acc)
+    assert s.getWeights().shape == (1, 2)

@@ -395,3 +395,31 @@ def test_haar_cascade_tilted_features():
     assert len(ours) >= 1, "smile cascade fires nowhere on a real mouth"
     flat = np.full((120, 120), 128, np.uint8)
     assert len(cc.detectMultiScale(flat, 1.1, 3)) == 0
+
+
+def test_qrcode_encoder_vs_cv2():
+    """Our QRCodeEncoder must be bit-exact with the reference encoder
+    (qrcode_encoder.cpp) across modes, versions and EC levels."""
+    import numpy as np
+    ours = tcv.QRCodeEncoder_create()
+    ref = cv2.QRCodeEncoder_create()
+    for text in ["HELLO WORLD 123", "1234567890", "lower case bytes!",
+                 "x" * 200, "9" * 60]:
+        assert np.array_equal(ours.encode(text), ref.encode(text)), text
+    for lvl in range(4):
+        wp = cv2.QRCodeEncoder.Params()
+        wp.correction_level = lvl
+        got = tcv.QRCodeEncoder(correction_level=lvl).encode("EC TEST 77")
+        assert np.array_equal(got, cv2.QRCodeEncoder_create(wp)
+                              .encode("EC TEST 77")), lvl
+
+
+def test_qrcode_encode_decode_roundtrip():
+    """Encode with ours, decode with the wheel's detector."""
+    import numpy as np
+    m = tcv.QRCodeEncoder_create().encode("ROUNDTRIP OK 99")
+    big = cv2.resize(m, None, fx=8, fy=8,
+                     interpolation=cv2.INTER_NEAREST)
+    det = cv2.QRCodeDetector()
+    txt, pts, _ = det.detectAndDecode(big)
+    assert txt == "ROUNDTRIP OK 99", txt
