@@ -478,6 +478,80 @@ def _einsum(ins, at):
     return jnp.einsum(at["equation"], *[_a(v) for v in ins])
 
 
+@op("Attention")
+def _attention(ins, at):
+    """Two dialects, both used by the reference stack:
+    - com.microsoft fused-QKV (dnn/src/layers/attention_layer.cpp):
+      inputs (x[B,S,Hin], W[Hin,q+k+v], bias) with qkv_hidden_sizes;
+      the effective score multiplier is 1/attr_scale, attr default
+      sqrt(q_head_size);
+    - ONNX opset-23 (the 5.0 wheel): inputs (Q, K, V[, mask]) as 4-D
+      (B, heads, S, D) or 3-D (B, S, hidden) + q_num_heads/kv_num_heads,
+      multiplier = attr scale, default 1/sqrt(head_size)."""
+    import math as _math
+    if len(ins) >= 3 and _a(ins[1]).ndim == 2 and "qkv_hidden_sizes" in at:
+        x = _a(ins[0]).astype(jnp.float32)        # (B, S, Hin)
+        W = _a(ins[1]).astype(jnp.float32)        # (Hin, q+k+v)
+        b = _a(ins[2]).astype(jnp.float32)
+        nh = int(at["num_heads"])
+        qkv = [int(v) for v in at["qkv_hidden_sizes"]]
+        qh = qkv[0] // nh
+        vh = (W.shape[1] - qkv[0] - qkv[1]) // nh
+        scale = 1.0 / float(at.get("scale", _math.sqrt(qh)))
+        B, S, _ = x.shape
+        g = x @ W + b
+        q = g[..., :qkv[0]].reshape(B, S, nh, qh).transpose(0, 2, 1, 3)
+        k = g[..., qkv[0]:qkv[0] + qkv[1]].reshape(B, S, nh, qh) \
+            .transpose(0, 2, 1, 3)
+        v = g[..., qkv[0] + qkv[1]:].reshape(B, S, nh, vh) \
+            .transpose(0, 2, 1, 3)
+    else:
+        q = _a(ins[0]).astype(jnp.float32)
+        k = _a(ins[1]).astype(jnp.float32)
+        v = _a(ins[2]).astype(jnp.float32)
+        three_d = q.ndim == 3
+        if three_d:
+            B, S, Hq = q.shape
+            nh = int(at.get("q_num_heads", 1))
+            knh = int(at.get("kv_num_heads", nh))
+            q = q.reshape(B, S, nh, Hq // nh).transpose(0, 2, 1, 3)
+            k = k.reshape(B, k.shape[1], knh, -1).transpose(0, 2, 1, 3)
+            v = v.reshape(B, v.shape[1], knh, -1).transpose(0, 2, 1, 3)
+        nh = q.shape[1]
+        qh = q.shape[3]
+        vh = v.shape[3]
+        B, S = q.shape[0], q.shape[2]
+        if k.shape[1] != nh:      # grouped-query: repeat kv heads
+            rep = nh // k.shape[1]
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
+        scale = float(at.get("scale", 1.0 / _math.sqrt(qh)))
+
+    scores = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                        preferred_element_type=jnp.float32) \
+        * jnp.float32(scale)
+    if len(ins) > 3 and ins[3] is not None:
+        mask = _a(ins[3])
+        if mask.dtype == jnp.bool_:
+            scores = jnp.where(mask, scores, -jnp.inf)
+        else:
+            scores = scores + mask.astype(jnp.float32)
+    if int(at.get("is_causal", 0)):
+        T = scores.shape[-1]
+        causal = jnp.tril(jnp.ones((scores.shape[-2], T), bool))
+        scores = jnp.where(causal, scores, -jnp.inf)
+    p = jax.nn.softmax(scores, axis=-1)
+    o = jnp.einsum("bhst,bhtd->bhsd", p, v,
+                   preferred_element_type=jnp.float32)
+    if "qkv_hidden_sizes" in at:
+        o = o.transpose(0, 2, 1, 3).reshape(B, S, -1)
+        if int(at.get("output_ndims", 3)) == 2:
+            o = o.reshape(B * S, -1)
+    elif _a(ins[0]).ndim == 3:
+        o = o.transpose(0, 2, 1, 3).reshape(B, S, -1)
+    return o
+
+
 # ---------------------------------------------------------- normalization
 
 @op("InstanceNormalization")

@@ -424,3 +424,32 @@ def test_onnx_roi_align_reference():
                             acc += bil(x[0, c], yy, xx)
                     ref[r, c, i, j] = acc / (sr*sr)
     np.testing.assert_allclose(y, ref, atol=1e-4)
+
+
+def test_attention_opset23_vs_cv2():
+    """ONNX opset-23 Attention (Q,K,V) — 4-D, causal, and 3-D headed
+    forms vs the wheel."""
+    from common import cv2
+    rng = np.random.default_rng(0)
+    B, nh, S, D = 1, 2, 5, 4
+    for attrs, shp in [({}, (B, nh, S, D)),
+                       ({"is_causal": 1}, (B, nh, S, D)),
+                       ({"q_num_heads": nh, "kv_num_heads": nh},
+                        (B, S, nh * D))]:
+        m = _model([("q", shp), ("k", shp), ("v", shp)], [("y", shp)],
+                   [_node("Attention", ["q", "k", "v"], ["y"], **attrs)],
+                   [])
+        p = _save(m, tempfile.mktemp(suffix=".onnx"))
+        q, k, v = (rng.normal(0, 1, shp).astype(np.float32)
+                   for _ in range(3))
+        net = cv2.dnn.readNetFromONNX(p)
+        net.setInput(q, "q")
+        net.setInput(k, "k")
+        net.setInput(v, "v")
+        ref = net.forward()
+        ours = dnn.readNetFromONNX(p)
+        ours.setInput(q, "q")
+        ours.setInput(k, "k")
+        ours.setInput(v, "v")
+        got = np.asarray(ours.forward())
+        assert np.allclose(got, ref, atol=1e-5), attrs
