@@ -634,6 +634,19 @@ class AKAZE:
     def detectAndCompute(self, image, mask=None):
         return self._run(image, mask, need_desc=True)
 
+    def detect_and_compute_batch(self, images):
+        """(B, H, W) batch → list of (keypoints, descriptors).
+
+        AKAZE's FED diffusion steps and sparse tails are data-dependent
+        per image, so batching here amortizes the shape-keyed jitted
+        programs (compiled once, reused for every image) rather than
+        fusing images into one dispatch; results match detectAndCompute
+        exactly."""
+        imgs = np.asarray(images)
+        if imgs.ndim == 2:
+            imgs = imgs[None]
+        return [self._run(im, None, need_desc=True) for im in imgs]
+
     def _prepare(self, image):
         img = np.asarray(image)
         if img.ndim == 3:

@@ -179,6 +179,15 @@ class BRISK:
         kps = self.detect(image, mask)
         return self.compute(image, kps)
 
+    def detect_and_compute_batch(self, images):
+        """(B, H, W) batch → list of (keypoints, descriptors); reuses
+        the shape-keyed jitted pyramid/score programs across the batch
+        (results identical to detectAndCompute per image)."""
+        imgs = np.asarray(images)
+        if imgs.ndim == 2:
+            imgs = imgs[None]
+        return [self.detectAndCompute(im) for im in imgs]
+
     def descriptorSize(self):
         return len(_SHORT) // 8
 

@@ -128,6 +128,103 @@ class SIFT:
         dog = [[np.asarray(a) for a in octv] for octv in dog_d]
         return gpyr, dog, n_oct
 
+    # -------------------------------------------------- batched pipeline
+    def _build_pyramids_batch(self, gray4):
+        """(B, H, W, 1) f32 → whole-batch Gaussian+DoG pyramids AND the
+        per-layer extrema masks in ONE jitted program (ORB's
+        detect_and_compute_batch pattern: a single dispatch for the
+        device-heavy part, host tails per image)."""
+        B, H0, W0 = gray4.shape[0], gray4.shape[1], gray4.shape[2]
+        n_oct = max(int(np.rint(math.log2(min(H0 * 2, W0 * 2)) - 2)), 1)
+        key = ("batch", H0, W0)
+        thr = np.float32(0.5 * self.contrast / self.n_layers * 255)
+        if key not in self._pyr_cache:
+            sig_diff = math.sqrt(max(self.sigma ** 2
+                                     - 4 * _INIT_SIGMA ** 2, 0.01))
+            k = 2.0 ** (1.0 / self.n_layers)
+            sig = [self.sigma]
+            for i in range(1, self.n_layers + 3):
+                sp = self.sigma * (k ** (i - 1))
+                st = k * sp
+                sig.append(math.sqrt(st * st - sp * sp))
+            n_layers = self.n_layers
+
+            def build(g4):
+                base = resize(g4.astype(jnp.float32), None, 2.0, 2.0,
+                              K.INTER_LINEAR)
+                base = GaussianBlur(base, (0, 0), sig_diff, sig_diff)
+                gpyr = []
+                for o in range(n_oct):
+                    if o == 0:
+                        octv = [base]
+                    else:
+                        prev_top = gpyr[o - 1][n_layers]
+                        h, w = prev_top.shape[1], prev_top.shape[2]
+                        octv = [resize(prev_top, (w // 2, h // 2),
+                                       interpolation=K.INTER_NEAREST)]
+                    for i in range(1, n_layers + 3):
+                        octv.append(GaussianBlur(octv[-1], (0, 0),
+                                                 sig[i], sig[i]))
+                    gpyr.append(octv)
+                dog = [[octv[i + 1] - octv[i]
+                        for i in range(n_layers + 2)] for octv in gpyr]
+                vmask = jax.vmap(
+                    lambda p, c, n: _extrema_mask(p, c, n, thr))
+                masks = [[vmask(dog[o][li - 1][..., 0],
+                                dog[o][li][..., 0],
+                                dog[o][li + 1][..., 0])
+                          for li in range(1, n_layers + 1)]
+                         for o in range(n_oct)]
+                return gpyr, dog, masks
+
+            self._pyr_cache[key] = jax.jit(build)
+        return self._pyr_cache[key](jnp.asarray(gray4)), n_oct
+
+    def detect_and_compute_batch(self, images):
+        """(B, H, W) u8 batch → list of (keypoints, descriptors).
+
+        One fused device program builds every image's Gaussian + DoG
+        pyramid and extrema masks; the data-dependent tails (subpixel
+        refine, orientation histograms, descriptors) run per image on
+        the host exactly like detectAndCompute, so results match the
+        single-image path bit for bit."""
+        imgs = np.asarray(images)
+        if imgs.ndim == 2:
+            imgs = imgs[None]
+        B = imgs.shape[0]
+        g4 = imgs.astype(np.float32)[..., None]
+        (gpyr_d, dog_d, masks_d), n_oct = self._build_pyramids_batch(g4)
+        gpyr_np = [[np.asarray(a) for a in octv] for octv in gpyr_d]
+        dog_np = [[np.asarray(a) for a in octv] for octv in dog_d]
+        masks_np = [[np.asarray(m) for m in row] for row in masks_d]
+        thr = 0.5 * self.contrast / self.n_layers * 255
+
+        results = []
+        for b in range(B):
+            gpyr = [[a[b, :, :, 0] for a in octv] for octv in gpyr_np]
+            dog = [[a[b, :, :, 0] for a in octv] for octv in dog_np]
+            kps = []
+            for o in range(n_oct):
+                H, W = dog[o][0].shape
+                if H < 2 * _IMG_BORDER or W < 2 * _IMG_BORDER:
+                    continue
+                for li in range(1, self.n_layers + 1):
+                    m = masks_np[o][li - 1][b].copy()
+                    m[:_IMG_BORDER] = m[-_IMG_BORDER:] = False
+                    m[:, :_IMG_BORDER] = m[:, -_IMG_BORDER:] = False
+                    ys, xs = np.nonzero(m)
+                    for y0, x0 in zip(ys.tolist(), xs.tolist()):
+                        kp = self._refine(dog[o], o, li, y0, x0)
+                        if kp is None:
+                            continue
+                        kps.extend(self._orientations(gpyr[o], kp))
+            if self.nfeatures > 0 and len(kps) > self.nfeatures:
+                kps.sort(key=lambda q: -q.response)
+                kps = kps[:self.nfeatures]
+            desc = self._describe(gpyr, kps)
+            results.append((kps, desc))
+        return results
+
     # ------------------------------------------------------------- detect
     def detectAndCompute(self, image, mask=None):
         img = np.asarray(image)

@@ -469,3 +469,36 @@ def test_recall_precision_curve():
     assert np.allclose(curve[1], [0.0, 1.0])       # p=1, r=1
     assert np.allclose(curve[3], [0.5, 1.0])       # p=1/2
     assert abs(tcv.getRecall(curve, 1.0) - 1.0) < 1e-6
+
+
+def test_sift_batch_parity():
+    """SIFT.detect_and_compute_batch: one fused device program for the
+    batch pyramids must reproduce the single-image path exactly."""
+    rng = np.random.default_rng(1)
+    imgs = np.stack([
+        cv2.GaussianBlur(rng.integers(0, 256, (96, 128), np.uint8),
+                         (0, 0), 1.2) for _ in range(2)])
+    sift = tcv.SIFT_create(nfeatures=50)
+    batch = sift.detect_and_compute_batch(imgs)
+    for b in range(2):
+        kps1, d1 = sift.detectAndCompute(imgs[b])
+        kps2, d2 = batch[b]
+        assert len(kps1) == len(kps2)
+        p1 = sorted((k.pt[0], k.pt[1], k.angle) for k in kps1)
+        p2 = sorted((k.pt[0], k.pt[1], k.angle) for k in kps2)
+        assert np.allclose(np.array(p1), np.array(p2), atol=1e-4)
+        assert np.array_equal(np.sort(d1, axis=0), np.sort(d2, axis=0))
+
+
+def test_akaze_brisk_batch_parity():
+    rng = np.random.default_rng(2)
+    imgs = np.stack([
+        cv2.GaussianBlur(rng.integers(0, 256, (80, 96), np.uint8),
+                         (0, 0), 1.5) for _ in range(2)])
+    for det in (tcv.AKAZE_create(), tcv.BRISK_create(thresh=40)):
+        batch = det.detect_and_compute_batch(imgs)
+        for b in range(2):
+            kps1, d1 = det.detectAndCompute(imgs[b])
+            kps2, d2 = batch[b]
+            assert len(kps1) == len(kps2)
+            assert (d1 is None and d2 is None) or np.array_equal(d1, d2)
