@@ -319,8 +319,8 @@ def webp_decode(data: bytes):
         if tag == b"VP8L":
             return _vp8l_decode(body)
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy VP8 decode not implemented (VP8L lossless only)")
+            from .vp8 import vp8_decode
+            return vp8_decode(body)
         pos += 8 + size + (size & 1)
     raise ValueError("no image chunk in WebP")
 

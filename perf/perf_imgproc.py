@@ -111,30 +111,55 @@ _TMPL = None
 
 def run_tpu():
     global _TMPL
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(REPO, ".jax_cache"))
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import opencv_tpu as cv
     rng = np.random.default_rng(0)
     _TMPL = jax.device_put(
         rng.integers(0, 256, (32, 32), np.uint8))
     out = {}
+    # Steady-state method: K independent applications of the op inside
+    # ONE jitted program (one dispatch).  Per-dispatch tunnel latency was
+    # measured at 2-6 ms — single-op timings are floor-dominated and
+    # fluctuate 2x with tunnel state; the reference's harness likewise
+    # measures repeated steady-state iterations (ts_perf.cpp:1922).
+    K = int(os.environ.get("PERF_CHAIN", "6"))
     for name, (h, w, c), fn, _ in _cases():
         shape = (BATCH, h, w, c)
-        x = jax.device_put(rng.integers(0, 256, shape, np.uint8))
-        f = jax.jit(lambda v, fn=fn: fn(cv, v))
         try:
-            o = f(x)
+            xs = [jax.device_put(rng.integers(0, 256, shape, np.uint8))
+                  for _ in range(K)]
+
+            @jax.jit
+            def f(vs, fn=fn):
+                acc = None
+                for v in vs:
+                    r = fn(cv, v)
+                    r = r if r.ndim == 0 else r.astype(jnp.int32).sum()
+                    acc = r if acc is None else acc + r
+                return acc
+
+            o = f(xs)
             _sync(o)
             t0 = time.perf_counter()
             for _ in range(ITERS):
-                o = f(x)
+                o = f(xs)
             _sync(o)
-            dt = (time.perf_counter() - t0) / ITERS
+            dt = (time.perf_counter() - t0) / ITERS / K
             out[name] = BATCH * h * w / 1e6 / dt
         except Exception as e:  # keep the campaign alive per-op
             print(f"# {name}: {e}", file=sys.stderr)
             out[name] = None
-        del x
+        del xs
         print(f"tpu {name:36s} {out[name] and round(out[name], 1)}",
               file=sys.stderr)
     return out

@@ -440,3 +440,33 @@ def test_pam_cross_codec():
         ours = np.asarray(tcv.imdecode(
             np.frombuffer(bytes(buf2), np.uint8), tcv.IMREAD_UNCHANGED))
         assert np.array_equal(ours, img)
+
+
+def test_webp_lossy_vp8_decode_bitexact():
+    """Lossy VP8 decode must be BIT-EXACT with the reference's libwebp
+    path (grfmt_webp.cpp): same bool coder, tokens, predictors, loop
+    filter, fancy upsampler and fixed-point YUV->BGR."""
+    from opencv_tpu.imgcodecs.webp import webp_decode
+
+    rng = np.random.default_rng(0)
+    for (h, w) in [(16, 16), (17, 23), (64, 48), (33, 31)]:
+        img = cv2.GaussianBlur(
+            rng.integers(0, 256, (h, w, 3), np.uint8), (3, 3), 1)
+        for q in (10, 50, 90):
+            okr, buf = cv2.imencode(
+                ".webp", img, [int(cv2.IMWRITE_WEBP_QUALITY), q])
+            assert okr
+            ref = cv2.imdecode(buf, 1)
+            got = webp_decode(bytes(buf))
+            assert_exact(got, ref, f"{h}x{w} q={q}")
+
+
+def test_webp_lossy_via_imdecode():
+    rng = np.random.default_rng(1)
+    img = cv2.GaussianBlur(rng.integers(0, 256, (40, 56, 3), np.uint8),
+                           (5, 5), 2)
+    okr, buf = cv2.imencode(".webp", img,
+                            [int(cv2.IMWRITE_WEBP_QUALITY), 80])
+    ref = cv2.imdecode(buf, 1)
+    got = np.asarray(tcv.imdecode(buf, tcv.IMREAD_COLOR))
+    assert_exact(got, ref, "lossy webp through imdecode")
