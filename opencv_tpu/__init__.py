@@ -409,3 +409,8 @@ from .features2d import (  # noqa: E402,F401
     evaluateFeatureDetector, computeRecallPrecisionCurve,
     getRecall, getNearestPoint,
 )
+
+
+# TPU-native fused fast paths (no cv2 equivalent; the production
+# preprocess entry — one VMEM-resident Pallas pass instead of three ops)
+from .kernels import fused_gray_gauss5_down2 as fusedPreprocessGrayBlurDown2  # noqa: E402,F401

@@ -49,60 +49,69 @@ def _cases():
     def s(x):
         return x.astype(jnp.int32).sum()
 
+    # mode: "chain" feeds the (same-shape u8) output back K times in one
+    # jit; "indep" applies the op to K independent inputs in one jit
+    # (pure-XLA ops only — K pallas_calls in one program compile
+    # pathologically through the tunnel AOT service); "single" is one
+    # application per dispatch.
     return [
         ("cvtColor BGR2GRAY 1080p", (1080, 1920, 3),
          lambda cv, x: s(cv.cvtColor(x, cv.COLOR_BGR2GRAY)),
-         "cv2.cvtColor(im, cv2.COLOR_BGR2GRAY)"),
+         "cv2.cvtColor(im, cv2.COLOR_BGR2GRAY)", "indep"),
         ("cvtColor BGR2HSV 1080p", (1080, 1920, 3),
-         lambda cv, x: s(cv.cvtColor(x, cv.COLOR_BGR2HSV)),
-         "cv2.cvtColor(im, cv2.COLOR_BGR2HSV)"),
+         lambda cv, x: cv.cvtColor(x, cv.COLOR_BGR2HSV),
+         "cv2.cvtColor(im, cv2.COLOR_BGR2HSV)", "chain"),
         ("GaussianBlur 5x5 1080p", (1080, 1920, 3),
-         lambda cv, x: s(cv.GaussianBlur(x, (5, 5), 0)),
-         "cv2.GaussianBlur(im, (5, 5), 0)"),
+         lambda cv, x: cv.GaussianBlur(x, (5, 5), 0),
+         "cv2.GaussianBlur(im, (5, 5), 0)", "chain"),
         ("boxFilter 9x9 1080p", (1080, 1920, 1),
-         lambda cv, x: s(cv.boxFilter(x, -1, (9, 9))),
-         "cv2.boxFilter(im, -1, (9, 9))"),
+         lambda cv, x: cv.boxFilter(x, -1, (9, 9)),
+         "cv2.boxFilter(im, -1, (9, 9))", "chain"),
         ("resize LINEAR 4K->1080p", (2160, 3840, 3),
          lambda cv, x: s(cv.resize(x, (1920, 1080),
                                    interpolation=cv.INTER_LINEAR)),
-         "cv2.resize(im, (1920, 1080), interpolation=cv2.INTER_LINEAR)"),
+         "cv2.resize(im, (1920, 1080), interpolation=cv2.INTER_LINEAR)",
+         "indep"),
         ("resize AREA 4K->1080p", (2160, 3840, 3),
          lambda cv, x: s(cv.resize(x, (1920, 1080),
                                    interpolation=cv.INTER_AREA)),
-         "cv2.resize(im, (1920, 1080), interpolation=cv2.INTER_AREA)"),
+         "cv2.resize(im, (1920, 1080), interpolation=cv2.INTER_AREA)",
+         "indep"),
         ("resize CUBIC 4K->1080p", (2160, 3840, 3),
          lambda cv, x: s(cv.resize(x, (1920, 1080),
                                    interpolation=cv.INTER_CUBIC)),
-         "cv2.resize(im, (1920, 1080), interpolation=cv2.INTER_CUBIC)"),
+         "cv2.resize(im, (1920, 1080), interpolation=cv2.INTER_CUBIC)",
+         "indep"),
         ("warpAffine LINEAR 1080p", (1080, 1920, 3),
-         lambda cv, x: s(cv.warpAffine(x, M, (1920, 1080))),
-         "cv2.warpAffine(im, M, (1920, 1080))"),
+         lambda cv, x: cv.warpAffine(x, M, (1920, 1080)),
+         "cv2.warpAffine(im, M, (1920, 1080))", "chain"),
         ("warpPerspective LINEAR 1080p", (1080, 1920, 3),
-         lambda cv, x: s(cv.warpPerspective(x, P, (1920, 1080))),
-         "cv2.warpPerspective(im, P, (1920, 1080))"),
+         lambda cv, x: cv.warpPerspective(x, P, (1920, 1080)),
+         "cv2.warpPerspective(im, P, (1920, 1080))", "chain"),
         ("erode 5x5 1080p", (1080, 1920, 1),
-         lambda cv, x: s(cv.erode(x, se5)),
-         "cv2.erode(im, np.ones((5,5),np.uint8))"),
+         lambda cv, x: cv.erode(x, se5),
+         "cv2.erode(im, np.ones((5,5),np.uint8))", "chain"),
         ("pyrDown 1080p", (1080, 1920, 1),
          lambda cv, x: s(cv.pyrDown(x)),
-         "cv2.pyrDown(im)"),
+         "cv2.pyrDown(im)", "single"),
         ("Sobel dx 1080p", (1080, 1920, 1),
-         lambda cv, x: s(cv.Sobel(x, cv.CV_16S, 1, 0)),
-         "cv2.Sobel(im, cv2.CV_16S, 1, 0)"),
+         lambda cv, x: cv.Sobel(x, cv.CV_8U, 1, 0),
+         "cv2.Sobel(im, cv2.CV_8U, 1, 0)", "chain"),
         ("Canny 1080p", (1080, 1920, 1),
-         lambda cv, x: s(cv.Canny(x, 50, 150)),
-         "cv2.Canny(im, 50, 150)"),
+         lambda cv, x: cv.Canny(x, 50, 150)[..., None],
+         "cv2.Canny(im, 50, 150)", "chain"),
         ("matchTemplate CCOEFF_NORMED 1080p", (1080, 1920, 1),
          lambda cv, x: cv.matchTemplate(
              x, _TMPL, cv.TM_CCOEFF_NORMED).sum(),
-         "cv2.matchTemplate(im, tmpl, cv2.TM_CCOEFF_NORMED)"),
+         "cv2.matchTemplate(im, tmpl, cv2.TM_CCOEFF_NORMED)", "indep"),
         ("threshold OTSU 1080p", (1080, 1920, 1),
-         lambda cv, x: s(cv.threshold(x, 0, 255,
-                                      cv.THRESH_BINARY | cv.THRESH_OTSU)[1]),
-         "cv2.threshold(im, 0, 255, cv2.THRESH_BINARY | cv2.THRESH_OTSU)"),
+         lambda cv, x: cv.threshold(x, 0, 255,
+                                    cv.THRESH_BINARY | cv.THRESH_OTSU)[1],
+         "cv2.threshold(im, 0, 255, cv2.THRESH_BINARY | cv2.THRESH_OTSU)",
+         "chain"),
         ("equalizeHist 1080p", (1080, 1920, 1),
-         lambda cv, x: s(cv.equalizeHist(x)),
-         "cv2.equalizeHist(im)"),
+         lambda cv, x: cv.equalizeHist(x),
+         "cv2.equalizeHist(im)", "chain"),
     ]
 
 
@@ -132,34 +141,55 @@ def run_tpu():
     # measured at 2-6 ms — single-op timings are floor-dominated and
     # fluctuate 2x with tunnel state; the reference's harness likewise
     # measures repeated steady-state iterations (ts_perf.cpp:1922).
-    K = int(os.environ.get("PERF_CHAIN", "6"))
-    for name, (h, w, c), fn, _ in _cases():
+    K = int(os.environ.get("PERF_CHAIN", "4"))
+    for name, (h, w, c), fn, _, mode in _cases():
         shape = (BATCH, h, w, c)
+        xs = None
         try:
-            xs = [jax.device_put(rng.integers(0, 256, shape, np.uint8))
-                  for _ in range(K)]
+            if mode == "chain":
+                x0 = jax.device_put(rng.integers(0, 256, shape, np.uint8))
 
-            @jax.jit
-            def f(vs, fn=fn):
-                acc = None
-                for v in vs:
-                    r = fn(cv, v)
-                    r = r if r.ndim == 0 else r.astype(jnp.int32).sum()
-                    acc = r if acc is None else acc + r
-                return acc
+                @jax.jit
+                def f(v, fn=fn):
+                    for _ in range(K):
+                        v = fn(cv, v).reshape(v.shape).astype(v.dtype)
+                    return v.astype(jnp.int32).sum()
 
-            o = f(xs)
+                args = (x0,)
+                kk = K
+            elif mode == "indep":
+                xs = [jax.device_put(
+                    rng.integers(0, 256, shape, np.uint8))
+                    for _ in range(K)]
+
+                @jax.jit
+                def f(vs, fn=fn):
+                    acc = None
+                    for v in vs:
+                        r = fn(cv, v)
+                        r = r if r.ndim == 0 \
+                            else r.astype(jnp.int32).sum()
+                        acc = r if acc is None else acc + r
+                    return acc
+
+                args = (xs,)
+                kk = K
+            else:  # single
+                x0 = jax.device_put(rng.integers(0, 256, shape, np.uint8))
+                f = jax.jit(lambda v, fn=fn: fn(cv, v))
+                args = (x0,)
+                kk = 1
+            o = f(*args)
             _sync(o)
             t0 = time.perf_counter()
             for _ in range(ITERS):
-                o = f(xs)
+                o = f(*args)
             _sync(o)
-            dt = (time.perf_counter() - t0) / ITERS / K
+            dt = (time.perf_counter() - t0) / ITERS / kk
             out[name] = BATCH * h * w / 1e6 / dt
         except Exception as e:  # keep the campaign alive per-op
             print(f"# {name}: {e}", file=sys.stderr)
             out[name] = None
-        del xs
         print(f"tpu {name:36s} {out[name] and round(out[name], 1)}",
               file=sys.stderr)
     return out

@@ -157,3 +157,20 @@ def test_dispatch_registry_force_mode():
             os.environ["OPENCV_TPU_PALLAS"] = old
     assert_exact(got, ref, "dispatch force vs xla")
     assert_exact(got, cv2.GaussianBlur(x, (5, 5), 1.2), "vs cv2")
+
+
+def test_fused_preprocess_public_api():
+    """The fused preprocess kernel is a public fast path
+    (tcv.fusedPreprocessGrayBlurDown2) — bit-exact with the composed
+    cv2 chain."""
+    import opencv_tpu as tcv
+
+    rng = np.random.default_rng(9)
+    imgs = rng.integers(0, 256, (2, 64, 96, 3), np.uint8)
+    out = np.asarray(tcv.fusedPreprocessGrayBlurDown2(imgs, 1.1,
+                                                      interpret=True))
+    for i in range(2):
+        g = cv2.cvtColor(imgs[i], cv2.COLOR_BGR2GRAY)
+        b = cv2.GaussianBlur(g, (5, 5), 1.1)
+        r = cv2.resize(b, (48, 32), interpolation=cv2.INTER_AREA)
+        assert_exact(out[i], r, f"img {i}")
