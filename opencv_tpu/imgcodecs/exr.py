@@ -23,7 +23,7 @@ _PT_UINT, _PT_HALF, _PT_FLOAT = 0, 1, 2
 _PT_NP = {_PT_UINT: np.uint32, _PT_HALF: np.float16, _PT_FLOAT: np.float32}
 _PT_SIZE = {_PT_UINT: 4, _PT_HALF: 2, _PT_FLOAT: 4}
 
-_NO_COMP, _RLE, _ZIPS, _ZIP = 0, 1, 2, 3
+_NO_COMP, _RLE, _ZIPS, _ZIP, _PIZ = 0, 1, 2, 3, 4
 
 
 def _read_cstr(data, pos):
@@ -106,6 +106,8 @@ def exr_decode(data: bytes):
         lines_per_block = 1
     elif compression == _ZIP:
         lines_per_block = 16
+    elif compression == _PIZ:
+        lines_per_block = 32
     elif compression == _NO_COMP:
         lines_per_block = 1
     else:
@@ -122,6 +124,10 @@ def exr_decode(data: bytes):
         expect = rows * sum(_PT_SIZE[channels[i][1]] for i in range(nch)) * W
         if compression in (_ZIPS, _ZIP) and size < expect:
             raw = _exr_unpredict(zlib.decompress(raw))
+        elif compression == _PIZ and size < expect:
+            from .exr_piz import piz_uncompress
+            sizes = [_PT_SIZE[channels[i][1]] // 2 for i in ch_sorted]
+            raw = piz_uncompress(raw, rows, W, sizes)
         bp = 0
         for r in range(rows):
             for ci in ch_sorted:
@@ -160,7 +166,7 @@ def exr_encode(img, params=None) -> bytes:
                 half = int(p[i + 1]) == 1
             if p[i] == 49:   # IMWRITE_EXR_COMPRESSION
                 comp = int(p[i + 1])
-    if comp not in (_NO_COMP, _ZIPS, _ZIP):
+    if comp not in (_NO_COMP, _ZIPS, _ZIP, _PIZ):
         comp = _ZIP
     pt = _PT_HALF if half else _PT_FLOAT
     npdt = _PT_NP[pt]
@@ -198,7 +204,7 @@ def exr_encode(img, params=None) -> bytes:
     attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
     out += b"\x00"
 
-    lpb = 16 if comp == _ZIP else 1
+    lpb = 16 if comp == _ZIP else (32 if comp == _PIZ else 1)
     nblocks = -(-H // lpb)
     offset_table_pos = len(out)
     out += b"\x00" * (8 * nblocks)
@@ -213,6 +219,11 @@ def exr_encode(img, params=None) -> bytes:
                 payload += plane[y0 + r].astype(npdt).tobytes()
         if comp in (_ZIPS, _ZIP):
             cz = zlib.compress(_exr_predict(bytes(payload)), 6)
+            blk = cz if len(cz) < len(payload) else bytes(payload)
+        elif comp == _PIZ:
+            from .exr_piz import piz_compress
+            sizes = [_PT_SIZE[pt] // 2] * len(chans)
+            cz = piz_compress(bytes(payload), rows, W, sizes)
             blk = cz if len(cz) < len(payload) else bytes(payload)
         else:
             blk = bytes(payload)

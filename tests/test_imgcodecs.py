@@ -470,3 +470,33 @@ def test_webp_lossy_via_imdecode():
     ref = cv2.imdecode(buf, 1)
     got = np.asarray(tcv.imdecode(buf, tcv.IMREAD_COLOR))
     assert_exact(got, ref, "lossy webp through imdecode")
+
+
+def test_exr_piz_roundtrip():
+    """PIZ compression (ImfPizCompressor.cpp): wavelet+Huffman blocks
+    round-trip for HALF and FLOAT channels.  The 5.0 wheel ships no EXR
+    codec, so this is validated against the spec by round-trip plus
+    component-level wavelet/Huffman inversion tests."""
+    from opencv_tpu.imgcodecs.exr import exr_encode, exr_decode
+    from opencv_tpu.imgcodecs.exr_piz import _wav2, _huf_compress, \
+        _huf_uncompress
+
+    rng = np.random.default_rng(2)
+    img = np.cumsum(rng.normal(0, 0.1, (37, 53, 3)), axis=0) \
+        .astype(np.float32)
+    for half in (True, False):
+        data = exr_encode(img, [48, 1 if half else 2, 49, 4])
+        back = exr_decode(data)
+        ref = img.astype(np.float16).astype(np.float32) if half else img
+        assert np.array_equal(back, ref), ("half" if half else "float")
+    # gray + odd sizes
+    g = rng.normal(0, 1, (33, 31)).astype(np.float32)
+    assert np.array_equal(exr_decode(exr_encode(g, [49, 4])), g)
+    # component inversions
+    a = rng.integers(0, 1 << 14, 13 * 17).astype(np.uint16)
+    b = a.copy()
+    _wav2(b, 17, 1, 13, 17, (1 << 14) - 1, False)
+    _wav2(b, 17, 1, 13, 17, (1 << 14) - 1, True)
+    assert np.array_equal(a, b)
+    raw = rng.integers(0, 5000, 4096).astype(np.uint16)
+    assert np.array_equal(_huf_uncompress(_huf_compress(raw), 4096), raw)
