@@ -21,7 +21,7 @@ role G-API plays in the reference).
 from .constants import *  # noqa: F401,F403
 from . import constants as _K
 
-from .ops.color import cvtColor
+from .ops.color import cvtColor, cvtColorTwoPlane
 from .ops.filter import (
     getGaussianKernel,
     GaussianBlur,
@@ -61,13 +61,15 @@ from .ops.morph import (
     morphologyDefaultBorderValue,
 )
 from .ops.pyramids import pyrDown, pyrUp, buildPyramid
-from .ops.thresh import threshold, adaptiveThreshold
+from .ops.thresh import threshold, adaptiveThreshold, thresholdWithMask
 from .ops.integral import integral, integral2, integral3
 from .ops.corners import (
     cornerHarris,
     cornerMinEigenVal,
     cornerEigenValsAndVecs,
     goodFeaturesToTrack,
+    goodFeaturesToTrackWithQuality,
+    preCornerDetect,
 )
 from .ops.canny import Canny
 from .ops.templmatch import matchTemplate
@@ -108,7 +110,7 @@ from .ops.contours import (
 from .ops.drawing import (
     line, rectangle, circle, ellipse, ellipse2Poly, polylines, fillPoly,
     fillConvexPoly, drawContours, drawMarker, arrowedLine,
-    drawKeypoints, drawMatches,
+    drawKeypoints, drawMatches, drawMatchesKnn,
     putText, getTextSize, getFontScaleFromHeight,
 )
 from .ops.transform import (
@@ -128,6 +130,31 @@ from .ops.hough import (
     GeneralizedHoughBallard, createGeneralizedHoughBallard,
 )
 from .ops.linefit import fitLine  # noqa: E402,F401
+from .ops.core_ops import (  # noqa: E402,F401
+    hconcat, vconcat, repeat, reduce, reduceArgMax, reduceArgMin,
+    sort, sortIdx, findNonZero, hasNonZero, checkRange, patchNaNs,
+    extractChannel, insertChannel, copyTo, gemm, calcCovarMatrix,
+    divSpectrums, fastAtan2, cubeRoot, clipLine, flipND, transposeND,
+    REDUCE_SUM, REDUCE_AVG, REDUCE_MAX, REDUCE_MIN, REDUCE_SUM2,
+    SORT_EVERY_ROW, SORT_EVERY_COLUMN, SORT_ASCENDING, SORT_DESCENDING,
+    GEMM_1_T, GEMM_2_T, GEMM_3_T,
+    COVAR_SCRAMBLED, COVAR_NORMAL, COVAR_USE_AVG, COVAR_SCALE,
+    COVAR_ROWS, COVAR_COLS,
+)
+from .utils.system import (  # noqa: E402,F401
+    getTickCount, getTickFrequency, getCPUTickCount, getNumThreads,
+    setNumThreads, getThreadNum, getNumberOfCPUs, useOptimized,
+    setUseOptimized, checkHardwareSupport, getHardwareFeatureName,
+    getCPUFeaturesLine, getVersionMajor, getVersionMinor,
+    getVersionRevision, getVersionString, getBuildInformation,
+)
+from .calib3d.misc3d import (  # noqa: E402,F401
+    composeRT, decomposeEssentialMat, decomposeProjectionMatrix,
+    calibrationMatrixValues, drawFrameAxes, correctMatches,
+    getDefaultNewCameraMatrix, filterSpeckles, validateDisparity,
+    getValidDisparityROI, reprojectImageTo3D,
+    stereoRectifyUncalibrated, matMulDeriv, RQDecomp3x3,
+)
 from .ops.colormap import applyColorMap  # noqa: E402,F401
 from .ops.misc import (
     getRectSubPix,
@@ -169,6 +196,8 @@ from .imgcodecs import (
     imwrite,
     imdecode,
     imencode,
+    imdecodemulti,
+    imencodemulti,
     imreadmulti,
     imwritemulti,
     imcount,
@@ -188,6 +217,7 @@ from .photo import (
     createTonemapDrago,
     createTonemapReinhard,
     fastNlMeansDenoisingMulti,
+    fastNlMeansDenoisingColoredMulti,
     denoise_TVL1,
     createAlignMTB,
     createMergeRobertson,
@@ -265,6 +295,9 @@ from .video import (
     BackgroundSubtractorKNN,
     createBackgroundSubtractorKNN,
     calcOpticalFlowPyrLK,
+    buildOpticalFlowPyramid,
+    readOpticalFlow,
+    writeOpticalFlow,
     calcOpticalFlowFarneback,
     FarnebackOpticalFlow_create,
     KalmanFilter,

@@ -385,3 +385,39 @@ def imwritemulti(filename: str, imgs, params=None) -> bool:
     if len(imgs) == 1:
         return imwrite(filename, imgs[0], params)
     raise ValueError(f"multi-page write not supported for {ext}")
+
+
+def imdecodemulti(buf, flags: int = IMREAD_ANYCOLOR, mats=None,
+                  range_=None):
+    """`cv::imdecodemulti` — in-memory multi-page decode.  Returns
+    (ok, [imgs])."""
+    data = bytes(np.asarray(buf, np.uint8))
+    from .tiff import is_tiff, tiff_decode_all
+    pages = None
+    if is_tiff(data):
+        pages = tiff_decode_all(data)
+    if pages is None:
+        try:
+            one = imdecode(np.frombuffer(data, np.uint8), flags)
+        except ValueError:
+            return False, []
+        pages = [one] if one is not None else []
+    out = [_apply_read_flags(p, flags) for p in pages]
+    if range_ is not None:
+        out = out[range_[0]:range_[1]]
+    return (len(out) > 0), out
+
+
+def imencodemulti(ext: str, imgs, params=None):
+    """`cv::imencodemulti` — in-memory multi-page encode (TIFF)."""
+    imgs = list(imgs)
+    if not imgs:
+        return False, b""
+    ext = ext.lower()
+    if ext in (".tif", ".tiff"):
+        from .tiff import tiff_encode_multi
+        return True, np.frombuffer(tiff_encode_multi(imgs), np.uint8)
+    if len(imgs) == 1:
+        ok, buf = imencode(ext, imgs[0], params)
+        return ok, buf
+    return False, b""

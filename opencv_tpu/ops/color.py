@@ -1023,3 +1023,17 @@ def cvtColor(src, code: int, dstCn: int = 0):
     x, meta = to_batched(src)
     y = fn(x)
     return from_batched(y, meta)
+
+
+def cvtColorTwoPlane(ysrc, uvsrc, code: int):
+    """cv::cvtColorTwoPlane (color.cpp) — NV12/NV21 semi-planar YUV420
+    given as separate Y (H,W) and interleaved UV (H/2, W/2, 2) planes.
+    Reassembles the single-buffer layout and reuses the fused NV12/NV21
+    program (the device conversion is identical)."""
+    import numpy as _np
+    y = _np.asarray(ysrc)
+    uv = _np.asarray(uvsrc)
+    H, W = y.shape[:2]
+    buf = _np.concatenate([y.reshape(H, W),
+                           uv.reshape(H // 2, W)], axis=0)
+    return cvtColor(buf, code)

@@ -528,3 +528,269 @@ def batchDistance(src1, src2, dtype: int = -1, nidx=None,
         dist_out = np.take_along_axis(dist, order, axis=1)
         return dist_out, nidx_out
     return dist
+
+
+# --------------------------------------------------------------------------
+# core utility surface (round 3 sweep): concat/repeat/reduce/sort/
+# findNonZero/checkRange/patchNaNs/channel ops/gemm/covar/divSpectrums/
+# scalar math/clipLine (core/src/{matrix_ops,matmul,mathfuncs}.cpp)
+# --------------------------------------------------------------------------
+
+def hconcat(src):
+    return np.concatenate([np.asarray(s) for s in src], axis=1)
+
+
+def vconcat(src):
+    return np.concatenate([np.asarray(s) for s in src], axis=0)
+
+
+def repeat(src, ny: int, nx: int):
+    a = np.asarray(src)
+    reps = (ny, nx) + (1,) * (a.ndim - 2)
+    return np.tile(a, reps)
+
+
+REDUCE_SUM, REDUCE_AVG, REDUCE_MAX, REDUCE_MIN, REDUCE_SUM2 = 0, 1, 2, 3, 4
+
+
+def reduce(src, dim: int, rtype: int, dtype: int = -1):
+    a = np.asarray(src)
+    f64 = a.astype(np.float64)
+    if rtype == REDUCE_SUM:
+        r = f64.sum(axis=dim, keepdims=True)
+    elif rtype == REDUCE_AVG:
+        r = f64.mean(axis=dim, keepdims=True)
+    elif rtype == REDUCE_MAX:
+        r = a.max(axis=dim, keepdims=True)
+    elif rtype == REDUCE_MIN:
+        r = a.min(axis=dim, keepdims=True)
+    elif rtype == REDUCE_SUM2:
+        r = (f64 * f64).sum(axis=dim, keepdims=True)
+    else:
+        raise ValueError(rtype)
+    if rtype in (REDUCE_MAX, REDUCE_MIN):
+        return r
+    return r.astype(np.float32) if dtype in (-1, K.CV_32F) else r
+
+
+def reduceArgMax(src, axis: int, lastIndex: bool = False):
+    a = np.asarray(src)
+    if lastIndex:
+        flipped = np.flip(a, axis)
+        idx = a.shape[axis] - 1 - np.argmax(flipped, axis=axis)
+    else:
+        idx = np.argmax(a, axis=axis)
+    return np.expand_dims(idx.astype(np.int32), axis)
+
+
+def reduceArgMin(src, axis: int, lastIndex: bool = False):
+    a = np.asarray(src)
+    if lastIndex:
+        flipped = np.flip(a, axis)
+        idx = a.shape[axis] - 1 - np.argmin(flipped, axis=axis)
+    else:
+        idx = np.argmin(a, axis=axis)
+    return np.expand_dims(idx.astype(np.int32), axis)
+
+
+SORT_EVERY_ROW, SORT_EVERY_COLUMN = 0, 1
+SORT_ASCENDING, SORT_DESCENDING = 0, 16
+
+
+def _sort_axis(flags):
+    return 1 if not (flags & SORT_EVERY_COLUMN) else 0
+
+
+def sort(src, flags: int):  # noqa: A001
+    a = np.asarray(src)
+    ax = _sort_axis(flags)
+    r = np.sort(a, axis=ax)
+    if flags & SORT_DESCENDING:
+        r = np.flip(r, axis=ax)
+    return r
+
+
+def sortIdx(src, flags: int):
+    a = np.asarray(src)
+    ax = _sort_axis(flags)
+    r = np.argsort(a, axis=ax, kind="stable")
+    if flags & SORT_DESCENDING:
+        r = np.flip(r, axis=ax)
+    return r.astype(np.int32)
+
+
+def findNonZero(src):
+    a = np.asarray(src)
+    ys, xs = np.nonzero(a)
+    if len(ys) == 0:
+        return None
+    return np.stack([xs, ys], axis=1).astype(np.int32)
+
+
+def hasNonZero(src):
+    return bool(np.any(np.asarray(src)))
+
+
+def checkRange(a, quiet: bool = True, minVal=-np.inf, maxVal=np.inf,
+               pos=None):
+    arr = np.asarray(a, np.float64)
+    bad = ~((arr >= minVal) & (arr < maxVal))
+    ok = not bool(bad.any())
+    if not ok and not quiet:
+        raise ValueError("checkRange failed")
+    return ok
+
+
+def patchNaNs(a, val: float = 0.0):
+    arr = np.array(a, copy=True)
+    if arr.dtype.kind == "f":
+        arr[np.isnan(arr)] = val
+    return arr
+
+
+def extractChannel(src, coi: int):
+    a = np.atleast_3d(np.asarray(src))
+    return a[:, :, coi].copy()
+
+
+def insertChannel(src, dst, coi: int):
+    d = np.atleast_3d(np.asarray(dst)).copy()
+    d[:, :, coi] = np.asarray(src)
+    return d
+
+
+def copyTo(src, mask=None, dst=None):
+    a = np.asarray(src)
+    if mask is None:
+        return a.copy()
+    m = np.asarray(mask) != 0
+    if m.ndim < a.ndim:
+        m = m[..., None]
+    base = np.zeros_like(a) if dst is None else np.array(dst, copy=True)
+    return np.where(m, a, base)
+
+
+GEMM_1_T, GEMM_2_T, GEMM_3_T = 1, 2, 4
+
+
+def gemm(src1, src2, alpha, src3, beta, flags: int = 0):
+    a = np.asarray(src1, np.float64)
+    b = np.asarray(src2, np.float64)
+    if flags & GEMM_1_T:
+        a = a.T
+    if flags & GEMM_2_T:
+        b = b.T
+    r = alpha * (a @ b)
+    if src3 is not None and np.asarray(src3).size:
+        c = np.asarray(src3, np.float64)
+        if flags & GEMM_3_T:
+            c = c.T
+        r = r + beta * c
+    dt = np.asarray(src1).dtype
+    return r.astype(dt if dt.kind == "f" else np.float64)
+
+
+COVAR_SCRAMBLED, COVAR_NORMAL = 0, 1
+COVAR_USE_AVG, COVAR_SCALE, COVAR_ROWS, COVAR_COLS = 2, 4, 8, 16
+
+
+def calcCovarMatrix(samples, mean=None, flags: int = 0, ctype=6):
+    a = np.asarray(samples, np.float64)
+    if flags & COVAR_COLS:
+        a = a.T
+    n = a.shape[0]
+    if flags & COVAR_USE_AVG and mean is not None:
+        mu = np.asarray(mean, np.float64).reshape(1, -1)
+    else:
+        mu = a.mean(axis=0, keepdims=True)
+    d = a - mu
+    if flags & COVAR_SCRAMBLED and not (flags & COVAR_NORMAL):
+        cov = d @ d.T
+    else:
+        cov = d.T @ d
+    if flags & COVAR_SCALE:
+        cov = cov / n
+    return cov, mu.ravel()
+
+
+def divSpectrums(a, b, flags: int = 0, conjB: bool = False):
+    """CCS-format spectrum division (core/src/dxt.cpp divSpectrums) via
+    complex math on the CCS-packed arrays (matches mulSpectrums'
+    conventions in ops/transform.py)."""
+    from .transform import _to_complex, _from_complex
+    import jax.numpy as _jnp
+    A = _to_complex(_jnp.asarray(np.asarray(a, np.float32)))
+    B = _to_complex(_jnp.asarray(np.asarray(b, np.float32)))
+    if conjB:
+        B = _jnp.conj(B)
+    mag = B.real ** 2 + B.imag ** 2
+    mag = _jnp.where(mag == 0, 1.0, mag)
+    C = A * _jnp.conj(B) / mag
+    return np.asarray(_from_complex(C)).astype(np.asarray(a).dtype)
+
+
+def fastAtan2(y: float, x: float) -> float:
+    """cv::fastAtan2 — the reference's 7th-order polynomial in degrees."""
+    import math
+    P1 = 0.9997878412794807 * (180 / math.pi)
+    P3 = -0.3258083974640975 * (180 / math.pi)
+    P5 = 0.1555786518463281 * (180 / math.pi)
+    P7 = -0.04432655554792128 * (180 / math.pi)
+    ax, ay = abs(x), abs(y)
+    eps = 2.220446049250313e-16
+    c = ay / (ax + eps) if ax >= ay else ax / (ay + eps)
+    c2 = c * c
+    a = (((P7 * c2 + P5) * c2 + P3) * c2 + P1) * c
+    if ax < ay:
+        a = 90.0 - a
+    if x < 0:
+        a = 180.0 - a
+    if y < 0:
+        a = 360.0 - a
+    return float(np.float32(a))
+
+
+def cubeRoot(val: float) -> float:
+    v = float(val)
+    return float(np.float32(np.sign(v) * abs(v) ** (1.0 / 3.0)))
+
+
+def clipLine(imgRect, pt1, pt2):
+    """cv::clipLine (Liang-Barsky on the rect)."""
+    if len(imgRect) == 2:   # imgSize form
+        x0, y0, w, h = 0, 0, imgRect[0], imgRect[1]
+    else:
+        x0, y0, w, h = imgRect
+    x1, y1 = float(pt1[0]), float(pt1[1])
+    x2, y2 = float(pt2[0]), float(pt2[1])
+    xmin, ymin, xmax, ymax = x0, y0, x0 + w - 1, y0 + h - 1
+    t0, t1 = 0.0, 1.0
+    dx, dy = x2 - x1, y2 - y1
+    for p, q in ((-dx, x1 - xmin), (dx, xmax - x1),
+                 (-dy, y1 - ymin), (dy, ymax - y1)):
+        if p == 0:
+            if q < 0:
+                return False, tuple(map(int, pt1)), tuple(map(int, pt2))
+        else:
+            r = q / p
+            # NB: plain builtins — this module defines cv-style array
+            # max/min at module scope which would shadow them.
+            if p < 0:
+                t0 = r if r > t0 else t0
+            else:
+                t1 = r if r < t1 else t1
+    if t0 > t1:
+        return False, tuple(map(int, pt1)), tuple(map(int, pt2))
+    nx1 = int(round(x1 + t0 * dx))
+    ny1 = int(round(y1 + t0 * dy))
+    nx2 = int(round(x1 + t1 * dx))
+    ny2 = int(round(y1 + t1 * dy))
+    return True, (nx1, ny1), (nx2, ny2)
+
+
+def flipND(src, axis: int):
+    return np.flip(np.asarray(src), axis).copy()
+
+
+def transposeND(src, order):
+    return np.transpose(np.asarray(src), order).copy()

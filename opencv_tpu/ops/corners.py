@@ -23,7 +23,33 @@ from .filter import boxFilter
 from .morph import dilate
 
 __all__ = ["cornerHarris", "cornerMinEigenVal", "cornerEigenValsAndVecs",
-           "goodFeaturesToTrack", "good_features_response"]
+           "goodFeaturesToTrack", "goodFeaturesToTrackWithQuality",
+           "good_features_response", "preCornerDetect"]
+
+
+def preCornerDetect(src, ksize: int, borderType: int = K.BORDER_DEFAULT):
+    """cv::preCornerDetect (corner.cpp:672): Dx²·Dyy + Dy²·Dxx − 2·Dx·Dy·Dxy,
+    scaled by 1/(2^(ksize−1)·[255])³.  Pure fused VPU elementwise work on
+    top of five Sobel passes."""
+    x, meta = to_batched(src)
+    s = from_batched(x, "nhwc")
+    Dx, _ = to_batched(Sobel(s, K.CV_32F, 1, 0, ksize=ksize,
+                             borderType=borderType))
+    Dy, _ = to_batched(Sobel(s, K.CV_32F, 0, 1, ksize=ksize,
+                             borderType=borderType))
+    D2x, _ = to_batched(Sobel(s, K.CV_32F, 2, 0, ksize=ksize,
+                              borderType=borderType))
+    D2y, _ = to_batched(Sobel(s, K.CV_32F, 0, 2, ksize=ksize,
+                              borderType=borderType))
+    Dxy, _ = to_batched(Sobel(s, K.CV_32F, 1, 1, ksize=ksize,
+                              borderType=borderType))
+    factor = float(1 << (ksize - 1))
+    if x.dtype == jnp.uint8:
+        factor *= 255.0
+    factor = 1.0 / (factor * factor * factor)
+    out = (Dx * Dx * D2y + Dy * Dy * D2x - 2.0 * Dx * Dy * Dxy) \
+        * jnp.float32(factor)
+    return from_batched(out, meta)
 
 
 def _corner_cov(x, blockSize: int, ksize: int, borderType: int):
@@ -127,13 +153,9 @@ def good_features_response(src, maxCorners: int, qualityLevel: float,
     return eig, sel
 
 
-def goodFeaturesToTrack(image, maxCorners: int, qualityLevel: float,
-                        minDistance: float, mask=None, blockSize: int = 3,
-                        gradientSize: int = 3, useHarrisDetector: bool = False,
-                        k: float = 0.04):
-    """cv2-compatible GFTT. Returns an (N, 1, 2) float32 numpy array (the
-    greedy min-distance grid filter is a host tail, like the reference's
-    sequential pass)."""
+def _gftt_host_tail(image, maxCorners, qualityLevel, minDistance, mask,
+                    blockSize, gradientSize, useHarrisDetector, k):
+    """Shared host tail: returns (corners list [(x, y)], quality list)."""
     eig, sel = good_features_response(image, maxCorners, qualityLevel,
                                       blockSize, gradientSize,
                                       useHarrisDetector, k, mask)
@@ -142,7 +164,7 @@ def goodFeaturesToTrack(image, maxCorners: int, qualityLevel: float,
     ys, xs = np.nonzero(sel_np)
     vals = eig_np[ys, xs]
     order = np.argsort(-vals, kind="stable")
-    ys, xs = ys[order], xs[order]
+    ys, xs, vals = ys[order], xs[order], vals[order]
 
     H, W = eig_np.shape
     if minDistance >= 1:
@@ -151,8 +173,8 @@ def goodFeaturesToTrack(image, maxCorners: int, qualityLevel: float,
         gh = (H + cell - 1) // cell
         grid = [[[] for _ in range(gw)] for _ in range(gh)]
         md2 = minDistance * minDistance
-        out = []
-        for y, x in zip(ys.tolist(), xs.tolist()):
+        out, qual = [], []
+        for y, x, v in zip(ys.tolist(), xs.tolist(), vals.tolist()):
             gx, gy = x // cell, y // cell
             ok = True
             for yy in range(max(gy - 1, 0), min(gy + 2, gh)):
@@ -168,13 +190,45 @@ def goodFeaturesToTrack(image, maxCorners: int, qualityLevel: float,
             if ok:
                 grid[gy][gx].append((y, x))
                 out.append((x, y))
+                qual.append(v)
                 if maxCorners > 0 and len(out) >= maxCorners:
                     break
     else:
         out = list(zip(xs.tolist(), ys.tolist()))
+        qual = vals.tolist()
         if maxCorners > 0:
-            out = out[:maxCorners]
+            out, qual = out[:maxCorners], qual[:maxCorners]
+    return out, qual
 
+
+def goodFeaturesToTrack(image, maxCorners: int, qualityLevel: float,
+                        minDistance: float, mask=None, blockSize: int = 3,
+                        gradientSize: int = 3, useHarrisDetector: bool = False,
+                        k: float = 0.04):
+    """cv2-compatible GFTT. Returns an (N, 1, 2) float32 numpy array (the
+    greedy min-distance grid filter is a host tail, like the reference's
+    sequential pass)."""
+    out, _ = _gftt_host_tail(image, maxCorners, qualityLevel, minDistance,
+                             mask, blockSize, gradientSize,
+                             useHarrisDetector, k)
     if not out:
         return None
     return np.asarray(out, np.float32).reshape(-1, 1, 2)
+
+
+def goodFeaturesToTrackWithQuality(image, maxCorners: int,
+                                   qualityLevel: float, minDistance: float,
+                                   mask=None, corners=None,
+                                   qualityMeasure=None, blockSize: int = 3,
+                                   gradientSize: int = 3,
+                                   useHarrisDetector: bool = False,
+                                   k: float = 0.04):
+    """cv::goodFeaturesToTrack overload returning per-corner response
+    values (featureselect.cpp, quality output)."""
+    out, qual = _gftt_host_tail(image, maxCorners, qualityLevel,
+                                minDistance, mask, blockSize, gradientSize,
+                                useHarrisDetector, k)
+    if not out:
+        return None, None
+    return (np.asarray(out, np.float32).reshape(-1, 1, 2),
+            np.asarray(qual, np.float32).reshape(-1, 1))

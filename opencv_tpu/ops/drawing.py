@@ -535,3 +535,21 @@ def _cv_round(v: float) -> int:
     if d > 0.5:
         return int(f) + 1
     return int(f) + (int(f) & 1)
+
+
+def drawMatchesKnn(img1, keypoints1, img2, keypoints2, matches1to2,
+                   outImg=None, matchColor=None, singlePointColor=None,
+                   matchesMask=None, flags: int = 0):
+    """cv::drawMatches knn overload (draw.cpp): draws every match in each
+    k-NN bucket, honoring the per-bucket mask rows."""
+    flat, flat_mask = [], []
+    for i, bucket in enumerate(matches1to2):
+        for j, m in enumerate(bucket):
+            flat.append(m)
+            if matchesMask is not None:
+                row = matchesMask[i]
+                flat_mask.append(bool(row[j]) if j < len(row) else False)
+    return drawMatches(img1, keypoints1, img2, keypoints2, flat, outImg,
+                       matchColor, singlePointColor,
+                       flat_mask if matchesMask is not None else None,
+                       flags)

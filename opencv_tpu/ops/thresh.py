@@ -16,17 +16,21 @@ from .. import constants as K
 from ..core.arrays import to_batched, from_batched
 from ..core.fixedpoint import saturate_cast  # noqa: F401
 
-__all__ = ["threshold", "adaptiveThreshold"]
+__all__ = ["threshold", "adaptiveThreshold", "thresholdWithMask"]
 
 
 def _otsu_u8(x):
     """Otsu threshold on a u8 array (thresh.cpp getThreshVal_Otsu_8u)."""
-    N = x.size
     # f32 histogram math (f64 unavailable on TPU); counts are exact in f32
     # up to 16M pixels per histogram bin.
     from .hist import _hist_fixed
-    hist = _hist_fixed(x.astype(jnp.int32), 256).astype(jnp.float32)
-    scale = 1.0 / N
+    hist = _hist_fixed(x.astype(jnp.int32), 256)
+    return _otsu_from_hist(hist)
+
+
+def _otsu_from_hist(hist):
+    hist = jnp.asarray(hist).astype(jnp.float32)
+    scale = 1.0 / jnp.sum(hist)
     i = jnp.arange(256, dtype=jnp.float32)
     p = hist * scale
     mu = jnp.sum(i * p)
@@ -46,6 +50,11 @@ def _triangle_u8(x):
     when the peak sits closer to the left bound."""
     from .hist import _hist_fixed
     hist = _hist_fixed(x.astype(jnp.int32), 256)
+    return _triangle_from_hist(hist)
+
+
+def _triangle_from_hist(hist):
+    hist = jnp.asarray(hist)
     idx = jnp.arange(256)
     nz = hist > 0
     left = jnp.argmax(nz)
@@ -168,3 +177,34 @@ def adaptiveThreshold(src, maxValue: float, adaptiveMethod: int,
     else:
         y = jnp.where(diff > -idelta, 0, imaxval)
     return from_batched(y.astype(jnp.uint8), meta)
+
+
+def thresholdWithMask(src, dst, mask, thresh: float, maxval: float,
+                      type: int):
+    """cv::thresholdWithMask (cv2 5.x): #threshold applied only where
+    mask != 0; elsewhere dst pixels are left as-is.  OTSU/TRIANGLE
+    statistics are computed over the masked pixels only (validated
+    against the wheel; not present in the reference checkout)."""
+    a = np.asarray(src)
+    if mask is None or np.asarray(mask).size == 0:
+        return threshold(src, thresh, maxval, type)
+    m = np.asarray(mask) != 0
+    use_auto = bool(type & (K.THRESH_OTSU | K.THRESH_TRIANGLE))
+    if use_auto:
+        if a.dtype != np.uint8:
+            raise ValueError("OTSU/TRIANGLE require 8-bit input")
+        sel = a[m] if a.ndim == m.ndim else a[m, ...]
+        hist = np.bincount(sel.ravel(), minlength=256).astype(np.int64)
+        hj = jnp.asarray(hist)
+        if type & K.THRESH_OTSU:
+            tval = float(_otsu_from_hist(hj))
+        else:
+            tval = float(_triangle_from_hist(hj))
+        rv, out = threshold(src, tval, maxval, type & K.THRESH_MASK)
+        rv = tval
+    else:
+        rv, out = threshold(src, thresh, maxval, type)
+    out = np.asarray(out)
+    base = a if dst is None else np.asarray(dst)
+    mm = m if m.ndim == out.ndim else m[..., None]
+    return rv, np.where(mm, out, base).astype(a.dtype)

@@ -1,6 +1,6 @@
 from .denoise import (  # noqa: F401
     fastNlMeansDenoising, fastNlMeansDenoisingColored,
-    fastNlMeansDenoisingMulti, denoise_TVL1,
+    fastNlMeansDenoisingMulti, fastNlMeansDenoisingColoredMulti, denoise_TVL1,
 )
 from .hdr import (  # noqa: F401
     createMergeMertens, MergeMertens,

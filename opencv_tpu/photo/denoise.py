@@ -168,3 +168,24 @@ def fastNlMeansDenoisingMulti(srcImgs, imgToDenoiseIndex,
                 wsum = wgt if wsum is None else wsum + wgt
     out = acc / wsum
     return from_batched(saturate_cast(out, x.dtype), meta)
+
+
+def fastNlMeansDenoisingColoredMulti(srcImgs, imgToDenoiseIndex,
+                                     temporalWindowSize, h=3.0,
+                                     hColor=3.0, templateWindowSize=7,
+                                     searchWindowSize=21):
+    """Temporal colored NL-means (photo/src/denoising.cpp): convert the
+    window to CIELab, denoise the L sequence with h and the a/b
+    sequences with hColor via fastNlMeansDenoisingMulti, convert back."""
+    from ..ops.color import cvtColor
+
+    labs = [np.asarray(cvtColor(np.asarray(f), K.COLOR_BGR2Lab))
+            for f in srcImgs]
+    chans = []
+    for c, hc in ((0, h), (1, hColor), (2, hColor)):
+        seq = [lab[..., c] for lab in labs]
+        chans.append(np.asarray(fastNlMeansDenoisingMulti(
+            seq, imgToDenoiseIndex, temporalWindowSize, hc,
+            templateWindowSize, searchWindowSize)))
+    out = np.stack(chans, axis=-1).astype(np.uint8)
+    return cvtColor(out, K.COLOR_Lab2BGR)

@@ -5,6 +5,9 @@ from .bgsub import (  # noqa: F401
     createBackgroundSubtractorKNN,
 )
 from .lk import calcOpticalFlowPyrLK  # noqa: F401
+from .flow_utils import (  # noqa: F401
+    buildOpticalFlowPyramid, readOpticalFlow, writeOpticalFlow,
+)
 from .farneback import (  # noqa: F401
     calcOpticalFlowFarneback,
     FarnebackOpticalFlow_create,
