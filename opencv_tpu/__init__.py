@@ -102,7 +102,8 @@ from .ops.contours import (
     findContours, contourArea, arcLength, boundingRect, minAreaRect,
     boxPoints, convexHull, convexityDefects, approxPolyDP,
     isContourConvex,
-    pointPolygonTest, minEnclosingCircle, fitEllipse, HuMoments,
+    pointPolygonTest, minEnclosingCircle, fitEllipse, fitEllipseAMS,
+    fitEllipseDirect, approxPolyN, HuMoments,
     rotatedRectangleIntersection, intersectConvexConvex,
     minEnclosingTriangle, INTERSECT_NONE, INTERSECT_PARTIAL,
     INTERSECT_FULL,
@@ -123,10 +124,14 @@ from .ops.shape import (
     moments,
     connectedComponents,
     connectedComponentsWithStats,
+    connectedComponentsWithAlgorithm,
+    connectedComponentsWithStatsWithAlgorithm,
     distanceTransform,
+    distanceTransformWithLabels,
 )
 from .ops.hough import (
     HoughLines, HoughLinesP, HoughCircles, HoughLinesPointSet,
+    HoughLinesWithAccumulator,
     GeneralizedHoughBallard, createGeneralizedHoughBallard,
 )
 from .ops.linefit import fitLine  # noqa: E402,F401
@@ -135,6 +140,7 @@ from .ops.core_ops import (  # noqa: E402,F401
     sort, sortIdx, findNonZero, hasNonZero, checkRange, patchNaNs,
     extractChannel, insertChannel, copyTo, gemm, calcCovarMatrix,
     divSpectrums, fastAtan2, cubeRoot, clipLine, flipND, transposeND,
+    broadcast, finiteMask, solveLP,
     REDUCE_SUM, REDUCE_AVG, REDUCE_MAX, REDUCE_MIN, REDUCE_SUM2,
     SORT_EVERY_ROW, SORT_EVERY_COLUMN, SORT_ASCENDING, SORT_DESCENDING,
     GEMM_1_T, GEMM_2_T, GEMM_3_T,
@@ -147,6 +153,8 @@ from .utils.system import (  # noqa: E402,F401
     setUseOptimized, checkHardwareSupport, getHardwareFeatureName,
     getCPUFeaturesLine, getVersionMajor, getVersionMinor,
     getVersionRevision, getVersionString, getBuildInformation,
+    redirectError, getDefaultAlgorithmHint,
+    ALGO_HINT_DEFAULT, ALGO_HINT_ACCURATE, ALGO_HINT_APPROX,
 )
 from .calib3d.misc3d import (  # noqa: E402,F401
     composeRT, decomposeEssentialMat, decomposeProjectionMatrix,
@@ -197,6 +205,8 @@ from .imgcodecs import (
     imdecode,
     imencode,
     imdecodemulti,
+    haveImageReader,
+    haveImageWriter,
     imencodemulti,
     imreadmulti,
     imwritemulti,
@@ -260,6 +270,9 @@ from .calib3d import (
 )
 from .calib3d import StereoBM, StereoBM_create, StereoSGBM, StereoSGBM_create
 from .calib3d import estimateAffine2D, estimateAffinePartial2D, stereoRectify
+from .calib3d.geometry import (  # noqa: E402,F401
+    estimateTranslation2D, undistortImagePoints,
+)
 from .calib3d import (
     findEssentialMat, recoverPose, decomposeHomographyMat, solvePnPRansac,
     solveP3P,
@@ -332,6 +345,12 @@ from .videoio import (
 from .highgui import (
     imshow, waitKey, pollKey, namedWindow, destroyWindow,
     destroyAllWindows, WINDOW_NORMAL, WINDOW_AUTOSIZE,
+    moveWindow, resizeWindow, setMouseCallback, createTrackbar,
+    getTrackbarPos, setTrackbarPos, getWindowProperty,
+    setWindowProperty, waitKeyEx, startWindowThread, setWindowTitle,
+    getWindowImageRect, setTrackbarMin, setTrackbarMax, displayOverlay,
+    displayStatusBar, addText, createButton, selectROI, selectROIs,
+    currentUIFramework,
 )
 from . import dnn
 from . import videostab
@@ -365,6 +384,8 @@ from .objdetect import aruco
 from . import ml
 from .features2d import (
     KeyPoint,
+    KeyPoint_convert,
+    KeyPoint_overlap,
     FastFeatureDetector,
     FastFeatureDetector_create,
     AGAST,

@@ -1313,3 +1313,33 @@ def solveP3P(objectPoints, imagePoints, cameraMatrix, distCoeffs,
         rvecs.append(rv.reshape(3, 1))
         tvecs.append(t.reshape(3, 1))
     return len(rvecs), rvecs, tvecs
+
+
+def _translation_lsq(src, dst):
+    t = (dst - src).mean(axis=0)
+    return np.array([[1.0, 0.0, t[0]], [0.0, 1.0, t[1]]], np.float64)
+
+
+def estimateTranslation2D(from_, to, inliers=None, method=RANSAC,
+                          ransacReprojThreshold: float = 3.0,
+                          maxIters: int = 2000, confidence: float = 0.99,
+                          refineIters: int = 10):
+    """cv2.estimateTranslation2D: 2-dof translation via the same
+    RANSAC/LSQ harness as the affine estimators (1-point samples).
+    Returns the translation as a length-2 vector like the 5.x
+    binding."""
+    M, inl = _estimate_affine(from_, to, _translation_lsq, 1, method,
+                              ransacReprojThreshold, maxIters,
+                              confidence, refineIters)
+    if M is None:
+        return None, inl
+    return M[:, 2].copy(), inl
+
+
+def undistortImagePoints(src, cameraMatrix, distCoeffs, criteria=None):
+    """cv::undistortImagePoints: undistort back into PIXEL coordinates
+    (P = cameraMatrix)."""
+    crit = criteria if criteria is not None else (3, 5, 0.01)
+    out = undistortPoints(src, cameraMatrix, distCoeffs, R=None,
+                          P=cameraMatrix, criteria=crit)
+    return np.asarray(out, np.float32).reshape(np.asarray(src).shape)

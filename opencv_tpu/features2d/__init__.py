@@ -1,4 +1,4 @@
-from .keypoint import KeyPoint  # noqa: F401
+from .keypoint import KeyPoint, KeyPoint_convert, KeyPoint_overlap  # noqa: F401
 from .fast import FAST, FastFeatureDetector, FastFeatureDetector_create  # noqa: F401
 from .orb import ORB, ORB_create  # noqa: F401
 from .matchers import BFMatcher, FlannBasedMatcher, DMatch, hamming_distance_matrix  # noqa: F401

@@ -13,6 +13,10 @@ __all__ = ["imshow", "waitKey", "pollKey", "namedWindow", "destroyWindow",
            "destroyAllWindows", "moveWindow", "resizeWindow",
            "setMouseCallback", "createTrackbar", "getTrackbarPos",
            "setTrackbarPos", "getWindowProperty", "setWindowProperty",
+           "waitKeyEx", "startWindowThread", "setWindowTitle",
+           "getWindowImageRect", "setTrackbarMin", "setTrackbarMax",
+           "displayOverlay", "displayStatusBar", "addText", "createButton",
+           "selectROI", "selectROIs", "currentUIFramework",
            "WINDOW_NORMAL", "WINDOW_AUTOSIZE", "WND_PROP_VISIBLE"]
 
 WINDOW_NORMAL = 0
@@ -77,3 +81,68 @@ def getWindowProperty(winname, prop):
 
 def setWindowProperty(winname, prop, value):
     pass
+
+
+def waitKeyEx(delay=0):
+    return -1
+
+
+def startWindowThread():
+    return 0
+
+
+def setWindowTitle(winname, title):
+    pass
+
+
+def getWindowImageRect(winname):
+    img = _windows.get(winname)
+    if img is None:
+        return (0, 0, -1, -1)
+    return (0, 0, img.shape[1], img.shape[0])
+
+
+def setTrackbarMin(name, winname, minval):
+    pass
+
+
+def setTrackbarMax(name, winname, maxval):
+    pass
+
+
+def displayOverlay(winname, text, delayms=0):
+    pass
+
+
+def displayStatusBar(winname, text, delayms=0):
+    pass
+
+
+def addText(img, text, org, nameFont, pointSize=-1, color=None,
+            weight=0, style=0, spacing=0):
+    """Qt addText — headless: draw with the Hershey engine instead."""
+    from .ops.drawing import putText
+    sc = max(0.5, (pointSize if pointSize > 0 else 12) / 24.0)
+    return putText(img, text, org, 0, sc,
+                   color if color is not None else (0, 0, 0))
+
+
+def createButton(buttonName, onChange=None, userData=None,
+                 buttonType=0, initialButtonState=False):
+    pass
+
+
+def selectROI(windowName, img=None, showCrosshair=True,
+              fromCenter=False, printNotice=True):
+    """Headless: no interactive selection possible; returns an empty
+    rect like the reference does when selection is cancelled."""
+    return (0, 0, 0, 0)
+
+
+def selectROIs(windowName, img=None, showCrosshair=True,
+               fromCenter=False, printNotice=True):
+    return []
+
+
+def currentUIFramework():
+    return ""

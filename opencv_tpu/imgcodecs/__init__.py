@@ -1,3 +1,6 @@
-from .io import imread, imwrite, imdecode, imencode, \
-    imreadmulti, imwritemulti, imcount, imdecodemulti, imencodemulti, IMREAD_ANYDEPTH, IMREAD_ANYCOLOR, \
-    IMREAD_COLOR, IMREAD_GRAYSCALE, IMREAD_UNCHANGED  # noqa: F401
+from .io import (  # noqa: F401
+    imread, imwrite, imdecode, imencode,
+    imreadmulti, imwritemulti, imcount, imdecodemulti, imencodemulti,
+    haveImageReader, haveImageWriter, IMREAD_ANYDEPTH, IMREAD_ANYCOLOR,
+    IMREAD_COLOR, IMREAD_GRAYSCALE, IMREAD_UNCHANGED,
+)

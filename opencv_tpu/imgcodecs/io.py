@@ -421,3 +421,33 @@ def imencodemulti(ext: str, imgs, params=None):
         ok, buf = imencode(ext, imgs[0], params)
         return ok, buf
     return False, b""
+
+
+_READER_EXTS = (".png", ".bmp", ".dib", ".ppm", ".pgm", ".pnm", ".jpg",
+                ".jpeg", ".jpe", ".tif", ".tiff", ".gif", ".exr",
+                ".webp", ".hdr", ".pic", ".pam")
+_WRITER_EXTS = (".png", ".bmp", ".dib", ".ppm", ".pgm", ".pnm", ".jpg",
+                ".jpeg", ".jpe", ".tif", ".tiff", ".gif", ".exr",
+                ".webp", ".hdr", ".pam")
+
+
+def haveImageReader(filename: str) -> bool:
+    """cv::haveImageReader — true iff the file exists and a decoder
+    recognizes its content (the reference probes the file, not the
+    extension)."""
+    try:
+        with open(filename, "rb") as f:
+            head = f.read(16)
+    except OSError:
+        return False
+    sigs = (b"\x89PNG\r\n\x1a\n", b"BM", b"P5", b"P6", b"P7", b"\xff\xd8",
+            b"II*\x00", b"MM\x00*", b"GIF87a", b"GIF89a",
+            b"\x76\x2f\x31\x01", b"#?")
+    if any(head.startswith(s) for s in sigs):
+        return True
+    return head[:4] == b"RIFF" and head[8:12] == b"WEBP"
+
+
+def haveImageWriter(filename: str) -> bool:
+    """cv::haveImageWriter — extension-based encoder availability."""
+    return os.path.splitext(filename)[1].lower() in _WRITER_EXTS

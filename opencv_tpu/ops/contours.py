@@ -25,6 +25,7 @@ __all__ = ["findContours", "contourArea", "arcLength", "boundingRect",
            "isContourConvex", "pointPolygonTest", "minEnclosingCircle",
            "fitEllipse", "HuMoments", "rotatedRectangleIntersection",
            "intersectConvexConvex", "minEnclosingTriangle",
+           "fitEllipseAMS", "fitEllipseDirect", "approxPolyN",
            "INTERSECT_NONE", "INTERSECT_PARTIAL", "INTERSECT_FULL"]
 
 # Moore neighborhood in OpenCV's clockwise order starting East
@@ -699,3 +700,259 @@ def convexityDefects(contour, convexhull):
     if not defects:
         return np.zeros((0, 4), np.int32)
     return np.asarray(defects, np.int32).reshape(-1, 4)
+
+
+def _ellipse_box(pvec, Qv, l3_scale, c, scale, fmod_swap=True):
+    """Shared ellipse-parameter extraction (shapedescr.cpp tail of
+    fitEllipseAMS/Direct): center, axes, angle from the conic
+    coefficients in shifted/scaled coordinates."""
+    pa, pb, pc = pvec[0], pvec[1], pvec[2]
+    q0, q1, q2 = Qv
+    u1 = pc*q0*q0 - pb*q0*q1 + pa*q1*q1 + pb*pb*q2
+    u2 = pa*pc*q2
+    l1 = np.sqrt(pb*pb + (pa - pc)**2)
+    l2 = pa + pc
+    l3 = pb*pb - 4*pa*pc
+    p1 = 2*pc*q0 - pb*q1
+    p2 = 2*pa*q1 - pb*q0
+    x0 = p1/l3/scale + c[0]
+    y0 = p2/l3/scale + c[1]
+    a = np.sqrt(2.) * np.sqrt((u1 - 4.0*u2)/((l1 - l2)*l3))/scale
+    b = np.sqrt(2.) * np.sqrt(-1.0*((u1 - 4.0*u2)/((l1 + l2)*l3)))/scale
+    if pb == 0:
+        theta = 0.0 if pa < pc else np.pi/2.
+    else:
+        theta = np.pi/2. + 0.5*np.arctan2(pb, pa - pc)
+    w, h = 2.0*a, 2.0*b
+    if w > h:
+        w, h = h, w
+        ang = 90 + theta*180/np.pi     # AMS keeps the raw value here
+        if fmod_swap:
+            ang = np.fmod(ang, 180.0)  # Direct wraps it
+    else:
+        ang = np.fmod(theta*180/np.pi, 180.0)
+    return ((float(np.float32(x0)), float(np.float32(y0))),
+            (float(np.float32(w)), float(np.float32(h))),
+            float(np.float32(ang)))
+
+
+def _design_moments(pts, c, scale):
+    px = (pts[:, 0] - c[0]) * scale
+    py = (pts[:, 1] - c[1]) * scale
+    A = np.stack([px*px, px*py, py*py, px, py,
+                  np.ones_like(px)], axis=1)
+    return (A.T @ A) / len(pts)
+
+
+def fitEllipseAMS(points):
+    """cv::fitEllipseAMS (shapedescr.cpp:514) — Taubin's approximate
+    mean-square conic fit; falls back to fitEllipseDirect when the
+    solution is not elliptical (parabolic degeneracies)."""
+    pts = np.asarray(points, np.float64).reshape(-1, 2)
+    n = len(pts)
+    if n < 5:
+        raise ValueError("at least 5 points required")
+    c = pts.mean(axis=0)
+    s = np.abs(pts - c).sum()
+    scale = 100.0 / max(s, 1.1920929e-07)
+    D = _design_moments(pts, c, scale)
+    dnm = D[2, 5]*(D[0, 5] + D[2, 5]) - D[1, 5]*D[1, 5]
+    ddm = 4.*(D[0, 5] + D[2, 5])*(D[0, 5]*D[2, 5] - D[1, 5]*D[1, 5])
+    ddmm = 2.*(D[0, 5] + D[2, 5])*(D[0, 5]*D[2, 5] - D[1, 5]*D[1, 5])
+    M = np.zeros((5, 5))
+    M[0, 0] = ((-D[0, 0] + D[0, 2] + D[0, 5]**2)*D[1, 5]**2
+               + (-2*D[0, 1]*D[1, 5] + D[0, 5]*(D[0, 0] - D[0, 5]**2
+                                                + D[1, 5]**2))*D[2, 5]
+               + (D[0, 0] - D[0, 5]**2)*D[2, 5]**2) / ddm
+    M[0, 1] = (D[1, 5]**2*(-D[0, 1] + D[1, 2] + D[0, 5]*D[1, 5])
+               + (D[0, 1]*D[0, 5] - (D[0, 5]**2 + 2*D[1, 1])*D[1, 5]
+                  + D[1, 5]**3)*D[2, 5]
+               + (D[0, 1] - D[0, 5]*D[1, 5])*D[2, 5]**2) / ddm
+    M[0, 2] = (-2*D[1, 2]*D[1, 5]*D[2, 5]
+               - D[0, 5]*D[2, 5]**2*(D[0, 5] + D[2, 5]) + D[0, 2]*dnm
+               + D[1, 5]**2*(D[2, 2] + D[2, 5]*(D[0, 5] + D[2, 5])))/ddm
+    M[0, 3] = (D[1, 5]*(D[1, 5]*D[2, 3] - 2*D[1, 3]*D[2, 5])
+               + D[0, 3]*dnm) / ddm
+    M[0, 4] = (D[1, 5]*(D[1, 5]*D[2, 4] - 2*D[1, 4]*D[2, 5])
+               + D[0, 4]*dnm) / ddm
+    M[1, 0] = (-(D[0, 2]*D[0, 5]*D[1, 5])
+               + (2*D[0, 1]*D[0, 5] - D[0, 0]*D[1, 5])*D[2, 5])/ddmm
+    M[1, 1] = (-(D[0, 1]*D[1, 5]*D[2, 5])
+               + D[0, 5]*(-(D[1, 2]*D[1, 5]) + 2*D[1, 1]*D[2, 5]))/ddmm
+    M[1, 2] = (-(D[0, 2]*D[1, 5]*D[2, 5])
+               + D[0, 5]*(-(D[1, 5]*D[2, 2]) + 2*D[1, 2]*D[2, 5]))/ddmm
+    M[1, 3] = (-(D[0, 3]*D[1, 5]*D[2, 5])
+               + D[0, 5]*(-(D[1, 5]*D[2, 3]) + 2*D[1, 3]*D[2, 5]))/ddmm
+    M[1, 4] = (-(D[0, 4]*D[1, 5]*D[2, 5])
+               + D[0, 5]*(-(D[1, 5]*D[2, 4]) + 2*D[1, 4]*D[2, 5]))/ddmm
+    M[2, 0] = (-2*D[0, 1]*D[0, 5]*D[1, 5]
+               + (D[0, 0] + D[0, 5]**2)*D[1, 5]**2
+               + D[0, 5]*(-D[0, 5]**2 + D[1, 5]**2)*D[2, 5]
+               - D[0, 5]**2*D[2, 5]**2
+               + D[0, 2]*(-D[1, 5]**2 + D[0, 5]*(D[0, 5] + D[2, 5]))) / ddm
+    M[2, 1] = (D[0, 5]**2*(D[1, 2] - D[1, 5]*D[2, 5])
+               + D[1, 5]**2*(D[0, 1] - D[1, 2] + D[1, 5]*D[2, 5])
+               + D[0, 5]*(D[1, 2]*D[2, 5]
+                          + D[1, 5]*(-2*D[1, 1] + D[1, 5]**2
+                                     - D[2, 5]**2))) / ddm
+    M[2, 2] = (D[0, 5]**2*(D[2, 2] - D[2, 5]**2)
+               + D[1, 5]**2*(D[0, 2] - D[2, 2] + D[2, 5]**2)
+               + D[0, 5]*(-2*D[1, 2]*D[1, 5]
+                          + D[2, 5]*(D[1, 5]**2 + D[2, 2]
+                                     - D[2, 5]**2))) / ddm
+    M[2, 3] = (D[1, 5]**2*(D[0, 3] - D[2, 3]) + D[0, 5]**2*D[2, 3]
+               + D[0, 5]*(-2*D[1, 3]*D[1, 5] + D[2, 3]*D[2, 5])) / ddm
+    M[2, 4] = (D[1, 5]**2*(D[0, 4] - D[2, 4]) + D[0, 5]**2*D[2, 4]
+               + D[0, 5]*(-2*D[1, 4]*D[1, 5] + D[2, 4]*D[2, 5])) / ddm
+    M[3] = [D[0, 3], D[1, 3], D[2, 3], D[3, 3], D[3, 4]]
+    M[4] = [D[0, 4], D[1, 4], D[2, 4], D[3, 4], D[4, 4]]
+
+    if abs(np.linalg.det(M)) <= 1e-10:
+        return fitEllipse(points)   # singular → NoDirect fallback
+    w, V = np.linalg.eig(M)
+    w, V = w.real, V.real
+    norms = np.sqrt((V**2).sum(axis=0))
+    minpos = int(np.argmin(w * norms))
+    pv = V[:, minpos] / norms[minpos]
+    c5 = -pv[0]*D[0, 5] - pv[1]*D[1, 5] - pv[2]*D[2, 5]
+    co = [pv[0], pv[1], pv[2], pv[3], pv[4], c5]
+    bound = (-(co[2]*co[3]**2) + co[1]*co[3]*co[4]
+             - co[0]*co[4]**2) / (co[1]**2 - 4*co[0]*co[2])
+    is_ell = ((co[0] < 0 and co[2] < co[1]**2/(4.*co[0])
+               and co[5] > bound)
+              or (co[0] > 0 and co[2] > co[1]**2/(4.*co[0])
+                  and co[5] < bound))
+    if not is_ell:
+        return fitEllipseDirect(points)
+    return _ellipse_box(pv[:3], (pv[3], pv[4], c5), None, c, scale,
+                        fmod_swap=False)
+
+
+def fitEllipseDirect(points):
+    """cv::fitEllipseDirect (shapedescr.cpp:712) — Fitzgibbon's direct
+    least-squares conic fit with the 4ac−b²>0 ellipticity constraint."""
+    pts = np.asarray(points, np.float64).reshape(-1, 2)
+    n = len(pts)
+    if n < 5:
+        raise ValueError("at least 5 points required")
+    c = pts.mean(axis=0)
+    s = np.abs(pts - c).sum()
+    scale = 100.0 / max(s, 1.1920929e-07)
+    D = _design_moments(pts, c, scale)
+    TM = np.zeros((3, 3))
+    for r_, src in enumerate((0, 1, 2)):
+        TM[0, r_] = (D[src, 5]*D[3, 5]*D[4, 4] - D[src, 5]*D[3, 4]*D[4, 5]
+                     - D[src, 4]*D[3, 5]*D[5, 4] + D[src, 3]*D[4, 5]*D[5, 4]
+                     + D[src, 4]*D[3, 4]*D[5, 5] - D[src, 3]*D[4, 4]*D[5, 5])
+        TM[1, r_] = (D[src, 5]*D[3, 3]*D[4, 5] - D[src, 5]*D[3, 5]*D[4, 3]
+                     + D[src, 4]*D[3, 5]*D[5, 3] - D[src, 3]*D[4, 5]*D[5, 3]
+                     - D[src, 4]*D[3, 3]*D[5, 5] + D[src, 3]*D[4, 3]*D[5, 5])
+        TM[2, r_] = (D[src, 5]*D[3, 4]*D[4, 3] - D[src, 5]*D[3, 3]*D[4, 4]
+                     - D[src, 4]*D[3, 4]*D[5, 3] + D[src, 3]*D[4, 4]*D[5, 3]
+                     + D[src, 4]*D[3, 3]*D[5, 4] - D[src, 3]*D[4, 3]*D[5, 4])
+    Ts = (-(D[3, 5]*D[4, 4]*D[5, 3]) + D[3, 4]*D[4, 5]*D[5, 3]
+          + D[3, 5]*D[4, 3]*D[5, 4] - D[3, 3]*D[4, 5]*D[5, 4]
+          - D[3, 4]*D[4, 3]*D[5, 5] + D[3, 3]*D[4, 4]*D[5, 5])
+    M = np.zeros((3, 3))
+    for j in range(3):
+        M[0, j] = (D[2, j] + (D[2, 3]*TM[0, j] + D[2, 4]*TM[1, j]
+                              + D[2, 5]*TM[2, j])/Ts)/2.
+        M[1, j] = -D[1, j] - (D[1, 3]*TM[0, j] + D[1, 4]*TM[1, j]
+                              + D[1, 5]*TM[2, j])/Ts
+        M[2, j] = (D[0, j] + (D[0, 3]*TM[0, j] + D[0, 4]*TM[1, j]
+                              + D[0, 5]*TM[2, j])/Ts)/2.
+    if abs(np.linalg.det(M)) <= 1e-10:
+        return fitEllipse(points)
+    w, V = np.linalg.eig(M)
+    V = V.real
+    cond = 4.0*V[0]*V[2] - V[1]*V[1]
+    i = int(np.argmax(cond))
+    norm = np.sqrt((V[:, i]**2).sum())
+    if np.prod(np.where(V[:, i] < 0, -1, 1)) <= 0:
+        norm = -norm
+    pv = V[:, i] / norm
+    Qv = (TM @ pv) / Ts
+    return _ellipse_box(pv, (Qv[0], Qv[1], Qv[2]), None, c, scale)
+
+
+def approxPolyN(curve, nsides: int, epsilon_percentage: float = -1.0,
+                ensure_convex: bool = True):
+    """cv::approxPolyN (approx.cpp:959): greedy vertex-contraction
+    bounding-polygon approximation of a convex contour down to exactly
+    nsides vertices (or until the extra-area budget is exhausted)."""
+    import heapq
+    f32 = np.float32
+    a = np.asarray(curve)
+    int_out = a.dtype.kind in "iu"
+    if ensure_convex:
+        pts = convexHull(a.astype(np.float32).reshape(-1, 1, 2))
+        # match the reference hull's traversal orientation
+        pts = np.asarray(pts, np.float32).reshape(-1, 2)[::-1]
+    else:
+        if not isContourConvex(a):
+            raise ValueError("curve must be convex")
+        pts = a.astype(np.float32).reshape(-1, 2)
+    n = len(pts)
+    if n < nsides:
+        raise ValueError("need at least nsides points")
+    nxt = list(range(1, n)) + [0]
+    prv = [n - 1] + list(range(n - 1))
+    P = [(f32(x), f32(y)) for x, y in pts]
+    status = [1] * n   # 1 CALCULATED, 0 RECALCULATE, -1 REMOVED
+    size = n
+    max_extra = (f32(epsilon_percentage) * f32(contourArea(a))
+                 if epsilon_percentage != -1 else None)
+    extra = f32(0)
+
+    def recalc(v):
+        p = P[v]
+        q = P[nxt[v]]
+        e1 = P[prv[v]]
+        e2 = P[nxt[nxt[v]]]
+        ce = (f32(q[0] - p[0]), f32(q[1] - p[1]))
+        pe = (f32(p[0] - e1[0]), f32(p[1] - e1[1]))
+        ne = (f32(e2[0] - q[0]), f32(e2[1] - q[1]))
+        cross = f32(pe[0] * ne[1] - pe[1] * ne[0])
+        if abs(cross) < 1e-8:
+            return f32(np.finfo(np.float32).max), (f32(-1), f32(-1))
+        t = f32((ce[0] * ne[1] - ce[1] * ne[0]) / cross)
+        ix = f32(p[0] + pe[0] * t)
+        iy = f32(p[1] + pe[1] * t)
+        area = f32(0.5 * abs((q[0] - p[0]) * (iy - p[1])
+                             - (ix - p[0]) * (q[1] - p[1])))
+        return area, (ix, iy)
+
+    heap = []
+    if size > nsides:
+        for v in range(n):
+            ar, ipt = recalc(v)
+            heapq.heappush(heap, (ar, v, ipt))
+    while size > nsides and heap:
+        ar, v, ipt = heap[0]
+        if status[v] == -1:
+            heapq.heappop(heap)
+        elif status[v] == 0:
+            heapq.heappop(heap)
+            ar, ipt = recalc(v)
+            heapq.heappush(heap, (ar, v, ipt))
+            status[v] = 1
+        else:
+            if max_extra is not None:
+                extra = f32(extra + ar)
+                if extra > max_extra:
+                    break
+            size -= 1
+            P[v] = ipt
+            rem = nxt[v]
+            v2 = nxt[rem]
+            status[rem] = -1
+            status[v] = 0
+            status[v2] = 0
+            status[prv[v]] = 0
+            nxt[v] = v2
+            prv[v2] = v
+    out = [P[i] for i in range(n) if status[i] != -1]
+    arr = np.asarray(out, np.float32).reshape(-1, 1, 2)
+    if int_out:
+        arr = np.round(arr).astype(np.int32)
+    return arr

@@ -794,3 +794,64 @@ def flipND(src, axis: int):
 
 def transposeND(src, order):
     return np.transpose(np.asarray(src), order).copy()
+
+
+def broadcast(src, shape):
+    """cv::broadcast — numpy broadcasting to a 2D shape."""
+    a = np.asarray(src)
+    tgt = tuple(int(v) for v in np.asarray(shape).ravel())
+    return np.ascontiguousarray(np.broadcast_to(a, tgt))
+
+
+def finiteMask(src):
+    """cv::finiteMask — 255 where finite, 0 at NaN/Inf."""
+    a = np.asarray(src)
+    m = np.isfinite(a)
+    if m.ndim == 3:
+        m = m.all(axis=-1)
+    return (m.astype(np.uint8) * 255)
+
+
+def solveLP(Func, Constr, constr_eps=1e-12):
+    """cv::solveLP (core/src/lpsolver.cpp): maximize c·x subject to
+    A·x <= b, x >= 0 — dense two-phase simplex.  Returns
+    (status, x) with status in {0 single, 1 multiple, -1 unbounded,
+    -2 infeasible} like SOLVELP_*."""
+    c = np.asarray(Func, np.float64).ravel()
+    Ab = np.asarray(Constr, np.float64)
+    A, b = Ab[:, :-1], Ab[:, -1]
+    m, n = A.shape
+    # standard form with slacks: [A I][x s]^T = b
+    # self-contained Dantzig-rule tableau simplex
+    T = np.zeros((m + 1, n + m + 1))
+    T[:m, :n] = A
+    T[:m, n:n + m] = np.eye(m)
+    T[:m, -1] = b
+    T[m, :n] = -c
+    basis = list(range(n, n + m))
+    # phase 1 if any b < 0: flip rows (works because x>=0 with slack)
+    for i in range(m):
+        if T[i, -1] < 0:
+            return -2, None   # reference also rejects infeasible starts
+    for _ in range(10000):
+        j = int(np.argmin(T[m, :-1]))
+        if T[m, j] >= -1e-12:
+            break
+        col = T[:m, j]
+        if (col <= 1e-12).all():
+            return -1, None
+        ratios = np.where(col > 1e-12, T[:m, -1] / np.maximum(col, 1e-12),
+                          np.inf)
+        i = int(np.argmin(ratios))
+        T[i] /= T[i, j]
+        for r in range(m + 1):
+            if r != i:
+                T[r] -= T[r, j] * T[i]
+        basis[i] = j
+    x = np.zeros(n + m)
+    for i, bj in enumerate(basis):
+        x[bj] = T[i, -1]
+    # multiple solutions: a nonbasic structural var with zero red. cost
+    nonbasic = set(range(n)) - set(basis)
+    multi = any(abs(T[m, j]) < 1e-12 for j in nonbasic)
+    return (1 if multi else 0), x[:n].reshape(-1, 1)

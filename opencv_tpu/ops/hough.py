@@ -43,7 +43,8 @@ def _hough_accum(edges, rho: float, theta: float, min_theta, max_theta):
 
 def HoughLines(image, rho: float, theta: float, threshold: int,
                srn: float = 0, stn: float = 0,
-               min_theta: float = 0.0, max_theta: float = math.pi):
+               min_theta: float = 0.0, max_theta: float = math.pi,
+               _with_votes: bool = False):
     """Standard Hough line transform → (N, 1, 2) of (rho, theta)."""
     x, _ = to_batched(image)
     edges = x[0, :, :, 0] != 0
@@ -63,10 +64,26 @@ def HoughLines(image, rho: float, theta: float, threshold: int,
     for k in order:
         r = (ri[k] - (numrho - 1) / 2) * rho
         a = min_theta + ai[k] * theta
-        lines.append((r, a))
+        if _with_votes:
+            lines.append((r, a, votes[k]))
+        else:
+            lines.append((r, a))
     if not lines:
         return None
+    if _with_votes:   # the 5.x binding returns (N, 3) for this variant
+        return np.asarray(lines, np.float32).reshape(-1, 3)
     return np.asarray(lines, np.float32).reshape(-1, 1, 2)
+
+
+def HoughLinesWithAccumulator(image, rho: float, theta: float,
+                              threshold: int, srn: float = 0,
+                              stn: float = 0, min_theta: float = 0.0,
+                              max_theta: float = math.pi,
+                              use_edgeval: bool = False):
+    """cv::HoughLinesWithAccumulator — (rho, theta, votes) triples
+    (hough.cpp HoughLinesStandard with returnVotes)."""
+    return HoughLines(image, rho, theta, threshold, srn, stn,
+                      min_theta, max_theta, _with_votes=True)
 
 
 def HoughLinesP(image, rho: float, theta: float, threshold: int,

@@ -26,6 +26,7 @@ from .. import constants as K
 from ..core.arrays import to_batched, from_batched
 
 __all__ = ["moments", "connectedComponents", "connectedComponentsWithStats",
+           "distanceTransformWithLabels",
            "distanceTransform"]
 
 
@@ -301,3 +302,124 @@ def distanceTransform(src, distanceType: int, maskSize: int,
 
     d, _ = lax.while_loop(cond, body, (d0, jnp.asarray(True)))
     return from_batched(d.astype(jnp.float32), meta)
+
+
+def distanceTransformWithLabels(src, distanceType: int, maskSize: int,
+                                labelType: int = K.DIST_LABEL_CCOMP):
+    """cv::distanceTransform labeled overload (distransform.cpp:744 +
+    distanceTransformEx_5x5): 5×5 chamfer in 16.16 fixed point with
+    Voronoi label propagation.  Rows are processed sequentially but each
+    row is vectorized: upper-window candidates argmin in the reference's
+    check order, then the within-row chain is a running-min accumulate
+    (prefer-later on ties == the reference's strict-> update with the
+    row neighbor checked last).  Labels are bit-exact for
+    DIST_LABEL_PIXEL; DIST_LABEL_CCOMP matches up to the component
+    numbering of the seeding connectedComponents pass."""
+    a = np.asarray(src)
+    if a.ndim == 3:
+        a = a[:, :, 0]
+    H, W = a.shape
+    SHIFT = 16
+    m = {K.DIST_C: (1.0, 1.0, 2.0), K.DIST_L1: (1.0, 2.0, 3.0),
+         K.DIST_L2: (1.0, 1.4, 2.1969)}[distanceType]
+    HV = int(round(m[0] * (1 << SHIFT)))
+    DG = int(round(m[1] * (1 << SHIFT)))
+    LG = int(round(m[2] * (1 << SHIFT)))
+    DIST_MAX = (1 << 32) - 1 - LG
+
+    zero = a == 0
+    labels = np.zeros((H, W), np.int32)
+    if labelType == K.DIST_LABEL_CCOMP:
+        _n, lab = connectedComponents(zero.astype(np.uint8) * 255, 8)
+        labels = np.asarray(lab).astype(np.int32)
+        labels[~zero] = 0
+    else:
+        labels[zero] = np.arange(1, int(zero.sum()) + 1)
+
+    B = 2
+    dist = np.full((H + 2 * B, W + 2 * B), DIST_MAX, np.int64)
+    lab = np.zeros((H + 2 * B, W + 2 * B), np.int32)
+    js = np.arange(W, dtype=np.int64)
+
+    def _row_chain(cand, cl, step_w, reverse):
+        """tmp[j] = min(cand[j], tmp[j±1]+step_w), candidate wins ties;
+        running-min accumulate preferring the nearest previous index."""
+        if reverse:
+            cand, cl = cand[::-1], cl[::-1]
+        v = cand - js * step_w
+        mrun = np.minimum.accumulate(v)
+        marked = np.where(v == mrun, js, -1)
+        ksel = np.maximum.accumulate(marked)
+        out = mrun + js * step_w
+        outl = cl[ksel]
+        if reverse:
+            return out[::-1], outl[::-1]
+        return out, outl
+
+    # forward pass (top→bottom, candidates from the two rows above)
+    for i in range(H):
+        r, c = i + B, slice(B, B + W)
+        up1d, up1l = dist[r - 1], lab[r - 1]
+        up2d, up2l = dist[r - 2], lab[r - 2]
+        offs = [(up2d[B - 1:B - 1 + W], up2l[B - 1:B - 1 + W], LG),
+                (up2d[B + 1:B + 1 + W], up2l[B + 1:B + 1 + W], LG),
+                (up1d[B - 2:B - 2 + W], up1l[B - 2:B - 2 + W], LG),
+                (up1d[B - 1:B - 1 + W], up1l[B - 1:B - 1 + W], DG),
+                (up1d[B:B + W], up1l[B:B + W], HV),
+                (up1d[B + 1:B + 1 + W], up1l[B + 1:B + 1 + W], DG),
+                (up1d[B + 2:B + 2 + W], up1l[B + 2:B + 2 + W], LG)]
+        cands = np.stack([np.full(W, DIST_MAX, np.int64)]
+                         + [d + w for d, _l, w in offs])
+        clabs = np.stack([np.zeros(W, np.int32)]
+                         + [_l for _d, _l, _w in offs])
+        pick = np.argmin(cands, axis=0)   # first minimum == check order
+        cand = cands[pick, js]
+        cl = clabs[pick, js]
+        z = zero[i]
+        cand = np.where(z, 0, np.minimum(cand, DIST_MAX))
+        cl = np.where(z, labels[i], cl)
+        rowd, rowl = _row_chain(cand, cl, HV, reverse=False)
+        rowd = np.where(z, 0, rowd)
+        rowl = np.where(z, labels[i], rowl)
+        dist[r, c] = rowd
+        lab[r, c] = rowl
+
+    # backward pass (bottom→top, candidates from the two rows below)
+    for i in range(H - 1, -1, -1):
+        r, c = i + B, slice(B, B + W)
+        dn1d, dn1l = dist[r + 1], lab[r + 1]
+        dn2d, dn2l = dist[r + 2], lab[r + 2]
+        offs = [(dn2d[B + 1:B + 1 + W], dn2l[B + 1:B + 1 + W], LG),
+                (dn2d[B - 1:B - 1 + W], dn2l[B - 1:B - 1 + W], LG),
+                (dn1d[B + 2:B + 2 + W], dn1l[B + 2:B + 2 + W], LG),
+                (dn1d[B + 1:B + 1 + W], dn1l[B + 1:B + 1 + W], DG),
+                (dn1d[B:B + W], dn1l[B:B + W], HV),
+                (dn1d[B - 1:B - 1 + W], dn1l[B - 1:B - 1 + W], DG),
+                (dn1d[B - 2:B - 2 + W], dn1l[B - 2:B - 2 + W], LG)]
+        cands = np.stack([dist[r, c]] + [d + w for d, _l, w in offs])
+        clabs = np.stack([lab[r, c]] + [_l for _d, _l, _w in offs])
+        pick = np.argmin(cands, axis=0)   # current value checked first
+        cand = cands[pick, js]
+        cl = clabs[pick, js]
+        rowd, rowl = _row_chain(cand[::-1], cl[::-1], HV,
+                                reverse=False)
+        dist[r, c] = rowd[::-1]
+        lab[r, c] = rowl[::-1]
+
+    out = (dist[B:B + H, B:B + W].astype(np.float64)
+           / float(1 << SHIFT)).astype(np.float32)
+    return out, lab[B:B + H, B:B + W].copy()
+
+
+def connectedComponentsWithAlgorithm(image, connectivity: int, ltype: int,
+                                     ccltype: int):
+    """cv::connectedComponentsWithAlgorithm — the algorithm selector
+    (CCL_WU/GRANA/BOLELLI...) only changes the internal scan strategy in
+    the reference; the labeling contract is identical, and our device
+    label-propagation produces the same canonical first-touch order."""
+    return connectedComponents(image, connectivity, ltype)
+
+
+def connectedComponentsWithStatsWithAlgorithm(image, connectivity: int,
+                                              ltype: int, ccltype: int):
+    return connectedComponentsWithStats(image, connectivity, ltype)

@@ -90,3 +90,23 @@ def getBuildInformation() -> str:
         f"  Devices:          {len(jax.devices())}",
     ]
     return "\n".join(lines) + "\n"
+
+
+_error_handler = None
+
+
+def redirectError(onError=None):
+    """cv::redirectError — store (or clear) a custom error callback.
+    Errors in this package surface as Python exceptions, so the handler
+    is kept for API compatibility and invoked by ``error()``."""
+    global _error_handler
+    _error_handler = onError
+
+
+ALGO_HINT_DEFAULT = 0
+ALGO_HINT_ACCURATE = 1
+ALGO_HINT_APPROX = 2
+
+
+def getDefaultAlgorithmHint() -> int:
+    return ALGO_HINT_ACCURATE
