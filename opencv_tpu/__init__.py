@@ -207,6 +207,9 @@ from .imgcodecs import (
     imdecodemulti,
     haveImageReader,
     haveImageWriter,
+    Animation,
+    imreadanimation,
+    imwriteanimation,
     imencodemulti,
     imreadmulti,
     imwritemulti,
@@ -272,6 +275,22 @@ from .calib3d import StereoBM, StereoBM_create, StereoSGBM, StereoSGBM_create
 from .calib3d import estimateAffine2D, estimateAffinePartial2D, stereoRectify
 from .calib3d.geometry import (  # noqa: E402,F401
     estimateTranslation2D, undistortImagePoints,
+)
+from .threed import (  # noqa: E402,F401
+    loadPointCloud, savePointCloud, loadMesh, saveMesh,
+    depthTo3d, depthTo3dSparse, rescaleDepth, registerDepth, warpFrame,
+    triangleRasterize, triangleRasterizeColor, triangleRasterizeDepth,
+    TriangleRasterizeSettings,
+    RASTERIZE_CULLING_NONE, RASTERIZE_CULLING_CW, RASTERIZE_CULLING_CCW,
+    RASTERIZE_SHADING_WHITE, RASTERIZE_SHADING_FLAT,
+    RASTERIZE_SHADING_SHADED,
+    RASTERIZE_COMPAT_DISABLED, RASTERIZE_COMPAT_INVDEPTH,
+)
+from .calib3d.extended import (  # noqa: E402,F401
+    solvePnPGeneric, solvePnPRefineLM, solvePnPRefineVVS,
+    initCameraMatrix2D, calibrateCameraExtended, stereoCalibrateExtended,
+    filterHomographyDecompByVisibleRefpoints, checkChessboard,
+    find4QuadCornerSubpix, initInverseRectificationMap,
 )
 from .calib3d import (
     findEssentialMat, recoverPose, decomposeHomographyMat, solvePnPRansac,

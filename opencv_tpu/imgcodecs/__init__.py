@@ -1,6 +1,7 @@
 from .io import (  # noqa: F401
     imread, imwrite, imdecode, imencode,
     imreadmulti, imwritemulti, imcount, imdecodemulti, imencodemulti,
-    haveImageReader, haveImageWriter, IMREAD_ANYDEPTH, IMREAD_ANYCOLOR,
+    haveImageReader, haveImageWriter, Animation, imreadanimation,
+    imwriteanimation, IMREAD_ANYDEPTH, IMREAD_ANYCOLOR,
     IMREAD_COLOR, IMREAD_GRAYSCALE, IMREAD_UNCHANGED,
 )

@@ -256,3 +256,143 @@ def gif_encode(img) -> bytes:
     out.append(0)
     out.append(0x3B)
     return bytes(out)
+
+
+def gif_decode_all(data: bytes):
+    """All frames (BGR, full-canvas composited) + per-frame durations in
+    ms + loop count.  Disposal: 2 restores background (zeros), 3 falls
+    back to previous (treated as 1), else leave-in-place."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    W, H, flags, bg, _ = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+
+    frames, durations = [], []
+    loop_count = 0
+    canvas = np.zeros((H, W, 3), np.uint8)
+    transparent = None
+    duration = 100
+    disposal = 0
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9:
+                sz = data[pos]
+                gflags = data[pos + 1]
+                delay = struct.unpack_from("<H", data, pos + 2)[0]
+                duration = delay * 10
+                disposal = (gflags >> 2) & 7
+                transparent = data[pos + 4] if gflags & 1 else None
+                pos += sz + 1
+            elif label == 0xFF:   # application ext (NETSCAPE loop)
+                sz = data[pos]
+                app = data[pos + 1:pos + 1 + sz]
+                p2 = pos + 1 + sz
+                if app[:8] == b"NETSCAPE" and data[p2] >= 3:
+                    stored = struct.unpack_from("<H", data, p2 + 2)[0]
+                    # GIF stores additional repetitions; cv::Animation
+                    # counts total loops (0 = infinite)
+                    loop_count = stored + 1 if stored > 0 else 0
+                pos = p2
+            while data[pos] != 0:
+                pos += data[pos] + 1
+            pos += 1
+        elif b0 == 0x2C:
+            x0, y0, iw, ih, iflags = struct.unpack_from("<HHHHB", data,
+                                                        pos + 1)
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                table = np.frombuffer(data, np.uint8, n * 3,
+                                      pos).reshape(n, 3)
+                pos += n * 3
+            min_code = data[pos]
+            pos += 1
+            chunks = []
+            while data[pos] != 0:
+                ln = data[pos]
+                chunks.append(data[pos + 1:pos + 1 + ln])
+                pos += ln + 1
+            pos += 1
+            idx = _lzw_decode(b"".join(chunks), min_code, iw * ih)
+            if len(idx) < iw * ih:
+                idx = np.pad(idx, (0, iw * ih - len(idx)))
+            idx = idx.reshape(ih, iw)
+            if iflags & 0x40:
+                de = np.empty_like(idx)
+                rows = list(range(0, ih, 8)) + list(range(4, ih, 8)) \
+                    + list(range(2, ih, 4)) + list(range(1, ih, 2))
+                de[np.asarray(rows)] = idx
+                idx = de
+            if table is None:
+                table = np.stack([np.arange(256)] * 3, 1)\
+                    .astype(np.uint8)
+            rgb = table[np.clip(idx, 0, len(table) - 1)]
+            bgr = rgb[:, :, ::-1]
+            region = canvas[y0:y0 + ih, x0:x0 + iw]
+            if transparent is not None:
+                m = (idx != transparent)[..., None]
+                region[:] = np.where(m, bgr, region)
+            else:
+                region[:] = bgr
+            frames.append(canvas.copy())
+            durations.append(duration)
+            if disposal == 2:
+                canvas[y0:y0 + ih, x0:x0 + iw] = 0
+        elif b0 == 0x3B:
+            break
+        else:
+            pos += 1
+    return frames, durations, loop_count
+
+
+def gif_encode_multi(frames, durations=None, loop_count: int = 0) -> bytes:
+    """Multi-frame GIF89a with per-frame delays and a NETSCAPE loop
+    extension (imgcodecs GifEncoder behavior)."""
+    frames = [np.asarray(f) for f in frames]
+    fixed = []
+    for f in frames:
+        if f.ndim == 2:
+            f = np.stack([f] * 3, -1)
+        if f.shape[2] == 4:
+            f = f[:, :, :3]
+        fixed.append(f)
+    H, W = fixed[0].shape[:2]
+    if durations is None:
+        durations = [100] * len(fixed)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", W, H, 0, 0, 0)  # no global table
+    stored = loop_count - 1 if loop_count > 0 else 0
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" \
+        + struct.pack("<H", stored) + b"\x00"
+    for f, dur in zip(fixed, durations):
+        pal, idx = _quantize(f)
+        n = max(2, int(np.ceil(np.log2(max(len(pal), 2)))))
+        size = 1 << n
+        table = np.zeros((size, 3), np.uint8)
+        table[:len(pal)] = pal
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0,
+                           max(0, int(dur)) // 10, 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, W, H,
+                           0x80 | ((n - 1) & 7))
+        out += table.tobytes()
+        min_code = max(n, 2)
+        out.append(min_code)
+        payload = _lzw_encode(idx.reshape(-1), min_code)
+        for i in range(0, len(payload), 255):
+            blk = payload[i:i + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)

@@ -451,3 +451,54 @@ def haveImageReader(filename: str) -> bool:
 def haveImageWriter(filename: str) -> bool:
     """cv::haveImageWriter — extension-based encoder availability."""
     return os.path.splitext(filename)[1].lower() in _WRITER_EXTS
+
+
+class Animation:
+    """cv::Animation (imgcodecs/include: loop_count, bgcolor, durations
+    in ms, frames, still_image)."""
+
+    def __init__(self, loopCount: int = 0, bgColor=(0, 0, 0, 0)):
+        self.loop_count = loopCount
+        self.bgcolor = bgColor
+        self.durations = []
+        self.frames = []
+        self.still_image = None
+
+
+def imreadanimation(filename: str, start: int = 0, count: int = 32767):
+    """cv::imreadanimation — multi-frame animation read (GIF)."""
+    anim = Animation()
+    try:
+        with open(filename, "rb") as f:
+            data = f.read()
+    except OSError:
+        return False, anim
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import gif_decode_all
+        frames, durs, loop = gif_decode_all(data)
+        anim.frames = frames[start:start + count]
+        anim.durations = durs[start:start + count]
+        anim.loop_count = loop
+        return len(anim.frames) > 0, anim
+    img = imread(filename, IMREAD_UNCHANGED)
+    if img is None:
+        return False, anim
+    anim.frames = [img]
+    anim.durations = [1000]
+    return True, anim
+
+
+def imwriteanimation(filename: str, animation, params=None) -> bool:
+    """cv::imwriteanimation — multi-frame animation write (GIF)."""
+    ext = os.path.splitext(filename)[1].lower()
+    frames = list(animation.frames)
+    if not frames:
+        return False
+    if ext == ".gif":
+        from .gif import gif_encode_multi
+        data = gif_encode_multi(frames, list(animation.durations),
+                                int(animation.loop_count))
+        with open(filename, "wb") as f:
+            f.write(data)
+        return True
+    return imwritemulti(filename, frames, params)
