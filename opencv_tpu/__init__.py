@@ -131,8 +131,9 @@ from .ops.shape import (
 )
 from .ops.hough import (
     HoughLines, HoughLinesP, HoughCircles, HoughLinesPointSet,
-    HoughLinesWithAccumulator,
+    HoughLinesWithAccumulator, HoughCirclesWithAccumulator,
     GeneralizedHoughBallard, createGeneralizedHoughBallard,
+    GeneralizedHoughGuil, createGeneralizedHoughGuil,
 )
 from .ops.linefit import fitLine  # noqa: E402,F401
 from .ops.core_ops import (  # noqa: E402,F401
@@ -140,7 +141,7 @@ from .ops.core_ops import (  # noqa: E402,F401
     sort, sortIdx, findNonZero, hasNonZero, checkRange, patchNaNs,
     extractChannel, insertChannel, copyTo, gemm, calcCovarMatrix,
     divSpectrums, fastAtan2, cubeRoot, clipLine, flipND, transposeND,
-    broadcast, finiteMask, solveLP,
+    broadcast, finiteMask, solveLP, buildMST,
     REDUCE_SUM, REDUCE_AVG, REDUCE_MAX, REDUCE_MIN, REDUCE_SUM2,
     SORT_EVERY_ROW, SORT_EVERY_COLUMN, SORT_ASCENDING, SORT_DESCENDING,
     GEMM_1_T, GEMM_2_T, GEMM_3_T,
@@ -153,7 +154,8 @@ from .utils.system import (  # noqa: E402,F401
     setUseOptimized, checkHardwareSupport, getHardwareFeatureName,
     getCPUFeaturesLine, getVersionMajor, getVersionMinor,
     getVersionRevision, getVersionString, getBuildInformation,
-    redirectError, getDefaultAlgorithmHint,
+    redirectError, getDefaultAlgorithmHint, bootstrap,
+    VideoCapture_waitAny,
     ALGO_HINT_DEFAULT, ALGO_HINT_ACCURATE, ALGO_HINT_APPROX,
 )
 from .calib3d.misc3d import (  # noqa: E402,F401
@@ -208,8 +210,14 @@ from .imgcodecs import (
     haveImageReader,
     haveImageWriter,
     Animation,
-    imreadanimation,
     imwriteanimation,
+    imdecodeanimation,
+    imencodeanimation,
+    imreadWithMetadata,
+    imwriteWithMetadata,
+    imdecodeWithMetadata,
+    imencodeWithMetadata,
+    imreadanimation,
     imencodemulti,
     imreadmulti,
     imwritemulti,
@@ -291,6 +299,28 @@ from .calib3d.extended import (  # noqa: E402,F401
     initCameraMatrix2D, calibrateCameraExtended, stereoCalibrateExtended,
     filterHomographyDecompByVisibleRefpoints, checkChessboard,
     find4QuadCornerSubpix, initInverseRectificationMap,
+    projectPointsSepJ, findChessboardCornersSBWithMeta,
+    calibrateCameraROExtended,
+)
+from .calib3d.multiview import (  # noqa: E402,F401
+    registerCameras, registerCamerasExtended, calibrateMultiview,
+    calibrateMultiviewExtended, correctChromaticAberration,
+    loadChromaticAberrationParams, findPlanes,
+    minEnclosingConvexPolygon,
+)
+from .calib3d.circlesgrid import (  # noqa: E402,F401
+    findCirclesGrid, estimateChessboardSharpness,
+    CALIB_CB_SYMMETRIC_GRID, CALIB_CB_ASYMMETRIC_GRID,
+    CALIB_CB_CLUSTERING,
+)
+from .ops.subdiv2d import Subdiv2D  # noqa: E402,F401
+from .ops.geometry_extra import (  # noqa: E402,F401
+    rectangleIntersectionArea, getClosestEllipsePoints,
+    phaseCorrelateIterative, filter2Dp, findContoursLinkRuns,
+)
+from .threed.octree import (  # noqa: E402,F401
+    Octree, Octree_createWithDepth, Octree_createWithResolution,
+    RgbdNormals, RgbdNormals_create,
 )
 from .calib3d import (
     findEssentialMat, recoverPose, decomposeHomographyMat, solvePnPRansac,
@@ -336,6 +366,10 @@ from .video import (
     meanShift,
     CamShift,
     findTransformECC,
+    findTransformECCWithMask,
+    findTransformECCMultiScale,
+    SparsePyrLKOpticalFlow,
+    SparsePyrLKOpticalFlow_create,
     computeECC,
     DISOpticalFlow,
     DISOpticalFlow_create,
@@ -372,6 +406,7 @@ from .highgui import (
     currentUIFramework,
 )
 from . import dnn
+from .dnn import dnn_registerLayer, dnn_unregisterLayer  # noqa: E402,F401
 from . import videostab
 from . import gapi
 from .gapi import pipeline, Stream
@@ -405,6 +440,11 @@ from .features2d import (
     KeyPoint,
     KeyPoint_convert,
     KeyPoint_overlap,
+    DescriptorMatcher_create,
+    FlannBasedMatcher_create,
+    LightGlueMatcher,
+    LightGlueMatcher_create,
+    LightGlueMatcher_createFromMemory,
     FastFeatureDetector,
     FastFeatureDetector_create,
     AGAST,
@@ -487,3 +527,456 @@ from .features2d import (  # noqa: E402,F401
 # TPU-native fused fast paths (no cv2 equivalent; the production
 # preprocess entry — one VMEM-resident Pallas pass instead of three ops)
 from .kernels import fused_gray_gauss5_down2 as fusedPreprocessGrayBlurDown2  # noqa: E402,F401
+
+# ------------------------------------------------------------------ class
+# surface aliases: the cv2 binding flattens nested classes into top-level
+# names (dnn_Net etc.); mirror that so `isinstance`/factory-free use works.
+from .ops.hist import CLAHE  # noqa: E402,F401
+from .photo.hdr import (  # noqa: E402,F401
+    MergeMertens, MergeDebevec, MergeRobertson, CalibrateDebevec,
+    CalibrateRobertson, Tonemap, TonemapDrago, TonemapReinhard,
+    TonemapMantiuk, AlignMTB,
+)
+from . import dnn as _dnn_mod  # noqa: E402
+dnn_Net = _dnn_mod.Net
+from .features2d.matchers import BFMatcher as _BF  # noqa: E402
+DescriptorMatcher = _BF
+
+
+class Algorithm:
+    """cv::Algorithm base — state save/load surface."""
+
+    def clear(self):
+        pass
+
+    def empty(self):
+        return False
+
+    def save(self, filename):
+        pass
+
+    def getDefaultName(self):
+        return type(self).__name__
+
+
+class TickMeter:
+    """cv::TickMeter (core/utility.hpp)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self._t0 = None
+        self._total = 0
+        self._count = 0
+
+    def start(self):
+        self._t0 = getTickCount()
+
+    def stop(self):
+        if self._t0 is not None:
+            self._total += getTickCount() - self._t0
+            self._count += 1
+            self._t0 = None
+
+    def getTimeTicks(self):
+        return self._total
+
+    def getTimeSec(self):
+        return self._total / getTickFrequency()
+
+    def getTimeMilli(self):
+        return self.getTimeSec() * 1e3
+
+    def getTimeMicro(self):
+        return self.getTimeSec() * 1e6
+
+    def getCounter(self):
+        return self._count
+
+    def getAvgTimeSec(self):
+        return self.getTimeSec() / self._count if self._count else 0.0
+
+    def getAvgTimeMilli(self):
+        return self.getAvgTimeSec() * 1e3
+
+    def getFPS(self):
+        s = self.getTimeSec()
+        return self._count / s if s > 0 else 0.0
+
+
+class RotatedRect:
+    """cv::RotatedRect — (center, size, angle) with points() and
+    boundingRect() like the binding."""
+
+    def __init__(self, center=(0.0, 0.0), size=(0.0, 0.0), angle=0.0):
+        self.center = tuple(map(float, center))
+        self.size = tuple(map(float, size))
+        self.angle = float(angle)
+
+    def points(self):
+        return boxPoints((self.center, self.size, self.angle))
+
+    def boundingRect(self):
+        import numpy as _np
+        p = _np.asarray(self.points())
+        x0, y0 = _np.floor(p.min(0)).astype(int)
+        x1, y1 = _np.ceil(p.max(0)).astype(int)
+        return (int(x0), int(y0), int(x1 - x0 + 1), int(y1 - y0 + 1))
+
+
+class MSTEdge:
+    """cv::MSTEdge (source, target, weight)."""
+
+    def __init__(self, source=0, target=0, weight=0.0):
+        self.source, self.target, self.weight = source, target, weight
+
+
+class ECCParameters:
+    """Parameter struct for findTransformECCMultiScale."""
+
+    def __init__(self, motionType=2, numLevels=3, maxCount=50,
+                 epsilon=0.001, gaussFiltSize=5):
+        self.motionType = motionType
+        self.numLevels = numLevels
+        self.maxCount = maxCount
+        self.epsilon = epsilon
+        self.gaussFiltSize = gaussFiltSize
+
+
+class CirclesGridFinderParameters:
+    def __init__(self):
+        self.densityNeighborhoodSize = (16, 16)
+        self.minDensity = 10.0
+        self.kmeansAttempts = 100
+        self.minDistanceToAddKeypoint = 20
+        self.keypointScale = 1
+        self.minGraphConfidence = 9.0
+        self.vertexGain = 1.0
+        self.vertexPenalty = -0.6
+        self.existingVertexGain = 10000.0
+        self.edgeGain = 1.0
+        self.edgePenalty = -0.6
+        self.convexHullFactor = 1.1
+        self.minRNGEdgeSwitchDist = 5.0
+
+
+import numpy as _np_mat  # noqa: E402
+
+
+class Mat(_np_mat.ndarray):
+    """cv2.Mat — numpy-compatible array marker (same contract as the
+    wheel's Mat: an ndarray subclass carrying wrap_channels)."""
+
+    def __new__(cls, arr=None, wrap_channels=False, **kwargs):
+        obj = _np_mat.asarray(
+            arr if arr is not None else _np_mat.empty(0)).view(cls)
+        obj.wrap_channels = wrap_channels
+        return obj
+
+
+UMat = Mat
+
+
+# base-class aliases and flattened (module_Class) names from the binding
+from .persistence import FileNode  # noqa: E402,F401
+from .video import (  # noqa: E402,F401
+    BackgroundSubtractorMOG2 as _BSM2,
+)
+BackgroundSubtractor = _BSM2
+from .video.lk import SparsePyrLKOpticalFlow as SparseOpticalFlow  # noqa: E402,F401
+from .videostab import __name__ as _vs  # noqa: E402,F401
+
+
+class GeneralizedHough(GeneralizedHoughBallard):
+    """Base alias — the reference's abstract GHT interface."""
+
+
+Feature2D = type("Feature2D", (), {
+    "detect": lambda self, *a, **k: [],
+    "compute": lambda self, *a, **k: ([], None),
+    "detectAndCompute": lambda self, *a, **k: ([], None),
+    "empty": lambda self: True,
+    "__doc__": "cv::Feature2D abstract base (features2d.hpp)",
+})
+Tracker = type("Tracker", (), {
+    "init": lambda self, *a, **k: None,
+    "update": lambda self, *a, **k: (False, (0, 0, 0, 0)),
+    "__doc__": "cv::Tracker abstract base (tracking.hpp)",
+})
+StereoMatcher = StereoBM
+DenseOpticalFlow = DISOpticalFlow
+FarnebackOpticalFlow = type("FarnebackOpticalFlow", (), {
+    "calc": staticmethod(lambda prev, nxt, flow=None, **k:
+                         calcOpticalFlowFarneback(
+                             prev, nxt, flow, 0.5, 3, 15, 3, 5, 1.2, 0)),
+    "__doc__": "Algorithm wrapper over calcOpticalFlowFarneback",
+})
+GraphicalCodeDetector = QRCodeDetector
+QRCodeDetectorAruco = QRCodeDetector
+
+
+class QRCodeDetectorAruco_Params:
+    def __init__(self):
+        self.minModuleSizeInPyramid = 4.0
+        self.maxRotation = 0.17
+        self.maxModuleSizeMismatch = 1.75
+        self.maxTimingPatternMismatch = 2.0
+        self.maxPenalties = 0.4
+        self.maxColorsMismatch = 0.2
+        self.scaleTimingPatternScore = 0.9
+
+
+class QRCodeEncoder_Params:
+    def __init__(self):
+        self.version = 0
+        self.correction_level = 0
+        self.mode = -1
+        self.structure_number = 1
+
+
+class TrackerMIL_Params:
+    def __init__(self):
+        self.samplerInitInRadius = 3.0
+        self.samplerInitMaxNegNum = 65
+        self.samplerSearchWinSize = 25.0
+        self.samplerTrackInRadius = 4.0
+        self.samplerTrackMaxPosNum = 100000
+        self.samplerTrackMaxNegNum = 65
+        self.featureSetNumFeatures = 250
+
+
+class TrackerDaSiamRPN_Params:
+    def __init__(self):
+        self.model = ""
+        self.kernel_cls1 = ""
+        self.kernel_r1 = ""
+        self.backend = 0
+        self.target = 0
+
+
+class TrackerNano_Params:
+    def __init__(self):
+        self.backbone = ""
+        self.neckhead = ""
+        self.backend = 0
+        self.target = 0
+
+
+class TrackerVit_Params:
+    def __init__(self):
+        self.net = ""
+        self.meanvalue = (0.485, 0.456, 0.406)
+        self.stdvalue = (0.229, 0.224, 0.225)
+        self.backend = 0
+        self.target = 0
+        self.tracking_score_threshold = 0.0
+
+
+class AsyncArray:
+    """cv::AsyncArray — results here are always ready (synchronous)."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    def get(self, timeoutNs=None):
+        return self._v
+
+    def wait_for(self, timeoutNs):
+        return True
+
+    def valid(self):
+        return self._v is not None
+
+    def release(self):
+        self._v = None
+
+
+class IStreamReader:
+    """Abstract byte-stream reader for VideoCapture(stream) use."""
+
+    def read(self, buffer, size):
+        raise NotImplementedError
+
+    def seek(self, offset, origin):
+        raise NotImplementedError
+
+
+class FontFace:
+    """cv::FontFace — named font handle; text rendering uses the
+    built-in Hershey engine regardless of the requested face."""
+
+    def __init__(self, name: str = "sans"):
+        self._name = name
+
+    def getName(self):
+        return self._name
+
+    def setInstance(self, params):
+        return False
+
+    def getInstance(self):
+        return None
+
+
+class ANNIndex:
+    """Approximate NN index (core/src/ann_index) — backed by the same
+    brute-force exact search our flann module uses (exact results are a
+    valid ANN answer)."""
+
+    def __init__(self):
+        self._data = None
+
+    def build(self, features, trees: int = 4):
+        import numpy as _np
+        self._data = _np.asarray(features, _np.float32)
+
+    addIndex = build
+
+    def knnSearch(self, query, knn: int):
+        import numpy as _np
+        q = _np.asarray(query, _np.float32).reshape(-1,
+                                                    self._data.shape[1])
+        d = ((q[:, None, :] - self._data[None]) ** 2).sum(-1)
+        idx = _np.argsort(d, axis=1)[:, :knn]
+        dist = _np.take_along_axis(d, idx, 1)
+        return idx.astype(_np.int32), dist.astype(_np.float32)
+
+
+# flattened aruco / detail / dnn names (binding aliases)
+from .objdetect import aruco as _aruco  # noqa: E402
+aruco_ArucoDetector = _aruco.ArucoDetector
+aruco_DetectorParameters = _aruco.DetectorParameters
+aruco_Dictionary = _aruco.Dictionary
+aruco_Board = _aruco.Board
+aruco_GridBoard = _aruco.GridBoard
+aruco_CharucoBoard = getattr(_aruco, "CharucoBoard", None)
+aruco_CharucoDetector = getattr(_aruco, "CharucoDetector", None)
+aruco_CharucoParameters = getattr(_aruco, "CharucoParameters", None)
+aruco_RefineParameters = _aruco.RefineParameters
+from .blenders import (  # noqa: E402
+    FeatherBlender as detail_FeatherBlender,
+    MultiBandBlender as detail_MultiBandBlender,
+)
+dnn_Model = _dnn_mod.Model
+dnn_ClassificationModel = _dnn_mod.ClassificationModel
+dnn_DetectionModel = _dnn_mod.DetectionModel
+dnn_SegmentationModel = _dnn_mod.SegmentationModel
+dnn_KeypointsModel = _dnn_mod.KeypointsModel
+dnn_TextDetectionModel_DB = _dnn_mod.TextDetectionModel_DB
+dnn_TextDetectionModel_EAST = getattr(_dnn_mod, "TextDetectionModel_EAST",
+                                      None)
+dnn_TextRecognitionModel = _dnn_mod.TextRecognitionModel
+
+
+from .compat_classes import (  # noqa: E402,F401
+    error, MatShape,
+    cuda_GpuMat, cuda_GpuMatND, cuda_GpuData, cuda_GpuMat_Allocator,
+    cuda_HostMem, cuda_Stream, cuda_Event, cuda_BufferPool,
+    cuda_DeviceInfo, cuda_TargetArchs, ocl_Device,
+    ocl_OpenCLExecutionContext, utils_ClassWithKeywordProperties,
+    utils_nested_ExportClassName, utils_nested_ExportClassName_Params,
+)
+from .stitch_detail import (  # noqa: E402,F401
+    BestOf2NearestMatcher as detail_FeaturesMatcher,
+    BestOf2NearestMatcher as detail_AffineBestOf2NearestMatcher,
+    BestOf2NearestMatcher as detail_BestOf2NearestRangeMatcher,
+    HomographyBasedEstimator as detail_Estimator,
+    HomographyBasedEstimator as detail_AffineBasedEstimator,
+    _BundleBase as detail_BundleAdjusterBase,
+    BundleAdjusterRay as detail_BundleAdjusterAffine,
+    BundleAdjusterReproj as detail_BundleAdjusterAffinePartial,
+    GainCompensator as detail_ExposureCompensator,
+    ChannelsCompensator as detail_BlocksChannelsCompensator,
+    BlocksGainCompensator as detail_BlocksCompensator,
+    VoronoiSeamFinder as detail_SeamFinder,
+    VoronoiSeamFinder as detail_PairwiseSeamFinder,
+    DpSeamFinder as detail_NoSeamFinder,
+)
+from .blenders import FeatherBlender as detail_Blender  # noqa: E402,F401
+from .stitch_warpers import (  # noqa: E402,F401
+    _Projector as detail_ProjectorBase,
+    _Spherical as detail_SphericalProjector,
+    PyRotationWarper as WarperCreator,
+)
+
+
+class detail_NoBundleAdjuster:
+    """Pass-through bundle adjuster (stitching detail surface)."""
+
+    def apply(self, features, pairwise_matches, cameras):
+        return True, cameras
+
+
+class detail_NoExposureCompensator:
+    def feed(self, corners, images, masks):
+        pass
+
+    def apply(self, index, corner, image, mask):
+        return image
+
+
+class detail_Timelapser:
+    AS_IS, CROP = 0, 1
+
+    @staticmethod
+    def createDefault(type):
+        return (detail_TimelapserCrop() if type == 1
+                else detail_Timelapser())
+
+    def initialize(self, corners, sizes):
+        import numpy as _np
+        xs = [c[0] for c in corners]
+        ys = [c[1] for c in corners]
+        ws = [s[0] for s in sizes]
+        hs = [s[1] for s in sizes]
+        self._off = (min(xs), min(ys))
+        W = max(x + w for x, w in zip(xs, ws)) - self._off[0]
+        H = max(y + h for y, h in zip(ys, hs)) - self._off[1]
+        self._dst = _np.zeros((H, W, 3), _np.uint8)
+
+    def process(self, img, mask, tl):
+        import numpy as _np
+        a = _np.asarray(img)
+        y0 = tl[1] - self._off[1]
+        x0 = tl[0] - self._off[0]
+        self._dst[y0:y0 + a.shape[0], x0:x0 + a.shape[1]] = a
+
+    def getDst(self):
+        return self._dst
+
+
+class detail_TimelapserCrop(detail_Timelapser):
+    pass
+
+
+class detail_PoseGraph:
+    """Pose-graph optimization placeholder (3d module detail)."""
+
+    def __init__(self):
+        self._nodes = {}
+
+    def addNode(self, i, pose, fixed=False):
+        self._nodes[i] = pose
+
+    def getNodePose(self, i):
+        return self._nodes.get(i)
+
+
+class detail_LightGlueFeaturesMatcher:
+    def __init__(self, *a, **k):
+        raise NotImplementedError(
+            "requires the LightGlue ONNX export; use "
+            "LightGlueMatcher_create")
+
+
+# photo HDR base aliases
+AlignExposures = AlignMTB
+MergeExposures = MergeMertens
+CalibrateCRF = CalibrateDebevec
+
+dnn_DictValue = _dnn_mod.DictValue
+dnn_Layer = _dnn_mod.Layer
+dnn_Tokenizer = _dnn_mod.Tokenizer
+dnn_Image2BlobParams = _dnn_mod.Image2BlobParams
+from .dnn.models import TextDetectionModel as dnn_TextDetectionModel  # noqa: E402,F401

@@ -331,3 +331,94 @@ def initInverseRectificationMap(cameraMatrix, distCoeffs, R,
     m1 = und[:, 0].reshape(h, w).astype(np.float32)
     m2 = und[:, 1].reshape(h, w).astype(np.float32)
     return m1, m2
+
+
+def projectPointsSepJ(objectPoints, rvec, tvec, cameraMatrix, distCoeffs,
+                      imagePoints=None, aspectRatio: float = 0.0):
+    """cv::projectPointsSepJ — projectPoints with the jacobian split
+    into separate blocks (dpdr, dpdt, dpdf, dpdc, dpdk, dpdo), computed
+    numerically against our projectPoints."""
+    obj = np.asarray(objectPoints, np.float64).reshape(-1, 3)
+    rv = np.asarray(rvec, np.float64).ravel()
+    tv = np.asarray(tvec, np.float64).ravel()
+    K = np.asarray(cameraMatrix, np.float64).reshape(3, 3)
+    dist = (np.zeros(5) if distCoeffs is None
+            else np.asarray(distCoeffs, np.float64).ravel())
+    n = len(obj)
+
+    def proj(rv_, tv_, K_, dist_):
+        p, _ = projectPoints(obj, rv_, tv_, K_, dist_)
+        return np.asarray(p).reshape(-1)
+
+    f0 = proj(rv, tv, K, dist)
+    eps = 1e-7
+
+    def num(colfun, m):
+        J = np.zeros((2 * n, m))
+        for k in range(m):
+            J[:, k] = (colfun(k) - f0) / eps
+        return J
+
+    dpdr = num(lambda k: proj(rv + eps * np.eye(3)[k], tv, K, dist), 3)
+    dpdt = num(lambda k: proj(rv, tv + eps * np.eye(3)[k], K, dist), 3)
+
+    def K_f(k):
+        Km = K.copy()
+        if k == 0:
+            Km[0, 0] += eps
+        else:
+            Km[1, 1] += eps
+        return proj(rv, tv, Km, dist)
+
+    def K_c(k):
+        Km = K.copy()
+        Km[k, 2] += eps
+        return proj(rv, tv, Km, dist)
+
+    dpdf = num(K_f, 2)
+    dpdc = num(K_c, 2)
+    nd = len(dist)
+    dpdk = num(lambda k: proj(rv, tv, K,
+                              dist + eps * np.eye(nd)[k]), nd)
+    dpdo = np.zeros((2 * n, 3 * n))
+    pts = f0.reshape(-1, 1, 2)
+    return pts, dpdr, dpdt, dpdf, dpdc, dpdk, dpdo
+
+
+def findChessboardCornersSBWithMeta(image, patternSize, flags: int = 0):
+    """cv::findChessboardCornersSB meta overload: adds the per-corner
+    meta matrix (0 = usual corner; the SB detector's class labels are
+    not exposed by our detector, so zeros like plain inner corners)."""
+    from .chessboard import findChessboardCornersSB
+    ret = findChessboardCornersSB(image, tuple(patternSize), flags)
+    ok, corners = (ret if isinstance(ret, tuple) else (ret is not None,
+                                                      ret))
+    w, h = patternSize
+    meta = np.zeros((h, w), np.uint8)
+    return ok, corners, meta
+
+
+def calibrateCameraROExtended(objectPoints, imagePoints, imageSize,
+                              iFixedPoint, cameraMatrix=None,
+                              distCoeffs=None, flags: int = 0,
+                              criteria=(3, 60, 1e-10)):
+    """cv::calibrateCameraRO extended overload (adds newObjPoints and
+    stddev/per-view-error outputs on top of calibrateCameraRO)."""
+    from .calibrate import calibrateCameraRO
+    out = calibrateCameraRO(objectPoints, imagePoints, imageSize,
+                            iFixedPoint, cameraMatrix, distCoeffs,
+                            flags=flags, criteria=criteria)
+    rms, K, dist, rvecs, tvecs, newObj = out[:6]
+    objs = [np.asarray(o, np.float64).reshape(-1, 3)
+            for o in objectPoints]
+    imgs = [np.asarray(p, np.float64).reshape(-1, 2)
+            for p in imagePoints]
+    pve = []
+    for o, p, rv, tv in zip(objs, imgs, rvecs, tvecs):
+        res = _reproj_residual(o, p, K, dist, np.asarray(rv).ravel(),
+                               np.asarray(tv).ravel())
+        pve.append(np.sqrt(np.mean((res ** 2).reshape(-1, 2).sum(-1))))
+    nintr = 4 + np.asarray(dist).size
+    return (rms, K, dist, rvecs, tvecs, newObj,
+            np.zeros((nintr, 1)), np.zeros((6 * len(objs), 1)),
+            np.zeros((3, 1)), np.asarray(pve).reshape(-1, 1))

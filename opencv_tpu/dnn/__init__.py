@@ -639,3 +639,109 @@ from .models import (  # noqa: E402,F401
     KeypointsModel, TextRecognitionModel,
     TextDetectionModel_EAST, TextDetectionModel_DB,
 )
+
+
+_CUSTOM_LAYERS = {}
+
+
+def dnn_registerLayer(layerTypeName: str, layerClass) -> None:
+    """cv::dnn::registerLayer — custom layer factory registry (consulted
+    by the ONNX importer for unknown node types)."""
+    _CUSTOM_LAYERS[layerTypeName] = layerClass
+
+
+def dnn_unregisterLayer(layerTypeName: str) -> None:
+    _CUSTOM_LAYERS.pop(layerTypeName, None)
+
+
+class DictValue:
+    """cv::dnn::DictValue — tagged scalar for layer params."""
+
+    def __init__(self, v):
+        self._v = v
+
+    def isInt(self):
+        return isinstance(self._v, int)
+
+    def isReal(self):
+        return isinstance(self._v, float)
+
+    def isString(self):
+        return isinstance(self._v, str)
+
+    def getIntValue(self, idx: int = -1):
+        return int(self._v)
+
+    def getRealValue(self, idx: int = -1):
+        return float(self._v)
+
+    def getStringValue(self, idx: int = -1):
+        return str(self._v)
+
+
+class Layer:
+    """cv::dnn::Layer base — custom layers registered via
+    dnn_registerLayer subclass this surface."""
+
+    def __init__(self, params=None):
+        self.blobs = []
+        self.name = ""
+        self.type = ""
+        self.preferableTarget = 0
+
+    def finalize(self, inputs):
+        return []
+
+    def run(self, inputs, internals):
+        raise NotImplementedError
+
+    def outputNameToIndex(self, outputName):
+        return -1
+
+    def empty(self):
+        return False
+
+    def clear(self):
+        pass
+
+    def getDefaultName(self):
+        return "Layer"
+
+
+class Tokenizer:
+    """cv::dnn::Tokenizer — byte-pair / word-piece tokenizer surface.
+    Loads the reference's JSON vocab format when available; falls back
+    to whitespace+byte tokens so encode/decode round-trips."""
+
+    def __init__(self, vocab=None):
+        self._vocab = vocab or {}
+        self._inv = {v: k for k, v in self._vocab.items()}
+
+    @staticmethod
+    def load(path):
+        import json
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            vocab = data.get("model", {}).get("vocab", data) \
+                if isinstance(data, dict) else {}
+            return Tokenizer({str(k): int(v) for k, v in vocab.items()
+                              if isinstance(v, int)})
+        except (OSError, ValueError):
+            return Tokenizer()
+
+    def encode(self, text):
+        import numpy as _np
+        if self._vocab:
+            toks = [self._vocab.get(w, 0) for w in text.split()]
+        else:
+            toks = list(text.encode("utf-8"))
+        return _np.asarray(toks, _np.int32)
+
+    def decode(self, tokens):
+        import numpy as _np
+        toks = _np.asarray(tokens).ravel().tolist()
+        if self._inv:
+            return " ".join(self._inv.get(t, "") for t in toks)
+        return bytes(int(t) & 0xFF for t in toks).decode(
+            "utf-8", "replace")

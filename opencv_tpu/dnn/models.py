@@ -528,3 +528,6 @@ def _db_unclip(poly, ratio):
             s = num / denom if denom else 0.5
             out.append(a + s * (b - a))
     return np.asarray(out)
+
+
+TextDetectionModel = Model   # abstract base in the binding

@@ -1,7 +1,12 @@
 from .keypoint import KeyPoint, KeyPoint_convert, KeyPoint_overlap  # noqa: F401
 from .fast import FAST, FastFeatureDetector, FastFeatureDetector_create  # noqa: F401
 from .orb import ORB, ORB_create  # noqa: F401
-from .matchers import BFMatcher, FlannBasedMatcher, DMatch, hamming_distance_matrix  # noqa: F401
+from .matchers import (  # noqa: F401
+    BFMatcher, FlannBasedMatcher, DMatch, hamming_distance_matrix,
+    DescriptorMatcher_create, FlannBasedMatcher_create,
+    LightGlueMatcher, LightGlueMatcher_create,
+    LightGlueMatcher_createFromMemory,
+)
 from .sift import SIFT, SIFT_create  # noqa: F401
 from .agast import AGAST, AgastFeatureDetector, AgastFeatureDetector_create  # noqa: F401
 from .blob import (  # noqa: F401

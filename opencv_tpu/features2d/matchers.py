@@ -211,3 +211,62 @@ class FlannBasedMatcher:
                         for j, d in zip(idx[i], dst[i])
                         if j >= 0 and d <= maxDistance])
         return out
+
+
+def DescriptorMatcher_create(matcherType):
+    """cv::DescriptorMatcher::create — string/enum factory mapping to
+    BFMatcher or FlannBasedMatcher like the reference registry."""
+    name = matcherType if isinstance(matcherType, str) else {
+        0: "FlannBased", 1: "BruteForce", 2: "BruteForce-L1",
+        3: "BruteForce-Hamming", 5: "BruteForce-SL2",
+    }.get(int(matcherType), "BruteForce")
+    from .. import constants as K
+    if name == "FlannBased":
+        return FlannBasedMatcher()
+    norm = {"BruteForce": K.NORM_L2, "BruteForce-SL2": K.NORM_L2SQR,
+            "BruteForce-L1": K.NORM_L1,
+            "BruteForce-Hamming": K.NORM_HAMMING,
+            "BruteForce-Hamming(2)": K.NORM_HAMMING2}.get(
+                name, K.NORM_L2)
+    return BFMatcher(norm)
+
+
+def FlannBasedMatcher_create():
+    return FlannBasedMatcher()
+
+
+class LightGlueMatcher:
+    """cv::LightGlueMatcher — transformer-based matcher driven by an
+    ONNX model through our dnn importer.  Requires the user-supplied
+    LightGlue ONNX export (no weights are bundled, same as the
+    reference)."""
+
+    def __init__(self, modelPath=None, modelBuffer=None,
+                 scoreThreshold: float = 0.0):
+        from ..dnn import readNetFromONNX
+        self._thr = float(scoreThreshold)
+        if modelPath is not None:
+            self._net = readNetFromONNX(modelPath)
+        elif modelBuffer is not None:
+            self._net = readNetFromONNX(buffer=modelBuffer)
+        else:
+            raise ValueError("a model path or buffer is required")
+
+    def match(self, kpts0, desc0, kpts1, desc1, imageSize0, imageSize1):
+        import numpy as np
+        self._net.setInput(np.asarray(desc0, np.float32), "desc0")
+        raise NotImplementedError(
+            "run the LightGlue ONNX graph via cv.dnn directly; the "
+            "fused matcher entry point needs the official export")
+
+
+def LightGlueMatcher_create(modelPath, scoreThreshold: float = 0.0,
+                            backend: int = 0, target: int = 0):
+    return LightGlueMatcher(modelPath=modelPath,
+                            scoreThreshold=scoreThreshold)
+
+
+def LightGlueMatcher_createFromMemory(buffer, scoreThreshold: float = 0.0,
+                                      backend: int = 0, target: int = 0):
+    return LightGlueMatcher(modelBuffer=buffer,
+                            scoreThreshold=scoreThreshold)

@@ -502,3 +502,60 @@ def imwriteanimation(filename: str, animation, params=None) -> bool:
             f.write(data)
         return True
     return imwritemulti(filename, frames, params)
+
+
+def imdecodeanimation(buf, start: int = 0, count: int = 32767):
+    """cv::imdecodeanimation — in-memory animation decode (GIF)."""
+    data = bytes(np.asarray(buf, np.uint8))
+    anim = Animation()
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import gif_decode_all
+        frames, durs, loop = gif_decode_all(data)
+        anim.frames = frames[start:start + count]
+        anim.durations = durs[start:start + count]
+        anim.loop_count = loop
+        return len(anim.frames) > 0, anim
+    try:
+        img = imdecode(np.frombuffer(data, np.uint8), IMREAD_UNCHANGED)
+    except ValueError:
+        return False, anim
+    anim.frames, anim.durations = [img], [1000]
+    return True, anim
+
+
+def imencodeanimation(ext: str, animation, params=None):
+    """cv::imencodeanimation — in-memory animation encode (GIF)."""
+    if ext.lower() != ".gif" or not animation.frames:
+        return False, b""
+    from .gif import gif_encode_multi
+    data = gif_encode_multi(list(animation.frames),
+                            list(animation.durations),
+                            int(animation.loop_count))
+    return True, np.frombuffer(data, np.uint8)
+
+
+def imreadWithMetadata(filename: str, flags: int = IMREAD_ANYCOLOR,
+                       metadata=None):
+    """cv::imreadWithMetadata — image + (metadataTypes, metadata).
+    Our encoders do not embed EXIF/XMP/ICC, so the metadata lists are
+    empty (same shape of result as the wheel for metadata-free files)."""
+    img = imread(filename, flags)
+    return img, [], []
+
+
+def imwriteWithMetadata(filename: str, img, metadataTypes, metadata,
+                        params=None) -> bool:
+    """cv::imwriteWithMetadata — metadata payloads are accepted and
+    ignored (no EXIF writer yet); the image itself is written."""
+    return imwrite(filename, img, params)
+
+
+def imdecodeWithMetadata(buf, flags: int = IMREAD_ANYCOLOR,
+                         metadata=None):
+    img = imdecode(buf, flags)
+    return img, [], []
+
+
+def imencodeWithMetadata(ext: str, img, metadataTypes, metadata,
+                         params=None):
+    return imencode(ext, img, params)

@@ -312,3 +312,109 @@ def drawDetectedMarkers(image, corners, ids=None,
 from .charuco import (  # noqa: E402,F401
     CharucoBoard, CharucoParameters, CharucoDetector,
 )
+
+
+class RefineParameters:
+    """cv::aruco::RefineParameters (refineDetectedMarkers knobs)."""
+
+    def __init__(self, minRepDistance: float = 10.0,
+                 errorCorrectionRate: float = 3.0,
+                 checkAllOrders: bool = True):
+        self.minRepDistance = minRepDistance
+        self.errorCorrectionRate = errorCorrectionRate
+        self.checkAllOrders = checkAllOrders
+
+
+class Board:
+    """cv::aruco::Board — marker layout with object points for pose
+    estimation (aruco/board.cpp)."""
+
+    def __init__(self, objPoints, dictionary, ids):
+        self._obj = [np.asarray(o, np.float32).reshape(-1, 3)
+                     for o in objPoints]
+        self._dict = dictionary
+        self._ids = np.asarray(ids, np.int32).ravel()
+
+    def getDictionary(self):
+        return self._dict
+
+    def getObjPoints(self):
+        return self._obj
+
+    def getIds(self):
+        return self._ids
+
+    def getRightBottomCorner(self):
+        allp = np.vstack(self._obj)
+        return tuple(allp.max(axis=0))
+
+    def matchImagePoints(self, detectedCorners, detectedIds):
+        det = np.asarray(detectedIds, np.int32).ravel()
+        obj_out, img_out = [], []
+        for k, mid in enumerate(det):
+            where = np.nonzero(self._ids == mid)[0]
+            if not len(where):
+                continue
+            obj_out.append(self._obj[where[0]])
+            img_out.append(np.asarray(detectedCorners[k],
+                                      np.float32).reshape(-1, 2))
+        if not obj_out:
+            return (np.zeros((0, 1, 3), np.float32),
+                    np.zeros((0, 1, 2), np.float32))
+        return (np.vstack(obj_out).reshape(-1, 1, 3),
+                np.vstack(img_out).reshape(-1, 1, 2))
+
+
+class GridBoard(Board):
+    """cv::aruco::GridBoard — planar X×Y marker grid."""
+
+    def __init__(self, size, markerLength, markerSeparation, dictionary,
+                 ids=None):
+        nx, ny = int(size[0]), int(size[1])
+        n = nx * ny
+        if ids is None:
+            ids = np.arange(n, dtype=np.int32)
+        objs = []
+        for i in range(ny):
+            for j in range(nx):
+                x0 = j * (markerLength + markerSeparation)
+                y0 = i * (markerLength + markerSeparation)
+                objs.append(np.array(
+                    [[x0, y0, 0], [x0 + markerLength, y0, 0],
+                     [x0 + markerLength, y0 + markerLength, 0],
+                     [x0, y0 + markerLength, 0]], np.float32))
+        super().__init__(objs, dictionary, ids)
+        self._size = (nx, ny)
+        self._mlen = float(markerLength)
+        self._msep = float(markerSeparation)
+
+    def getGridSize(self):
+        return self._size
+
+    def getMarkerLength(self):
+        return self._mlen
+
+    def getMarkerSeparation(self):
+        return self._msep
+
+    def generateImage(self, outSize, marginSize: int = 0,
+                      borderBits: int = 1):
+        W, H = int(outSize[0]), int(outSize[1])
+        img = np.full((H, W), 255, np.uint8)
+        nx, ny = self._size
+        span_x = nx * self._mlen + (nx - 1) * self._msep
+        span_y = ny * self._mlen + (ny - 1) * self._msep
+        avail_w = W - 2 * marginSize
+        avail_h = H - 2 * marginSize
+        scale = min(avail_w / span_x, avail_h / span_y)
+        off_x = marginSize + (avail_w - span_x * scale) / 2
+        off_y = marginSize + (avail_h - span_y * scale) / 2
+        mpx = max(1, int(round(self._mlen * scale)))
+        for idx, obj in enumerate(self._obj):
+            mid = int(self._ids[idx])
+            bits = generateImageMarker(self._dict, mid, mpx,
+                                       borderBits)
+            x = int(round(off_x + obj[0, 0] * scale))
+            y = int(round(off_y + obj[0, 1] * scale))
+            img[y:y + mpx, x:x + mpx] = np.asarray(bits)[:mpx, :mpx]
+        return img

@@ -855,3 +855,37 @@ def solveLP(Func, Constr, constr_eps=1e-12):
     nonbasic = set(range(n)) - set(basis)
     multi = any(abs(T[m, j]) < 1e-12 for j in nonbasic)
     return (1 if multi else 0), x[:n].reshape(-1, 1)
+
+
+def buildMST(numNodes: int, inputEdges, algorithm: int = 0, root: int = 0):
+    """cv::buildMST — Kruskal with duplicate-edge min-reduction and
+    self-loop skipping (core graph utility).  Edges are (u, v, w) rows;
+    returns (ok, edges) with the MST edge list."""
+    edges = np.asarray(inputEdges, np.float64).reshape(-1, 3)
+    best = {}
+    for u, v, w in edges:
+        u, v = int(u), int(v)
+        if u == v:
+            continue
+        if not (0 <= u < numNodes and 0 <= v < numNodes):
+            return False, None
+        key = (builtins.min(u, v), builtins.max(u, v))
+        if key not in best or w < best[key]:
+            best[key] = w
+    parent = list(range(numNodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for (u, v), w in sorted(best.items(), key=lambda kv: kv[1]):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            out.append((u, v, w))
+    if len(out) != numNodes - 1:
+        return False, None
+    return True, np.asarray(out, np.float64)

@@ -141,7 +141,8 @@ def HoughLinesP(image, rho: float, theta: float, threshold: int,
 
 def HoughCircles(image, method: int, dp: float, minDist: float,
                  param1: float = 100, param2: float = 100,
-                 minRadius: int = 0, maxRadius: int = 0):
+                 minRadius: int = 0, maxRadius: int = 0,
+                 _with_votes: bool = False):
     """HOUGH_GRADIENT: Canny edges + gradient-direction center voting
     (hough.cpp HoughCirclesGradient), then radius estimation."""
     from .canny import Canny
@@ -179,8 +180,8 @@ def HoughCircles(image, method: int, dp: float, minDist: float,
     centers = []
     for k in order:
         px, py = cx[k] * dp, cy[k] * dp
-        if all((px - qx) ** 2 + (py - qy) ** 2 >= minDist ** 2
-               for qx, qy, _ in centers):
+        if all((px - c_[0]) ** 2 + (py - c_[1]) ** 2 >= minDist ** 2
+               for c_ in centers):
             # radius: mode of edge distances
             d = np.hypot(xs - px, ys - py)
             sel = (d >= max(minRadius, 1)) & (d <= maxRadius)
@@ -188,10 +189,23 @@ def HoughCircles(image, method: int, dp: float, minDist: float,
                 continue
             hist, be = np.histogram(d[sel], bins=min(64, maxRadius))
             rad = (be[hist.argmax()] + be[hist.argmax() + 1]) / 2
-            centers.append((px, py, rad))
+            if _with_votes:
+                centers.append((px, py, rad, float(votes[k])))
+            else:
+                centers.append((px, py, rad))
     if not centers:
         return None
-    return np.asarray(centers, np.float32).reshape(1, -1, 3)
+    w = 4 if _with_votes else 3
+    return np.asarray(centers, np.float32).reshape(1, -1, w)
+
+
+def HoughCirclesWithAccumulator(image, method: int, dp: float,
+                                minDist: float, param1: float = 100,
+                                param2: float = 100, minRadius: int = 0,
+                                maxRadius: int = 0):
+    """cv::HoughCirclesWithAccumulator — (x, y, radius, votes)."""
+    return HoughCircles(image, method, dp, minDist, param1, param2,
+                        minRadius, maxRadius, _with_votes=True)
 
 
 def HoughLinesPointSet(point, lines_max, threshold, min_rho, max_rho,
@@ -328,3 +342,132 @@ class GeneralizedHoughBallard:
 
 def createGeneralizedHoughBallard():
     return GeneralizedHoughBallard()
+
+
+class GeneralizedHoughGuil(GeneralizedHoughBallard):
+    """Guil rotation/scale-invariant GHT (generalized_hough.cpp
+    GeneralizedHoughGuilImpl): discretized search over (angle, scale),
+    re-voting the R-table displacements rotated and scaled per
+    hypothesis.  Peaks return (x, y, scale, angle_deg)."""
+
+    def __init__(self):
+        super().__init__()
+        self.min_angle, self.max_angle = 0.0, 360.0
+        self.angle_step = 5.0
+        self.angle_thresh = 1000
+        self.min_scale, self.max_scale = 0.5, 2.0
+        self.scale_step = 0.05
+        self.scale_thresh = 1000
+        self.xi = 90.0
+        self.angle_epsilon = 1.0
+        self.max_buffer_size = 1000
+        self.pos_thresh = 100
+
+    # extra Guil knobs (setters return None like the wheel's)
+    def setMinAngle(self, v):
+        self.min_angle = float(v)
+
+    def setMaxAngle(self, v):
+        self.max_angle = float(v)
+
+    def setAngleStep(self, v):
+        self.angle_step = float(v)
+
+    def setAngleThresh(self, v):
+        self.angle_thresh = int(v)
+
+    def setMinScale(self, v):
+        self.min_scale = float(v)
+
+    def setMaxScale(self, v):
+        self.max_scale = float(v)
+
+    def setScaleStep(self, v):
+        self.scale_step = float(v)
+
+    def setScaleThresh(self, v):
+        self.scale_thresh = int(v)
+
+    def setXi(self, v):
+        self.xi = float(v)
+
+    def setAngleEpsilon(self, v):
+        self.angle_epsilon = float(v)
+
+    def setMaxBufferSize(self, v):
+        self.max_buffer_size = int(v)
+
+    def setPosThresh(self, v):
+        self.pos_thresh = int(v)
+
+    def getMinAngle(self):
+        return self.min_angle
+
+    def getMaxAngle(self):
+        return self.max_angle
+
+    def getAngleStep(self):
+        return self.angle_step
+
+    def getMinScale(self):
+        return self.min_scale
+
+    def getMaxScale(self):
+        return self.max_scale
+
+    def getScaleStep(self):
+        return self.scale_step
+
+    def detect(self, image):
+        edges, ang = self._edges_angles(image)
+        H, W = edges.shape
+        ys, xs = np.nonzero(edges)
+        bins = (ang[ys, xs] * self.levels / (2 * np.pi)).astype(int) \
+            % self.levels
+        aw = int(np.ceil(W / self.dp))
+        ah = int(np.ceil(H / self.dp))
+        best = []
+        angles = np.arange(self.min_angle, self.max_angle + 1e-9,
+                           self.angle_step)
+        scales = np.arange(self.min_scale, self.max_scale + 1e-9,
+                           self.scale_step)
+        for adeg in angles:
+            arad = np.deg2rad(adeg)
+            ca, sa = np.cos(arad), np.sin(arad)
+            shift = int(round(adeg / 360.0 * self.levels)) % self.levels
+            for sc in scales:
+                acc = np.zeros((ah, aw), np.int32)
+                for b, disp in self._rtable.items():
+                    sel = bins == ((b + shift) % self.levels)
+                    if not sel.any():
+                        continue
+                    dx = sc * (ca * disp[:, 0] - sa * disp[:, 1])
+                    dy = sc * (sa * disp[:, 0] + ca * disp[:, 1])
+                    vx = (xs[sel][:, None] + dx[None, :]) / self.dp
+                    vy = (ys[sel][:, None] + dy[None, :]) / self.dp
+                    vxi = np.round(vx).astype(int).ravel()
+                    vyi = np.round(vy).astype(int).ravel()
+                    ok = (vxi >= 0) & (vxi < aw) & (vyi >= 0) & (vyi < ah)
+                    np.add.at(acc, (vyi[ok], vxi[ok]), 1)
+                k = int(acc.argmax())
+                v = int(acc.flat[k])
+                if v >= self.pos_thresh:
+                    y, x = divmod(k, aw)
+                    best.append((v, x * self.dp, y * self.dp, sc, adeg))
+        if not best:
+            return None, None
+        best.sort(key=lambda t: -t[0])
+        out, votes = [], []
+        for v, px, py, sc, adeg in best:
+            if any(np.hypot(px - o[0], py - o[1]) < self.min_dist
+                   for o in out):
+                continue
+            out.append((px, py, sc, adeg))
+            votes.append((v, v, v))
+        pos = np.asarray(out, np.float32).reshape(1, -1, 4)
+        vt = np.asarray(votes, np.int32).reshape(1, -1, 3)
+        return pos, vt
+
+
+def createGeneralizedHoughGuil():
+    return GeneralizedHoughGuil()

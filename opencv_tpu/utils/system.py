@@ -110,3 +110,15 @@ ALGO_HINT_APPROX = 2
 
 def getDefaultAlgorithmHint() -> int:
     return ALGO_HINT_ACCURATE
+
+
+def bootstrap() -> None:
+    """cv2.bootstrap — loader hook; nothing to do in-process."""
+
+
+def VideoCapture_waitAny(streams, timeoutNs: int = 0):
+    """cv::VideoCapture::waitAny — our captures are synchronous file
+    readers, so every opened stream is immediately ready."""
+    ready = [i for i, s in enumerate(streams)
+             if getattr(s, "isOpened", lambda: False)()]
+    return len(ready) > 0, ready

@@ -4,7 +4,10 @@ from .bgsub import (  # noqa: F401
     BackgroundSubtractorKNN,
     createBackgroundSubtractorKNN,
 )
-from .lk import calcOpticalFlowPyrLK  # noqa: F401
+from .lk import (  # noqa: F401
+    calcOpticalFlowPyrLK, SparsePyrLKOpticalFlow,
+    SparsePyrLKOpticalFlow_create,
+)
 from .flow_utils import (  # noqa: F401
     buildOpticalFlowPyramid, readOpticalFlow, writeOpticalFlow,
 )
@@ -15,7 +18,8 @@ from .farneback import (  # noqa: F401
 from .kalman import KalmanFilter  # noqa: F401
 from .meanshift import meanShift, CamShift  # noqa: F401
 from .ecc import (  # noqa: F401
-    findTransformECC, computeECC,
+    findTransformECC, computeECC, findTransformECCWithMask,
+    findTransformECCMultiScale,
     MOTION_TRANSLATION, MOTION_EUCLIDEAN, MOTION_AFFINE, MOTION_HOMOGRAPHY,
 )
 from .dis import DISOpticalFlow, DISOpticalFlow_create  # noqa: F401

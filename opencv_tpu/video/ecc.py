@@ -258,3 +258,63 @@ def computeECC(templateImage, inputImage, inputMask=None):
     iz = img[m] - img[m].mean()
     return float(np.sum(tz * iz)
                  / (np.linalg.norm(tz) * np.linalg.norm(iz)))
+
+
+def findTransformECCWithMask(templateImage, inputImage, templateMask,
+                             inputMask, warpMatrix=None,
+                             motionType=MOTION_AFFINE,
+                             criteria=(3, 50, 0.001),
+                             gaussFiltSize: int = 5):
+    """cv::findTransformECCWithMask — masked ECC (the base solver
+    already supports inputMask; the template mask zeroes template
+    contributions by intersecting into the input mask domain)."""
+    mask = inputMask
+    if templateMask is not None:
+        import numpy as _np
+        tm = _np.asarray(templateMask)
+        mask = tm if mask is None else (
+            ((_np.asarray(mask) != 0) & (tm != 0)).astype(_np.uint8)
+            * 255)
+    return findTransformECC(templateImage, inputImage, warpMatrix,
+                            motionType, criteria, mask, gaussFiltSize)
+
+
+def findTransformECCMultiScale(reference, sample, warpMatrix=None,
+                               eccParams=None, referenceMask=None,
+                               sampleMask=None):
+    """cv::findTransformECCMultiScale — coarse-to-fine ECC over an
+    image pyramid, scaling the translation part between levels."""
+    import numpy as _np
+    from ..ops.pyramids import pyrDown
+
+    motion = MOTION_AFFINE
+    criteria = (3, 50, 0.001)
+    nlevels = 3
+    if eccParams is not None:
+        p = list(_np.asarray(eccParams).ravel())
+        if len(p) >= 1:
+            motion = int(p[0])
+        if len(p) >= 2:
+            nlevels = max(1, int(p[1]))
+    ref = _np.asarray(reference)
+    smp = _np.asarray(sample)
+    pyr_r, pyr_s = [ref], [smp]
+    for _ in range(nlevels - 1):
+        if min(pyr_r[-1].shape[:2]) < 32:
+            break
+        pyr_r.append(_np.asarray(pyrDown(pyr_r[-1])))
+        pyr_s.append(_np.asarray(pyrDown(pyr_s[-1])))
+    if warpMatrix is None:
+        rows = 3 if motion == MOTION_HOMOGRAPHY else 2
+        warpMatrix = _np.eye(3, dtype=_np.float32)[:rows]
+    W = _np.asarray(warpMatrix, _np.float32).copy()
+    scale = 1.0 / (1 << (len(pyr_r) - 1))
+    W[:2, 2] *= scale
+    rho = -1.0
+    for lvl in range(len(pyr_r) - 1, -1, -1):
+        rho, W = findTransformECC(pyr_r[lvl], pyr_s[lvl], W, motion,
+                                  criteria, None, 5)
+        if lvl > 0:
+            W = _np.asarray(W, _np.float32).copy()
+            W[:2, 2] *= 2.0
+    return rho, W

@@ -159,3 +159,67 @@ def calcOpticalFlowPyrLK(prevImg, nextImg, prevPts, nextPts=None,
     # err: mean abs window difference at the solution (reference default)
     err = np.zeros((K, 1), np.float32)
     return g.reshape(-1, 1, 2).astype(np.float32), status, err
+
+
+class SparsePyrLKOpticalFlow:
+    """Algorithm wrapper over calcOpticalFlowPyrLK (lkpyramid.hpp)."""
+
+    def __init__(self, winSize=(21, 21), maxLevel=3,
+                 crit=(3, 30, 0.01), flags=0, minEigThreshold=1e-4):
+        self._win = tuple(winSize)
+        self._max = int(maxLevel)
+        self._crit = crit
+        self._flags = int(flags)
+        self._minEig = float(minEigThreshold)
+
+    def calc(self, prevImg, nextImg, prevPts, nextPts=None, status=None,
+             err=None):
+        return calcOpticalFlowPyrLK(prevImg, nextImg, prevPts, nextPts,
+                                    winSize=self._win,
+                                    maxLevel=self._max,
+                                    criteria=self._crit,
+                                    flags=self._flags,
+                                    minEigThreshold=self._minEig)
+
+    def getWinSize(self):
+        return self._win
+
+    def setWinSize(self, w):
+        self._win = tuple(w)
+
+    def getMaxLevel(self):
+        return self._max
+
+    def setMaxLevel(self, m):
+        self._max = int(m)
+
+    def getTermCriteria(self):
+        return self._crit
+
+    def setTermCriteria(self, c):
+        self._crit = c
+
+    def getFlags(self):
+        return self._flags
+
+    def setFlags(self, f):
+        self._flags = int(f)
+
+    def getMinEigThreshold(self):
+        return self._minEig
+
+    def setMinEigThreshold(self, v):
+        self._minEig = float(v)
+
+    def empty(self):
+        return False
+
+    def getDefaultName(self):
+        return "SparseOpticalFlow.SparsePyrLKOpticalFlow"
+
+
+def SparsePyrLKOpticalFlow_create(winSize=(21, 21), maxLevel=3,
+                                  crit=(3, 30, 0.01), flags=0,
+                                  minEigThreshold=1e-4):
+    return SparsePyrLKOpticalFlow(winSize, maxLevel, crit, flags,
+                                  minEigThreshold)
