@@ -980,3 +980,33 @@ dnn_Layer = _dnn_mod.Layer
 dnn_Tokenizer = _dnn_mod.Tokenizer
 dnn_Image2BlobParams = _dnn_mod.Image2BlobParams
 from .dnn.models import TextDetectionModel as dnn_TextDetectionModel  # noqa: E402,F401
+
+
+from .ops.scissors import IntelligentScissorsMB  # noqa: E402,F401
+segmentation_IntelligentScissorsMB = IntelligentScissorsMB
+
+
+class _SegmentationNS:
+    IntelligentScissorsMB = IntelligentScissorsMB
+
+
+segmentation = _SegmentationNS()
+
+
+from .ops.ccm import (  # noqa: E402,F401
+    ColorCorrectionModel as ccm_ColorCorrectionModel, ccm,
+)
+
+
+from .threed.tsdf import (  # noqa: E402,F401
+    Volume, VolumeSettings, Odometry, OdometryFrame, OdometrySettings,
+)
+
+
+from .objdetect.mcc import (  # noqa: E402,F401
+    CChecker as mcc_CChecker, CCheckerDetector as mcc_CCheckerDetector,
+    DetectorParametersMCC as mcc_DetectorParametersMCC, mcc,
+)
+from .features2d.dl_features import (  # noqa: E402,F401
+    ALIKED, ALIKED_Params, DISK,
+)
