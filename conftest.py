@@ -61,7 +61,7 @@ _SMOKE_FILES = {
     "test_onnx_ops", "test_parallel", "test_resize", "test_smooth",
     "test_tail_apis", "test_tail_apis2", "test_tail_apis3", "test_tail_apis4",
     "test_tail_apis5", "test_tail_apis6", "test_tail_apis7", "test_threed",
-    "test_surface_classes",
+    "test_surface_classes", "test_jpeg2000",
     "test_warp",
 }
 

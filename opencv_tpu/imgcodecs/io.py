@@ -261,9 +261,13 @@ def imdecode(buf, flags: int = IMREAD_COLOR):
     elif data[:2] == b"P7":
         from .hdr_pam import pam_decode
         img = pam_decode(data)
+    elif data[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n" \
+            or data[:2] == b"\xff\x4f":
+        from .jpeg2000 import jp2_decode
+        img = jp2_decode(data)
     else:
         raise ValueError("unsupported image format "
-                         "(PNG/BMP/PNM/JPEG/TIFF/GIF/EXR/WebP available)")
+                         "(PNG/BMP/PNM/JPEG/TIFF/GIF/EXR/WebP/JPEG2000 available)")
     if flags == IMREAD_GRAYSCALE and img.ndim == 3:
         from ..ops.color import cvtColor
         from .. import constants as K
@@ -442,7 +446,8 @@ def haveImageReader(filename: str) -> bool:
         return False
     sigs = (b"\x89PNG\r\n\x1a\n", b"BM", b"P5", b"P6", b"P7", b"\xff\xd8",
             b"II*\x00", b"MM\x00*", b"GIF87a", b"GIF89a",
-            b"\x76\x2f\x31\x01", b"#?")
+            b"\x76\x2f\x31\x01", b"#?", b"\xff\x4f",
+            b"\x00\x00\x00\x0cjP")
     if any(head.startswith(s) for s in sigs):
         return True
     return head[:4] == b"RIFF" and head[8:12] == b"WEBP"
