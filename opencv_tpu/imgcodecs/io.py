@@ -312,6 +312,9 @@ def imencode(ext: str, img, params=None):
     elif ext == ".gif":
         from .gif import gif_encode
         data = gif_encode(img)
+    elif ext in (".jp2", ".j2k", ".jpc"):
+        from .jpeg2000 import jp2_encode
+        data = jp2_encode(img)
     elif ext == ".exr":
         from .exr import exr_encode
         data = exr_encode(img, params)

@@ -781,3 +781,456 @@ def _planes_to_image(planes, meta):
     if len(out) >= 3:
         return np.stack([out[2], out[1], out[0]], axis=-1)
     return np.stack(out, axis=-1)
+
+
+# ============================================================== encoder
+
+class _MQEncoder:
+    """ISO 15444-1 C.3.3 encoder (opj_mqc encode/byteout/flush)."""
+
+    def __init__(self):
+        self.ctx = [[0, 0] for _ in range(19)]
+        self.ctx[_CTX_UNI][0] = 46
+        self.ctx[_CTX_AGG][0] = 3
+        self.ctx[0][0] = 4
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.out = bytearray([0])     # fake byte before start
+
+    def _byteout(self):
+        o = self.out
+        if o[-1] == 0xFF:
+            o.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        else:
+            if (self.c & 0x8000000) == 0:
+                o.append((self.c >> 19) & 0xFF)
+                self.c &= 0x7FFFF
+                self.ct = 8
+            else:
+                o[-1] += 1
+                if o[-1] == 0xFF:
+                    self.c &= 0x7FFFFFF
+                    o.append((self.c >> 20) & 0xFF)
+                    self.c &= 0xFFFFF
+                    self.ct = 7
+                else:
+                    o.append((self.c >> 19) & 0xFF)
+                    self.c &= 0x7FFFF
+                    self.ct = 8
+
+    def _renorm(self):
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def encode(self, d: int, cx: int):
+        st = self.ctx[cx]
+        qe, nmps, nlps, switch = _MQ_TABLE[st[0]]
+        if st[1] == d:
+            self.a -= qe
+            if (self.a & 0x8000) == 0:
+                if self.a < qe:
+                    self.a = qe
+                else:
+                    self.c += qe
+                st[0] = nmps
+                self._renorm()
+            else:
+                self.c += qe
+        else:
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                st[1] = 1 - st[1]
+            st[0] = nlps
+            self._renorm()
+
+    def flush(self) -> bytes:
+        # SETBITS
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        out = self.out
+        if out[-1] == 0xFF:
+            out = out[:-1]
+        return bytes(out[1:])     # drop the fake first byte
+
+
+class _BioW:
+    """Packet-header bit writer with FF stuffing (bio.c encode side)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.ct = 8
+
+    def putbit(self, b: int):
+        if self.ct == 0:
+            self.out.append(self.buf & 0xFF)
+            self.ct = 7 if (self.buf & 0xFF) == 0xFF else 8
+            self.buf = 0
+        self.ct -= 1
+        self.buf |= b << self.ct
+    def write(self, v: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.putbit((v >> i) & 1)
+
+    def flush(self) -> bytes:
+        self.out.append(self.buf & 0xFF)
+        if self.ct == 0 and (self.buf & 0xFF) == 0xFF:
+            self.out.append(0)
+        elif (self.buf & 0xFF) == 0xFF:
+            self.out.append(0)
+        return bytes(self.out)
+
+
+class _TagTreeEnc:
+    def __init__(self, w, h, leaf_values):
+        self.dims = []
+        ww, hh = max(w, 1), max(h, 1)
+        while True:
+            self.dims.append((ww, hh))
+            if ww == 1 and hh == 1:
+                break
+            ww, hh = (ww + 1) // 2, (hh + 1) // 2
+        self.value = []
+        v = np.asarray(leaf_values, np.int32).reshape(h, w)
+        for (ww, hh) in self.dims:
+            if not self.value:
+                self.value.append(v.copy())
+                continue
+            prev = self.value[-1]
+            cur = np.full((hh, ww), 2 ** 30, np.int32)
+            for yy in range(prev.shape[0]):
+                for xx in range(prev.shape[1]):
+                    cur[yy // 2, xx // 2] = min(cur[yy // 2, xx // 2],
+                                                prev[yy, xx])
+            self.value.append(cur)
+        self.low = [np.zeros(a.shape, np.int32) for a in self.value]
+        self.known = [np.zeros(a.shape, bool) for a in self.value]
+
+    def encode(self, bio: _BioW, x, y, threshold):
+        low = 0
+        for lvl in range(len(self.dims) - 1, -1, -1):
+            yi, xi = y >> lvl, x >> lvl
+            if low > self.low[lvl][yi, xi]:
+                self.low[lvl][yi, xi] = low
+            else:
+                low = int(self.low[lvl][yi, xi])
+            while low < threshold:
+                if low >= self.value[lvl][yi, xi]:
+                    if not self.known[lvl][yi, xi]:
+                        bio.putbit(1)
+                        self.known[lvl][yi, xi] = True
+                    break
+                bio.putbit(0)
+                low += 1
+            self.low[lvl][yi, xi] = low
+
+
+def _put_numpasses(bio: _BioW, n: int):
+    if n == 1:
+        bio.putbit(0)
+    elif n == 2:
+        bio.write(2, 2)
+    elif n <= 5:
+        bio.write(0xC | (n - 3), 4)
+    elif n <= 36:
+        bio.write(0x1E0 | (n - 6), 9)
+    else:
+        bio.write(0xFF80 | (n - 37), 16)
+
+
+def _t1_encode(v, orient):
+    """Encode one code-block (int64 coefficients) → (numbps, data)."""
+    h, w = v.shape
+    mag = np.abs(v)
+    if not mag.any():
+        return 0, b""
+    numbps = int(mag.max()).bit_length()
+    mq = _MQEncoder()
+    enc = mq.encode
+    sig = np.zeros((h + 2, w + 2), np.uint8)
+    sgn = np.zeros((h + 2, w + 2), np.uint8)
+    neg = (v < 0).astype(np.uint8)
+    refined = np.zeros((h, w), bool)
+    visited = np.zeros((h, w), bool)
+
+    def put_sign(y, x, j, i):
+        sc, xorbit = _sc_context(sig, sgn, y, x)
+        enc(int(neg[j, i]) ^ xorbit, sc)
+        sig[y, x] = 1
+        sgn[y, x] = neg[j, i]
+
+    passtype = 2
+    bpno = numbps - 1
+    npasses = 1 + 3 * (numbps - 1)
+    for _p in range(npasses):
+        if passtype == 0:
+            for k in range(0, h, 4):
+                kend = min(k + 4, h)
+                for i in range(w):
+                    x = i + 1
+                    for j in range(k, kend):
+                        y = j + 1
+                        if sig[y, x]:
+                            continue
+                        if not (sig[y - 1, x - 1] or sig[y - 1, x]
+                                or sig[y - 1, x + 1] or sig[y, x - 1]
+                                or sig[y, x + 1] or sig[y + 1, x - 1]
+                                or sig[y + 1, x] or sig[y + 1, x + 1]):
+                            continue
+                        visited[j, i] = True
+                        bit = int(mag[j, i] >> bpno) & 1
+                        enc(bit, _zc_context(sig, y, x, orient))
+                        if bit:
+                            put_sign(y, x, j, i)
+        elif passtype == 1:
+            for k in range(0, h, 4):
+                kend = min(k + 4, h)
+                for i in range(w):
+                    x = i + 1
+                    for j in range(k, kend):
+                        y = j + 1
+                        if not sig[y, x] or visited[j, i]:
+                            continue
+                        if not refined[j, i]:
+                            nb = (sig[y - 1, x - 1] + sig[y - 1, x]
+                                  + sig[y - 1, x + 1] + sig[y, x - 1]
+                                  + sig[y, x + 1] + sig[y + 1, x - 1]
+                                  + sig[y + 1, x] + sig[y + 1, x + 1])
+                            ctx = 15 if nb > 0 else 14
+                        else:
+                            ctx = 16
+                        enc(int(mag[j, i] >> bpno) & 1, ctx)
+                        refined[j, i] = True
+        else:
+            for k in range(0, h, 4):
+                kend = min(k + 4, h)
+                for i in range(w):
+                    x = i + 1
+                    j = k
+                    agg = kend - k == 4
+                    if agg:
+                        for jj in range(k, kend):
+                            y = jj + 1
+                            if sig[y, x] or visited[jj, i] or \
+                                sig[y - 1, x - 1] or sig[y - 1, x] or \
+                                sig[y - 1, x + 1] or sig[y, x - 1] or \
+                                sig[y, x + 1] or sig[y + 1, x - 1] or \
+                                    sig[y + 1, x] or sig[y + 1, x + 1]:
+                                agg = False
+                                break
+                    start = k
+                    if agg:
+                        runlen = -1
+                        for jj in range(k, kend):
+                            if (mag[jj, i] >> bpno) & 1:
+                                runlen = jj - k
+                                break
+                        if runlen < 0:
+                            enc(0, _CTX_AGG)
+                            continue
+                        enc(1, _CTX_AGG)
+                        enc((runlen >> 1) & 1, _CTX_UNI)
+                        enc(runlen & 1, _CTX_UNI)
+                        jj = k + runlen
+                        put_sign(jj + 1, x, jj, i)
+                        start = jj + 1
+                    for jj in range(start, kend):
+                        y = jj + 1
+                        if sig[y, x] or visited[jj, i]:
+                            continue
+                        bit = int(mag[jj, i] >> bpno) & 1
+                        enc(bit, _zc_context(sig, y, x, orient))
+                        if bit:
+                            put_sign(y, x, jj, i)
+            visited[:] = False
+        passtype += 1
+        if passtype == 3:
+            passtype = 0
+            bpno -= 1
+    return numbps, mq.flush()
+
+
+def _fwd53(x):
+    """Forward reversible 5/3 on last axis → (s, d)."""
+    n = x.shape[-1]
+    sn = (n + 1) // 2
+    s0 = x[..., 0::2].astype(np.int64)
+    d0 = x[..., 1::2].astype(np.int64)
+    dn = d0.shape[-1]
+    s_ext = np.concatenate([s0, s0[..., -1:]], -1)
+    d = d0 - ((s_ext[..., :dn] + s_ext[..., 1:dn + 1]) >> 1)
+    dm1 = np.concatenate([d[..., :1], d], -1)
+    di = np.concatenate([d, d[..., -1:] if dn else
+                         np.zeros_like(s0[..., :1])], -1)
+    s = s0 + ((dm1[..., :sn] + di[..., :sn] + 2) >> 2)
+    return s, d
+
+
+def jp2_encode(img, lossless: bool = True) -> bytes:
+    """Encode BGR/gray uint8 (or uint16) → .jp2 (reversible 5/3,
+    single tile/layer, no MCT — decodable by the reference wheel)."""
+    a = np.asarray(img)
+    if a.ndim == 2:
+        planes = [a.astype(np.int64)]
+    else:
+        planes = [a[..., 2].astype(np.int64), a[..., 1].astype(np.int64),
+                  a[..., 0].astype(np.int64)]   # RGB order
+    prec = 16 if a.dtype == np.uint16 else 8
+    H, W = a.shape[:2]
+    ncomp = len(planes)
+    ndecomp = max(0, min(5, min(W, H).bit_length() - 3))
+    guard = 2
+
+    # forward DWT per component → band dict
+    comp_bands = []
+    for p in planes:
+        x = p - (1 << (prec - 1))
+        cur = x
+        bands = {}
+        dims = []
+        for r in range(ndecomp):
+            hgt, wdt = cur.shape
+            # vertical first (inverse does horizontal last)
+            s, d = _fwd53(cur.T)
+            cur2 = np.concatenate([s, d], axis=-1).T
+            lo_h = (hgt + 1) // 2
+            s, d = _fwd53(cur2)
+            cur2 = np.concatenate([s, d], axis=-1)
+            lo_w = (wdt + 1) // 2
+            ll = cur2[:lo_h, :lo_w]
+            hl = cur2[:lo_h, lo_w:]
+            lh = cur2[lo_h:, :lo_w]
+            hh = cur2[lo_h:, lo_w:]
+            lvl = ndecomp - r     # resolution index of these bands
+            bands[(lvl, 1)] = hl
+            bands[(lvl, 2)] = lh
+            bands[(lvl, 3)] = hh
+            cur = ll
+        bands[(0, 0)] = cur
+        comp_bands.append(bands)
+
+    gain = {0: 0, 1: 1, 2: 1, 3: 2}
+    cbw = cbh = 64
+
+    # encode all code-blocks
+    enc_blocks = {}
+    for cidx in range(ncomp):
+        for (r, orient), band in comp_bands[cidx].items():
+            bh, bw = band.shape
+            band_numbps = (prec + gain[orient]) + guard - 1
+            ngx = max(1, _ceildiv(bw, cbw)) if bw else 0
+            ngy = max(1, _ceildiv(bh, cbh)) if bh else 0
+            blocks = []
+            for gy in range(ngy):
+                for gx in range(ngx):
+                    sub = band[gy * cbh:(gy + 1) * cbh,
+                               gx * cbw:(gx + 1) * cbw]
+                    nb, data = _t1_encode(sub, orient)
+                    if nb == 0:
+                        blocks.append(None)
+                    else:
+                        zbp = band_numbps - nb
+                        np_total = 1 + 3 * (nb - 1)
+                        blocks.append((zbp, np_total, data))
+            enc_blocks[(cidx, r, orient)] = (ngx, ngy, blocks)
+
+    # Tier-2 packets (LRCP, 1 layer)
+    body = bytearray()
+    for r in range(ndecomp + 1):
+        bands_r = [(0,)] if r == 0 else [(1,), (2,), (3,)]
+        for cidx in range(ncomp):
+            bio = _BioW()
+            datas = []
+            any_data = any(
+                b is not None
+                for (o,) in bands_r
+                for b in enc_blocks[(cidx, r, o)][2])
+            bio.putbit(1 if any_data else 0)
+            if any_data:
+                for (orient,) in bands_r:
+                    ngx, ngy, blocks = enc_blocks[(cidx, r, orient)]
+                    if ngx == 0 or ngy == 0:
+                        continue
+                    incl = [0 if b is not None else 1
+                            for b in blocks]   # layer of inclusion
+                    zbps = [b[0] if b is not None else 0
+                            for b in blocks]
+                    incl_t = _TagTreeEnc(ngx, ngy, incl)
+                    imsb_t = _TagTreeEnc(ngx, ngy, zbps)
+                    for idx, b in enumerate(blocks):
+                        gy, gx = divmod(idx, ngx)
+                        incl_t.encode(bio, gx, gy, 1)
+                        if b is None:
+                            continue
+                        zbp, npas, data = b
+                        i = zbp + 1
+                        # encode zbp tagtree with growing thresholds
+                        for t in range(1, zbp + 2):
+                            imsb_t.encode(bio, gx, gy, t)
+                        _put_numpasses(bio, npas)
+                        lblock = 3
+                        bits_needed = max(
+                            0, len(data).bit_length()
+                            - _floorlog2(npas))
+                        while lblock + _floorlog2(npas) < \
+                                len(data).bit_length():
+                            bio.putbit(1)
+                            lblock += 1
+                        bio.putbit(0)
+                        bio.write(len(data),
+                                  lblock + _floorlog2(npas))
+                        datas.append(data)
+            body += bio.flush()
+            for d in datas:
+                body += d
+
+    # markers
+    def marker(code, payload):
+        return struct.pack(">HH", code, len(payload) + 2) + payload
+
+    siz = struct.pack(">HIIIIIIIIH", 0, W, H, 0, 0, W, H, 0, 0, ncomp)
+    for _ in range(ncomp):
+        siz += struct.pack(">BBB", prec - 1, 1, 1)
+    cod = struct.pack(">BBHBBBBBB", 0, 0, 1, 0, ndecomp, 4, 4, 0, 1)
+    qcd = bytes([0 | (guard << 5)]) + bytes(
+        [((prec + gain[o]) << 3)
+         for o in ([0] + [1, 2, 3] * ndecomp)][:1 + 3 * ndecomp])
+    cs = b"\xff\x4f" + marker(0xFF51, siz) + marker(0xFF52, cod) \
+        + marker(0xFF5C, qcd)
+    sot_payload = struct.pack(">HIBB", 0, 0, 0, 1)
+    psot = 2 + 2 + len(sot_payload) + 2 + len(body)
+    sot_payload = struct.pack(">HIBB", 0, psot, 0, 1)
+    cs += marker(0xFF90, sot_payload) + b"\xff\x93" + bytes(body)
+    cs += b"\xff\xd9"
+
+    # jp2 wrapper
+    def box(typ, payload):
+        return struct.pack(">I4s", len(payload) + 8, typ) + payload
+
+    jp = box(b"jP  ", b"\r\n\x87\n")
+    ftyp = box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+    ihdr = box(b"ihdr", struct.pack(">IIHBBBB", H, W, ncomp, prec - 1,
+                                    7, 0, 0))
+    colr = box(b"colr", struct.pack(">BBBI", 1, 0, 0,
+                                    16 if ncomp == 3 else 17))
+    jp2h = box(b"jp2h", ihdr + colr)
+    return jp + ftyp + jp2h + box(b"jp2c", cs)

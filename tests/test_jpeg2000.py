@@ -67,3 +67,27 @@ def test_jp2_imdecode_memory(tmp_path):
     got = tcv.imdecode(buf, tcv.IMREAD_COLOR)
     assert_exact(got, img)
     assert tcv.haveImageReader(p)
+
+
+def test_jp2_encode_wheel_decodes(tmp_path):
+    rng = np.random.default_rng(4)
+    cases = {
+        "gray": rng.integers(0, 255, (37, 51), np.uint8),
+        "color": rng.integers(0, 255, (70, 90, 3), np.uint8),
+        "tiny": rng.integers(0, 255, (5, 7, 3), np.uint8),
+        "u16": rng.integers(0, 65535, (30, 40), np.uint16),
+    }
+    for name, img in cases.items():
+        p = str(tmp_path / f"{name}.jp2")
+        assert tcv.imwrite(p, img)
+        back = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+        assert back is not None, name
+        assert_exact(np.squeeze(back), np.squeeze(img), name)
+
+
+def test_jp2_encode_self_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (64, 80, 3), np.uint8)
+    p = str(tmp_path / "rt.jp2")
+    assert tcv.imwrite(p, img)
+    assert_exact(tcv.imread(p), img)
