@@ -384,18 +384,20 @@ class CLAHE:
         luts = jnp.clip(jnp.rint(cdf * lut_scale), 0, 255)  # (N, T, 256)
 
         # bilinear interpolation of tile LUTs per pixel
+        # weights exactly as the reference (clahe.cpp interpolation
+        # body): tile coordinate = index/tileSize - 0.5, fractional part
+        # kept unclamped (indices clamp; at edges both tiles coincide so
+        # the weight cancels), float32 arithmetic
         ys = jnp.arange(Hp, dtype=jnp.float32)
         xs = jnp.arange(Wp, dtype=jnp.float32)
-        tyf = (ys + 0.5) / th - 0.5
-        txf = (xs + 0.5) / tw - 0.5
+        tyf = ys * jnp.float32(1.0 / th) - 0.5
+        txf = xs * jnp.float32(1.0 / tw) - 0.5
         ty0 = jnp.clip(jnp.floor(tyf).astype(jnp.int32), 0, ty - 1)
         tx0 = jnp.clip(jnp.floor(txf).astype(jnp.int32), 0, tx - 1)
-        ty1 = jnp.clip(ty0 + 1, 0, ty - 1)
-        tx1 = jnp.clip(tx0 + 1, 0, tx - 1)
-        fy = jnp.clip(tyf - jnp.floor(tyf), 0.0, 1.0)
-        fx = jnp.clip(txf - jnp.floor(txf), 0.0, 1.0)
-        fy = jnp.where(tyf < 0, 0.0, jnp.where(tyf > ty - 1, 1.0, fy))
-        fx = jnp.where(txf < 0, 0.0, jnp.where(txf > tx - 1, 1.0, fx))
+        ty1 = jnp.clip(jnp.floor(tyf).astype(jnp.int32) + 1, 0, ty - 1)
+        tx1 = jnp.clip(jnp.floor(txf).astype(jnp.int32) + 1, 0, tx - 1)
+        fy = tyf - jnp.floor(tyf)
+        fx = txf - jnp.floor(txf)
 
         pix = xp[..., 0].astype(jnp.int32)  # (N, Hp, Wp)
 
@@ -423,10 +425,16 @@ class CLAHE:
                         jnp.where((tx1 > tx0)[None, None, :], g[..., 1],
                                   jnp.where((ty1 > ty0)[None, :, None],
                                             g[..., 2], g[..., 0])))
-        fyb = fy[None, :, None]
-        fxb = fx[None, None, :]
-        out = (v00 * (1 - fyb) * (1 - fxb) + v01 * (1 - fyb) * fxb
-               + v10 * fyb * (1 - fxb) + v11 * fyb * fxb)
+        fyb = fy[None, :, None].astype(jnp.float32)
+        fxb = fx[None, None, :].astype(jnp.float32)
+        fy1 = (jnp.float32(1.0) - fyb)
+        fx1 = (jnp.float32(1.0) - fxb)
+        # the reference's exact nesting:
+        # (p1[ind1]*xa1 + p1[ind2]*xa)*ya1 + (p2[ind1]*xa1+p2[ind2]*xa)*ya
+        out = ((v00.astype(jnp.float32) * fx1
+                + v01.astype(jnp.float32) * fxb) * fy1
+               + (v10.astype(jnp.float32) * fx1
+                  + v11.astype(jnp.float32) * fxb) * fyb)
         out = jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)
         out = out[:, :H, :W, None]
         return from_batched(out, meta)
