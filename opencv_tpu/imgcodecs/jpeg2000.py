@@ -257,7 +257,19 @@ def _t1_decode(data: bytes, w: int, h: int, numbps: int, orient: int,
                num_passes: int):
     """EBCOT decode of one code-block → int32 values with one
     fractional bit (t1.c: significance writes ±(one|half), refinement
-    adds ±half)."""
+    adds ±half).  Dispatches to the native C implementation when
+    available (bit-identical; ~100x the pure-Python loop)."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "ebcot_t1_decode"):
+        import ctypes
+        out = np.zeros(h * w, np.int64)
+        buf = np.frombuffer(data + b"\x00\x00", np.uint8).copy()
+        lib.ebcot_t1_decode(
+            buf.ctypes.data_as(ctypes.c_void_p), len(data), w, h,
+            numbps, orient, num_passes,
+            out.ctypes.data_as(ctypes.c_void_p))
+        return out.reshape(h, w)
     mq = _MQDecoder(data)
     val = np.zeros((h, w), np.int64)
     sig = np.zeros((h + 2, w + 2), np.uint8)
@@ -963,6 +975,20 @@ def _t1_encode(v, orient):
     mag = np.abs(v)
     if not mag.any():
         return 0, b""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "ebcot_t1_encode"):
+        import ctypes
+        coeffs = np.ascontiguousarray(v, np.int64)
+        cap = h * w * 8 + 1024
+        outb = np.zeros(cap, np.uint8)
+        nbps = ctypes.c_int(0)
+        ln = ctypes.c_int(0)
+        lib.ebcot_t1_encode(
+            coeffs.ctypes.data_as(ctypes.c_void_p), w, h, orient,
+            outb.ctypes.data_as(ctypes.c_void_p), cap,
+            ctypes.byref(nbps), ctypes.byref(ln))
+        return nbps.value, bytes(outb[1:1 + ln.value])
     numbps = int(mag.max()).bit_length()
     mq = _MQEncoder()
     enc = mq.encode

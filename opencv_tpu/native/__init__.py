@@ -60,6 +60,17 @@ def get_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint8,
             ctypes.c_void_p,
         ]
+        lib.ebcot_t1_decode.restype = ctypes.c_int
+        lib.ebcot_t1_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.ebcot_t1_encode.restype = ctypes.c_int
+        lib.ebcot_t1_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         _LIB = lib
     except OSError:
         _LIB = None

@@ -729,3 +729,423 @@ extern "C" long long jpeg_encode_blocks(
     wr.flush();
     return wr.overflow ? -1 : wr.n;
 }
+
+#include <cstdlib>
+#include <cstring>
+
+/* ============================================================= JPEG 2000
+   EBCOT Tier-1 + MQ coder (ISO 15444-1 C.2/C.3, D.1-D.4) — the
+   sequential per-codeblock hot loop behind imgcodecs/jpeg2000.py.
+   Mirrors the Python implementation bit-for-bit. */
+
+static const uint16_t MQ_QE[47] = {
+  0x5601,0x3401,0x1801,0x0AC1,0x0521,0x0221,0x5601,0x5401,0x4801,0x3801,
+  0x3001,0x2401,0x1C01,0x1601,0x5601,0x5401,0x5101,0x4801,0x3801,0x3401,
+  0x3001,0x2801,0x2401,0x2201,0x1C01,0x1801,0x1601,0x1401,0x1201,0x1101,
+  0x0AC1,0x09C1,0x08A1,0x0521,0x0441,0x02A1,0x0221,0x0141,0x0111,0x0085,
+  0x0049,0x0025,0x0015,0x0009,0x0005,0x0001,0x5601};
+static const uint8_t MQ_NMPS[47] = {
+  1,2,3,4,5,38,7,8,9,10,11,12,13,29,15,16,17,18,19,20,21,22,23,24,25,26,
+  27,28,29,30,31,32,33,34,35,36,37,38,39,40,41,42,43,44,45,45,46};
+static const uint8_t MQ_NLPS[47] = {
+  1,6,9,12,29,33,6,14,14,14,17,18,20,21,14,14,15,16,17,18,19,19,20,21,22,
+  23,24,25,26,27,28,29,30,31,32,33,34,35,36,37,38,39,40,41,42,43,46};
+static const uint8_t MQ_SW[47] = {
+  1,0,0,0,0,0,1,0,0,0,0,0,0,0,1,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,
+  0,0,0,0,0,0,0,0,0,0,0,0};
+
+struct MqDec {
+  const uint8_t* d; int len; int bp;
+  uint32_t c, a; int ct;
+  uint8_t idx[19], mps[19];
+};
+
+static void mqd_bytein(MqDec* m) {
+  uint8_t b0 = (m->bp < m->len) ? m->d[m->bp] : 0xFF;
+  uint8_t b1 = (m->bp + 1 < m->len) ? m->d[m->bp + 1] : 0xFF;
+  if (b0 == 0xFF) {
+    if (b1 > 0x8F) { m->c += 0xFF00; m->ct = 8; }
+    else { m->bp++; m->c += (uint32_t)b1 << 9; m->ct = 7; }
+  } else { m->bp++; m->c += (uint32_t)b1 << 8; m->ct = 8; }
+}
+
+static void mqd_init(MqDec* m, const uint8_t* d, int len) {
+  m->d = d; m->len = len; m->bp = 0;
+  for (int i = 0; i < 19; i++) { m->idx[i] = 0; m->mps[i] = 0; }
+  m->idx[18] = 46; m->idx[17] = 3; m->idx[0] = 4;
+  m->c = (uint32_t)(len ? d[0] : 0xFF) << 16;
+  m->ct = 0;
+  mqd_bytein(m);
+  m->c <<= 7; m->ct -= 7; m->a = 0x8000;
+}
+
+static int mqd_decode(MqDec* m, int cx) {
+  uint32_t qe = MQ_QE[m->idx[cx]];
+  int d;
+  m->a -= qe;
+  if ((m->c >> 16) < qe) {
+    if (m->a < qe) { d = m->mps[cx]; m->idx[cx] = MQ_NMPS[m->idx[cx]]; }
+    else {
+      d = 1 - m->mps[cx];
+      if (MQ_SW[m->idx[cx]]) m->mps[cx] = 1 - m->mps[cx];
+      m->idx[cx] = MQ_NLPS[m->idx[cx]];
+    }
+    m->a = qe;
+    do {
+      if (m->ct == 0) mqd_bytein(m);
+      m->a <<= 1; m->c <<= 1; m->ct--;
+    } while (!(m->a & 0x8000));
+  } else {
+    m->c -= qe << 16;
+    if ((m->a & 0x8000) == 0) {
+      if (m->a < qe) {
+        d = 1 - m->mps[cx];
+        if (MQ_SW[m->idx[cx]]) m->mps[cx] = 1 - m->mps[cx];
+        m->idx[cx] = MQ_NLPS[m->idx[cx]];
+      } else { d = m->mps[cx]; m->idx[cx] = MQ_NMPS[m->idx[cx]]; }
+      do {
+        if (m->ct == 0) mqd_bytein(m);
+        m->a <<= 1; m->c <<= 1; m->ct--;
+      } while (!(m->a & 0x8000));
+    } else d = m->mps[cx];
+  }
+  return d;
+}
+
+static inline int zc_ctx(const uint8_t* sig, int stride, int y, int x,
+                         int orient) {
+  const uint8_t* p = sig + y * stride + x;
+  int h = p[-1] + p[1];
+  int v = p[-stride] + p[stride];
+  int dg = p[-stride-1] + p[-stride+1] + p[stride-1] + p[stride+1];
+  if (orient == 1) { int t = h; h = v; v = t; }
+  if (orient != 3) {
+    if (h == 2) return 8;
+    if (h == 1) { if (v >= 1) return 7; return dg >= 1 ? 6 : 5; }
+    if (v == 2) return 4;
+    if (v == 1) return 3;
+    return dg >= 2 ? 2 : (dg == 1 ? 1 : 0);
+  }
+  int hv = h + v;
+  if (dg >= 3) return 8;
+  if (dg == 2) return hv >= 1 ? 7 : 6;
+  if (dg == 1) return hv >= 2 ? 5 : (hv == 1 ? 4 : 3);
+  return hv >= 2 ? 2 : (hv == 1 ? 1 : 0);
+}
+
+static inline void sc_ctx(const uint8_t* sig, const uint8_t* sgn,
+                          int stride, int y, int x, int* cx, int* xorbit) {
+  const uint8_t* ps = sig + y * stride + x;
+  const uint8_t* pg = sgn + y * stride + x;
+  int h = (ps[-1] ? (pg[-1] ? -1 : 1) : 0)
+        + (ps[1] ? (pg[1] ? -1 : 1) : 0);
+  int v = (ps[-stride] ? (pg[-stride] ? -1 : 1) : 0)
+        + (ps[stride] ? (pg[stride] ? -1 : 1) : 0);
+  if (h > 1) h = 1; if (h < -1) h = -1;
+  if (v > 1) v = 1; if (v < -1) v = -1;
+  if (h == 1)      { *cx = v == 1 ? 13 : (v == 0 ? 12 : 11); *xorbit = 0; }
+  else if (h == 0) {
+    if (v == 1) { *cx = 10; *xorbit = 0; }
+    else if (v == 0) { *cx = 9; *xorbit = 0; }
+    else { *cx = 10; *xorbit = 1; }
+  } else           { *cx = v == 1 ? 11 : (v == 0 ? 12 : 13); *xorbit = 1; }
+}
+
+static inline int any_nb(const uint8_t* sig, int stride, int y, int x) {
+  const uint8_t* p = sig + y * stride + x;
+  return p[-stride-1] | p[-stride] | p[-stride+1] | p[-1] | p[1]
+       | p[stride-1] | p[stride] | p[stride+1];
+}
+
+extern "C" int ebcot_t1_decode(const uint8_t* data, int len, int w, int h,
+                    int numbps, int orient, int num_passes,
+                    int64_t* out) {
+  int stride = w + 2;
+  int cells = (h + 2) * stride;
+  uint8_t* sig = (uint8_t*)calloc(cells, 1);
+  uint8_t* sgn = (uint8_t*)calloc(cells, 1);
+  uint8_t* refined = (uint8_t*)calloc(h * w, 1);
+  uint8_t* visited = (uint8_t*)calloc(h * w, 1);
+  for (int i = 0; i < h * w; i++) out[i] = 0;
+  MqDec mq; mqd_init(&mq, data, len);
+  int bpno = numbps, passtype = 2;
+  for (int p = 0; p < num_passes && bpno >= 1; p++) {
+    int64_t one = (int64_t)1 << bpno;
+    int64_t half = one >> 1;
+    int64_t oph = one | half;
+    if (passtype == 0) {
+      for (int k = 0; k < h; k += 4) {
+        int kend = k + 4 < h ? k + 4 : h;
+        for (int i = 0; i < w; i++) {
+          int x = i + 1;
+          for (int j = k; j < kend; j++) {
+            int y = j + 1;
+            if (sig[y*stride + x]) continue;
+            if (!any_nb(sig, stride, y, x)) continue;
+            visited[j*w + i] = 1;
+            if (mqd_decode(&mq, zc_ctx(sig, stride, y, x, orient))) {
+              int cx, xb; sc_ctx(sig, sgn, stride, y, x, &cx, &xb);
+              int s = mqd_decode(&mq, cx) ^ xb;
+              sig[y*stride + x] = 1; sgn[y*stride + x] = (uint8_t)s;
+              out[j*w + i] = s ? -oph : oph;
+            }
+          }
+        }
+      }
+    } else if (passtype == 1) {
+      for (int k = 0; k < h; k += 4) {
+        int kend = k + 4 < h ? k + 4 : h;
+        for (int i = 0; i < w; i++) {
+          int x = i + 1;
+          for (int j = k; j < kend; j++) {
+            int y = j + 1;
+            if (!sig[y*stride + x] || visited[j*w + i]) continue;
+            int cx;
+            if (!refined[j*w + i])
+              cx = any_nb(sig, stride, y, x) ? 15 : 14;
+            else cx = 16;
+            int v = mqd_decode(&mq, cx);
+            int neg = out[j*w + i] < 0;
+            out[j*w + i] += (v ^ neg) ? half : -half;
+            refined[j*w + i] = 1;
+          }
+        }
+      }
+    } else {
+      for (int k = 0; k < h; k += 4) {
+        int kend = k + 4 < h ? k + 4 : h;
+        for (int i = 0; i < w; i++) {
+          int x = i + 1;
+          int j = k;
+          int agg = (kend - k == 4);
+          if (agg) {
+            for (int jj = k; jj < kend; jj++) {
+              int y = jj + 1;
+              if (sig[y*stride + x] || visited[jj*w + i]
+                  || any_nb(sig, stride, y, x)) { agg = 0; break; }
+            }
+          }
+          int runlen = 0, first_agg = 0;
+          if (agg) {
+            if (!mqd_decode(&mq, 17)) continue;
+            runlen = (mqd_decode(&mq, 18) << 1) | mqd_decode(&mq, 18);
+            j = k + runlen; first_agg = 1;
+          }
+          for (int jj = j; jj < kend; jj++) {
+            int y = jj + 1;
+            if (sig[y*stride + x] || visited[jj*w + i]) continue;
+            if (first_agg && jj == k + runlen) {
+              first_agg = 0;
+              int cx, xb; sc_ctx(sig, sgn, stride, y, x, &cx, &xb);
+              int s = mqd_decode(&mq, cx) ^ xb;
+              sig[y*stride + x] = 1; sgn[y*stride + x] = (uint8_t)s;
+              out[jj*w + i] = s ? -oph : oph;
+              continue;
+            }
+            if (mqd_decode(&mq, zc_ctx(sig, stride, y, x, orient))) {
+              int cx, xb; sc_ctx(sig, sgn, stride, y, x, &cx, &xb);
+              int s = mqd_decode(&mq, cx) ^ xb;
+              sig[y*stride + x] = 1; sgn[y*stride + x] = (uint8_t)s;
+              out[jj*w + i] = s ? -oph : oph;
+            }
+          }
+        }
+      }
+      memset(visited, 0, h * w);
+    }
+    if (++passtype == 3) { passtype = 0; bpno--; }
+  }
+  free(sig); free(sgn); free(refined); free(visited);
+  return 0;
+}
+
+struct MqEnc {
+  uint32_t a, c; int ct;
+  uint8_t* out; int pos, cap;
+  uint8_t idx[19], mps[19];
+};
+
+static void mqe_byteout(MqEnc* m) {
+  if (m->out[m->pos] == 0xFF) {
+    m->pos++; m->out[m->pos] = (uint8_t)(m->c >> 20);
+    m->c &= 0xFFFFF; m->ct = 7;
+  } else {
+    if ((m->c & 0x8000000) == 0) {
+      m->pos++; m->out[m->pos] = (uint8_t)(m->c >> 19);
+      m->c &= 0x7FFFF; m->ct = 8;
+    } else {
+      m->out[m->pos]++;
+      if (m->out[m->pos] == 0xFF) {
+        m->c &= 0x7FFFFFF;
+        m->pos++; m->out[m->pos] = (uint8_t)(m->c >> 20);
+        m->c &= 0xFFFFF; m->ct = 7;
+      } else {
+        m->pos++; m->out[m->pos] = (uint8_t)(m->c >> 19);
+        m->c &= 0x7FFFF; m->ct = 8;
+      }
+    }
+  }
+}
+
+static void mqe_renorm(MqEnc* m) {
+  do {
+    m->a <<= 1; m->c <<= 1; m->ct--;
+    if (m->ct == 0) mqe_byteout(m);
+  } while (!(m->a & 0x8000));
+}
+
+static void mqe_encode(MqEnc* m, int d, int cx) {
+  uint32_t qe = MQ_QE[m->idx[cx]];
+  if (m->mps[cx] == d) {
+    m->a -= qe;
+    if ((m->a & 0x8000) == 0) {
+      if (m->a < qe) m->a = qe; else m->c += qe;
+      m->idx[cx] = MQ_NMPS[m->idx[cx]];
+      mqe_renorm(m);
+    } else m->c += qe;
+  } else {
+    m->a -= qe;
+    if (m->a < qe) m->c += qe; else m->a = qe;
+    if (MQ_SW[m->idx[cx]]) m->mps[cx] = 1 - m->mps[cx];
+    m->idx[cx] = MQ_NLPS[m->idx[cx]];
+    mqe_renorm(m);
+  }
+}
+
+extern "C" int ebcot_t1_encode(const int64_t* coeffs, int w, int h, int orient,
+                    uint8_t* outbuf, int cap, int* out_numbps,
+                    int* out_len) {
+  int stride = w + 2;
+  int cells = (h + 2) * stride;
+  int64_t maxmag = 0;
+  for (int i = 0; i < h * w; i++) {
+    int64_t m = coeffs[i] < 0 ? -coeffs[i] : coeffs[i];
+    if (m > maxmag) maxmag = m;
+  }
+  if (maxmag == 0) { *out_numbps = 0; *out_len = 0; return 0; }
+  int numbps = 0;
+  while ((maxmag >> numbps) != 0) numbps++;
+  uint8_t* sig = (uint8_t*)calloc(cells, 1);
+  uint8_t* sgn = (uint8_t*)calloc(cells, 1);
+  uint8_t* refined = (uint8_t*)calloc(h * w, 1);
+  uint8_t* visited = (uint8_t*)calloc(h * w, 1);
+  MqEnc mq;
+  mq.a = 0x8000; mq.c = 0; mq.ct = 12;
+  mq.out = outbuf; mq.pos = 0; mq.cap = cap;
+  outbuf[0] = 0;   /* fake byte before start */
+  for (int i = 0; i < 19; i++) { mq.idx[i] = 0; mq.mps[i] = 0; }
+  mq.idx[18] = 46; mq.idx[17] = 3; mq.idx[0] = 4;
+
+  int npasses = 1 + 3 * (numbps - 1);
+  int passtype = 2, bpno = numbps - 1;
+  for (int p = 0; p < npasses; p++) {
+    if (passtype == 0) {
+      for (int k = 0; k < h; k += 4) {
+        int kend = k + 4 < h ? k + 4 : h;
+        for (int i = 0; i < w; i++) {
+          int x = i + 1;
+          for (int j = k; j < kend; j++) {
+            int y = j + 1;
+            if (sig[y*stride + x]) continue;
+            if (!any_nb(sig, stride, y, x)) continue;
+            visited[j*w + i] = 1;
+            int64_t mg = coeffs[j*w + i] < 0 ? -coeffs[j*w + i]
+                                             : coeffs[j*w + i];
+            int bit = (int)((mg >> bpno) & 1);
+            mqe_encode(&mq, bit, zc_ctx(sig, stride, y, x, orient));
+            if (bit) {
+              int cx, xb; sc_ctx(sig, sgn, stride, y, x, &cx, &xb);
+              int neg = coeffs[j*w + i] < 0;
+              mqe_encode(&mq, neg ^ xb, cx);
+              sig[y*stride + x] = 1; sgn[y*stride + x] = (uint8_t)neg;
+            }
+          }
+        }
+      }
+    } else if (passtype == 1) {
+      for (int k = 0; k < h; k += 4) {
+        int kend = k + 4 < h ? k + 4 : h;
+        for (int i = 0; i < w; i++) {
+          int x = i + 1;
+          for (int j = k; j < kend; j++) {
+            int y = j + 1;
+            if (!sig[y*stride + x] || visited[j*w + i]) continue;
+            int cx;
+            if (!refined[j*w + i])
+              cx = any_nb(sig, stride, y, x) ? 15 : 14;
+            else cx = 16;
+            int64_t mg = coeffs[j*w + i] < 0 ? -coeffs[j*w + i]
+                                             : coeffs[j*w + i];
+            mqe_encode(&mq, (int)((mg >> bpno) & 1), cx);
+            refined[j*w + i] = 1;
+          }
+        }
+      }
+    } else {
+      for (int k = 0; k < h; k += 4) {
+        int kend = k + 4 < h ? k + 4 : h;
+        for (int i = 0; i < w; i++) {
+          int x = i + 1;
+          int start = k;
+          int agg = (kend - k == 4);
+          if (agg) {
+            for (int jj = k; jj < kend; jj++) {
+              int y = jj + 1;
+              if (sig[y*stride + x] || visited[jj*w + i]
+                  || any_nb(sig, stride, y, x)) { agg = 0; break; }
+            }
+          }
+          if (agg) {
+            int runlen = -1;
+            for (int jj = k; jj < kend; jj++) {
+              int64_t mg = coeffs[jj*w + i] < 0 ? -coeffs[jj*w + i]
+                                                : coeffs[jj*w + i];
+              if ((mg >> bpno) & 1) { runlen = jj - k; break; }
+            }
+            if (runlen < 0) { mqe_encode(&mq, 0, 17); continue; }
+            mqe_encode(&mq, 1, 17);
+            mqe_encode(&mq, (runlen >> 1) & 1, 18);
+            mqe_encode(&mq, runlen & 1, 18);
+            int jj = k + runlen, y = jj + 1;
+            int cx, xb; sc_ctx(sig, sgn, stride, y, x, &cx, &xb);
+            int neg = coeffs[jj*w + i] < 0;
+            mqe_encode(&mq, neg ^ xb, cx);
+            sig[y*stride + x] = 1; sgn[y*stride + x] = (uint8_t)neg;
+            start = jj + 1;
+          }
+          for (int jj = start; jj < kend; jj++) {
+            int y = jj + 1;
+            if (sig[y*stride + x] || visited[jj*w + i]) continue;
+            int64_t mg = coeffs[jj*w + i] < 0 ? -coeffs[jj*w + i]
+                                              : coeffs[jj*w + i];
+            int bit = (int)((mg >> bpno) & 1);
+            mqe_encode(&mq, bit, zc_ctx(sig, stride, y, x, orient));
+            if (bit) {
+              int cx, xb; sc_ctx(sig, sgn, stride, y, x, &cx, &xb);
+              int neg = coeffs[jj*w + i] < 0;
+              mqe_encode(&mq, neg ^ xb, cx);
+              sig[y*stride + x] = 1; sgn[y*stride + x] = (uint8_t)neg;
+            }
+          }
+        }
+      }
+      memset(visited, 0, h * w);
+    }
+    if (++passtype == 3) { passtype = 0; bpno--; }
+  }
+  /* flush (SETBITS + 2 byteouts) */
+  {
+    uint32_t tempc = mq.c + mq.a;
+    mq.c |= 0xFFFF;
+    if (mq.c >= tempc) mq.c -= 0x8000;
+    mq.c <<= mq.ct; mqe_byteout(&mq);
+    mq.c <<= mq.ct; mqe_byteout(&mq);
+    int end = mq.pos;            /* index of last written byte */
+    if (mq.out[end] == 0xFF) end--;
+    *out_len = end;              /* bytes after the fake first byte */
+  }
+  *out_numbps = numbps;
+  free(sig); free(sgn); free(refined); free(visited);
+  return 0;
+}
+
