@@ -36,11 +36,12 @@ def VideoWriter_fourcc(*args):
 
 
 def _parse_avi(data):
-    """Minimal RIFF/AVI walk: returns (frames, fps, size)."""
+    """Minimal RIFF/AVI walk: returns (frames, fps, size, fourcc)."""
     assert data[:4] == b"RIFF" and data[8:12] == b"AVI ", "not an AVI"
     fps = 25.0
     size = (0, 0)
     frames = []
+    fourcc = [b""]
 
     def walk(pos, end):
         nonlocal fps, size
@@ -56,12 +57,39 @@ def _parse_avi(data):
                     fps = 1e6 / usec
                 w, h = struct.unpack("<II", data[body + 32:body + 40])
                 size = (w, h)
+            elif ckid == b"strf" and cksz >= 20 and not fourcc[0]:
+                fourcc[0] = data[body + 16:body + 20]
             elif ckid[2:4] in (b"dc", b"db"):
                 frames.append(data[body:body + cksz])
             pos = body + cksz + (cksz & 1)
 
     walk(12, len(data))
-    return frames, fps, size
+    return frames, fps, size, fourcc[0]
+
+
+def _raw_frame_to_bgr(buf, size, fourcc):
+    """Decode an uncompressed AVI payload (videoio raw fourccs)."""
+    from .ops.color import cvtColor
+    from . import constants as K
+    w, h = size
+    a = np.frombuffer(buf, np.uint8)
+    fc = fourcc.decode("latin-1", "replace").strip("\x00 ").upper()
+    if fc in ("I420", "IYUV", "YV12"):
+        yuv = a[:w * h * 3 // 2].reshape(h * 3 // 2, w)
+        code = K.COLOR_YUV2BGR_I420 if fc != "YV12" \
+            else K.COLOR_YUV2BGR_YV12
+        return np.asarray(cvtColor(yuv, code))
+    if fc in ("Y800", "GREY", "Y8"):
+        g = a[:w * h].reshape(h, w)
+        return np.stack([g] * 3, axis=-1)
+    if fc == "RGBA":
+        rgba = a[:w * h * 4].reshape(h, w, 4)
+        return rgba[:, :, [2, 1, 0]].copy()
+    if fc in ("RGB", "\x00\x00\x00\x00", "DIB", ""):
+        if len(a) >= w * h * 3:
+            rgb = a[:w * h * 3].reshape(h, w, 3)
+            return rgb[:, :, ::-1].copy()
+    return None
 
 
 class VideoCapture:
@@ -91,7 +119,8 @@ class VideoCapture:
         if s.lower().endswith(".avi") and os.path.exists(s):
             with open(s, "rb") as f:
                 data = f.read()
-            self._frames, self._fps, self._size = _parse_avi(data)
+            (self._frames, self._fps, self._size,
+             self._fourcc) = _parse_avi(data)
             self._files = None
             self._opened = True
             return True
@@ -134,6 +163,13 @@ class VideoCapture:
             img = _y4m_to_bgr(self._frames[pos], self._size)
             return True, img
         if self._frames is not None:
+            fc = getattr(self, "_fourcc", b"")
+            fcs = fc.decode("latin-1", "replace").strip("\x00 ").upper()
+            if fcs and fcs not in ("MJPG", "JPEG", "MJPA"):
+                img = _raw_frame_to_bgr(self._frames[pos], self._size,
+                                        fc)
+                if img is not None:
+                    return True, img
             img = imdecode(np.frombuffer(self._frames[pos], np.uint8), 1)
         else:
             img = imread(self._files[pos])
@@ -188,6 +224,14 @@ class VideoWriter:
         self._y4m = self._path.lower().endswith(".y4m")
         self._frames = []
         self._count = 0
+        fc = b"MJPG"
+        if isinstance(fourcc, (int, np.integer)) and fourcc > 0:
+            fc = bytes([fourcc & 0xFF, (fourcc >> 8) & 0xFF,
+                        (fourcc >> 16) & 0xFF, (fourcc >> 24) & 0xFF])
+        self._fcc = fc.decode("latin-1").upper()
+        if self._fcc not in ("MJPG", "I420", "IYUV", "YV12", "Y800",
+                            "RGBA"):
+            self._fcc = "MJPG"
         self._opened = True
         return True
 
@@ -202,7 +246,30 @@ class VideoWriter:
         if self._y4m:
             self._frames.append(_bgr_to_y4m_frame(np.asarray(frame)))
             return
-        ok, buf = imencode(".jpg", np.asarray(frame), [1, 95])
+        a = np.asarray(frame)
+        fcc = getattr(self, "_fcc", "MJPG")
+        if fcc in ("I420", "IYUV", "YV12"):
+            from .ops.color import cvtColor
+            from . import constants as K
+            if a.ndim == 2:
+                a = np.stack([a] * 3, -1)
+            code = K.COLOR_BGR2YUV_I420 if fcc != "YV12" \
+                else K.COLOR_BGR2YUV_YV12
+            yuv = np.asarray(cvtColor(a, code))
+            self._frames.append(yuv.tobytes())
+            return
+        if fcc == "Y800":
+            g = a if a.ndim == 2 else a.mean(axis=2).astype(np.uint8)
+            self._frames.append(g.tobytes())
+            return
+        if fcc == "RGBA":
+            if a.ndim == 2:
+                a = np.stack([a] * 3, -1)
+            rgba = np.dstack([a[:, :, 2], a[:, :, 1], a[:, :, 0],
+                              np.full(a.shape[:2], 255, np.uint8)])
+            self._frames.append(rgba.tobytes())
+            return
+        ok, buf = imencode(".jpg", a, [1, 95])
         self._frames.append(bytes(buf))
 
     def release(self):
@@ -233,11 +300,14 @@ class VideoWriter:
         maxbuf = max(len(f) for f in self._frames)
         avih = struct.pack("<14I", int(1e6 / fps), 0, 0, 0x10, n, 0, 1,
                            maxbuf, w, h, 0, 0, 0, 0)
-        strh = b"vids" + b"MJPG" + struct.pack(
+        fcc = getattr(self, "_fcc", "MJPG").encode("latin-1")
+        bits = {b"I420": 12, b"IYUV": 12, b"YV12": 12, b"Y800": 8,
+                b"RGBA": 32}.get(fcc, 24)
+        strh = b"vids" + fcc + struct.pack(
             "<IHHIIIIIIIII", 0, 0, 0, 0, 1, int(fps), 0, n, maxbuf,
             0xFFFFFFFF, 0, 0) + struct.pack("<4H", 0, 0, w, h)
-        strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
-                           w * h * 3, 0, 0, 0, 0)
+        strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, bits, fcc,
+                           w * h * bits // 8, 0, 0, 0, 0)
         strl = b"LIST" + struct.pack(
             "<I", 4 + len(chunk(b"strh", strh)) + len(chunk(b"strf", strf))
         ) + b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
