@@ -16,14 +16,25 @@ baseline is static per machine, so it is read from a committed cache
 and the axon TPU client must not share a process) when absent.
 
 Robustness contract (the reference's perf harness measures to stability
-and always reports, `modules/ts/src/ts_perf.cpp:1922` — ours must too):
-- persistent XLA compilation cache under `.jax_cache/` so warm reruns
-  skip the multi-minute compile wall of the axon tunnel;
-- one global deadline (BENCH_BUDGET_S, default 480 s) enforced by
-  SIGALRM: whatever configs completed by then are emitted — a slow
-  compile can cost configs, never the whole round's evidence;
-- each config individually guarded; a failure records an error string
-  and moves on.
+and ALWAYS reports, `modules/ts/src/ts_perf.cpp:1922` — ours must too,
+including when the device is gone):
+- PRE-FLIGHT, before any config: (a) a raw TCP connect to the axon
+  relay ports (~1 s — a dead relay is connection-refused, and the jax
+  client then hangs >240 s, so this must not go through jax), then
+  (b) one trivial jitted op in a KILLABLE SUBPROCESS with a hard bound.
+  Either failure stamps an explicit "tpu unreachable" diagnostic into
+  EVERY config and exits 0 — a dead tunnel must be legible in
+  BENCH_r{N}.json, never inferred.
+- EVERY CONFIG RUNS IN ITS OWN SUBPROCESS with an adaptive wall budget
+  (remaining/remaining-configs, floor 60 s). A hang — native compile
+  RPC included, which ignores signals — is killed and recorded as a
+  per-config timeout; it can never eat the other configs or the round.
+- persistent XLA compilation cache under `.jax_cache/` shared by all
+  subprocesses, so warm reruns skip the axon compile wall;
+- a global deadline (BENCH_BUDGET_S, default 480 s) enforced by a
+  watchdog thread that emits whatever completed;
+- BENCH_FAST=1 shrinks batch/iters for a cold-cache run that finishes
+  through the tunnel in <6 min.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}:
 value = geometric-mean TPU Mpix/s across completed configs,
@@ -33,6 +44,7 @@ vs_baseline = geometric-mean speedup; per-config detail under "configs".
 import json
 import os
 import signal
+import socket
 import subprocess
 import sys
 import threading
@@ -41,19 +53,28 @@ import time
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-BATCH_1080 = int(os.environ.get("BENCH_BATCH", "32"))
+FAST = os.environ.get("BENCH_FAST", "") not in ("", "0")
+BATCH_1080 = int(os.environ.get("BENCH_BATCH", "8" if FAST else "32"))
 # 4K batch must stay large: the warp formulation's gather cost is per
 # OUTPUT PIXEL (one gather per pixel, whole batch in the row payload),
-# so small batches amortize the same ~116ms over fewer pixels
-BATCH_4K = max(8, BATCH_1080 // 2)
+# so small batches amortize the same gather wall over fewer pixels
+BATCH_4K = max(4 if FAST else 8, BATCH_1080 // 2)
+ITERS = int(os.environ.get("BENCH_ITERS", "2" if FAST else "6"))
 CPU_IMGS = int(os.environ.get("BENCH_CPU_IMGS", "2"))
 CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", "2"))
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+PROBE_S = float(os.environ.get("BENCH_PROBE_S", "120"))
 CPU_CACHE = os.path.join(REPO, "perf", "cpu_baseline.json")
+CACHE_DIR = os.path.join(REPO, ".jax_cache")
+
+# run order: cheapest/highest-yield first so a tight budget banks the most
+CONFIG_ORDER = ["1_cvt_gauss_1080p", "3_pyr_corner_edge_1080p",
+                "4_match_morph_1080p", "5_orb_1080p", "2_resize_warp_4k"]
 
 _T0 = time.monotonic()
 _TPU_RES = {}      # filled incrementally, config by config
 _ERRORS = {}
+_META = {}
 _EMITTED = False
 
 
@@ -104,14 +125,119 @@ def emit_and_exit(code=0):
         "configs": configs,
         "elapsed_s": round(time.monotonic() - _T0, 1),
         "batch": BATCH_1080,
+        "fast_mode": FAST,
     }
+    out.update(_META)
     print(json.dumps(out), flush=True)
     os._exit(code)
 
 
-def _on_alarm(signum, frame):
-    _ERRORS.setdefault("_deadline", "global budget hit; partial results")
+def _fail_all(diag):
+    """Stamp an explicit diagnostic into every config and emit."""
+    for name in CONFIG_ORDER:
+        _ERRORS.setdefault(name, diag)
     emit_and_exit(0)
+
+
+# ------------------------------------------------------------- preflight
+
+def _relay_ports():
+    try:
+        src = open("/root/.tpu_init.py").read(4096)
+        first = src.splitlines()[0]
+        if first.startswith("PORTS"):
+            return list(eval(first.split("=", 1)[1]))  # noqa: S307 literal
+    except Exception:
+        pass
+    return [8082, 8083, 8087]
+
+
+def preflight():
+    """Return None if the TPU is reachable, else a diagnostic string.
+
+    Mirrors the reference perf harness's always-report contract
+    (modules/ts/src/ts_perf.cpp:1922): when the device is gone, the
+    output must SAY so per config, not time out silently.
+    """
+    # (a) raw socket: the axon relay is a local TCP bridge; dead relay
+    # == connection refused in <1s. Do NOT use jax for this — the axon
+    # client blocks >240s when the relay is down.
+    ports = _relay_ports()
+    t0 = time.monotonic()
+    open_ports = []
+    for port in ports:
+        s = socket.socket()
+        s.settimeout(2.0)
+        try:
+            s.connect(("127.0.0.1", port))
+            open_ports.append(port)
+        except OSError:
+            pass
+        finally:
+            s.close()
+    _META["preflight_socket_s"] = round(time.monotonic() - t0, 2)
+    if not open_ports:
+        return ("tpu unreachable: axon relay down (connection refused "
+                f"on ports {ports}; relay process not running)")
+    # (b) one trivial jitted op, in a killable subprocess with a hard
+    # bound — catches a listening-but-wedged relay or compile service.
+    code = ("import jax, jax.numpy as jnp\n"
+            "x = jnp.arange(1024, dtype=jnp.float32)\n"
+            "print('PROBE_OK', float(jnp.max(x * 2 + 1)))\n")
+    t0 = time.monotonic()
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=PROBE_S,
+                           env=_child_env())
+    except subprocess.TimeoutExpired:
+        return (f"tpu unreachable: trivial-op probe did not complete in "
+                f"{PROBE_S:.0f}s (relay ports {open_ports} accept "
+                "connections but the device/compile service is wedged)")
+    _META["preflight_probe_s"] = round(time.monotonic() - t0, 1)
+    if r.returncode != 0 or "PROBE_OK" not in r.stdout:
+        tail = (r.stderr or r.stdout).strip()[-200:]
+        return f"tpu unreachable: probe failed rc={r.returncode}: {tail}"
+    return None
+
+
+# ------------------------------------------------------- config children
+
+def _child_env():
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", CACHE_DIR)
+    return env
+
+
+def _run_config_subprocess(name):
+    """Run one config in its own process with an adaptive wall budget."""
+    left = _remaining() - 15  # reserve for emit
+    n_left = max(1, len([c for c in CONFIG_ORDER
+                         if c not in _TPU_RES and c not in _ERRORS]))
+    budget = max(60.0, left / n_left)
+    if left < 30:
+        _ERRORS[name] = "skipped: global budget exhausted"
+        return
+    budget = min(budget, left)
+    t0 = time.monotonic()
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", name],
+            capture_output=True, text=True, timeout=budget,
+            env=_child_env())
+    except subprocess.TimeoutExpired:
+        _ERRORS[name] = (f"killed: exceeded {budget:.0f}s wall budget "
+                         "(per-config isolation; other configs continue)")
+        return
+    dt = time.monotonic() - t0
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout).strip()[-250:]
+        _ERRORS[name] = f"child rc={r.returncode} after {dt:.0f}s: {tail}"
+        return
+    try:
+        res = json.loads(r.stdout.strip().splitlines()[-1])
+        _TPU_RES[name] = float(res["mpix_s"])
+    except Exception as e:  # noqa: BLE001
+        _ERRORS[name] = f"bad child output ({e}): {r.stdout.strip()[-200:]}"
 
 
 def _sync(x):
@@ -122,15 +248,15 @@ def _sync(x):
     float(jnp.max(jnp.asarray(x).astype(jnp.float32)))
 
 
-def _time_tpu(fn, args, iters=6):
+def _time_tpu(fn, args, iters=None):
+    iters = ITERS if iters is None else iters
     out = fn(*args)
     _sync(out)  # compile + sync
-    # adaptive: one timed iteration first, then as many as the budget allows
     t0 = time.perf_counter()
     out = fn(*args)
     _sync(out)
     dt1 = time.perf_counter() - t0
-    n = max(1, min(iters, int((_remaining() - 30) / max(dt1, 1e-3))))
+    n = max(1, min(iters, int(60.0 / max(dt1, 1e-3))))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
@@ -138,28 +264,13 @@ def _time_tpu(fn, args, iters=6):
     return (time.perf_counter() - t0) / n
 
 
-def _run_config(name, thunk):
-    if _remaining() < 20:
-        _ERRORS[name] = "skipped: budget exhausted"
-        return
-    try:
-        _TPU_RES[name] = thunk()
-    except Exception as e:  # noqa: BLE001 — record and continue
-        _ERRORS[name] = f"{type(e).__name__}: {e}"[:300]
-
-
-# ---------------------------------------------------------------- configs
-
-def bench_tpu():
-    # Persistent compilation cache: the axon tunnel pays 20-200 s per
-    # compile; cache hits make warm runs finish in seconds (precedent:
-    # OpenCV's on-disk OpenCL binary cache, core/src/ocl.cpp:215).
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.join(REPO, ".jax_cache"))
+def child_main(name):
+    """Measure ONE config; print {"mpix_s": x} as the last stdout line."""
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
-                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         CACHE_DIR))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
@@ -169,109 +280,102 @@ def bench_tpu():
 
     rng = np.random.default_rng(0)
 
-    # ---- config 1: cvtColor + GaussianBlur, 1080p ----------------------
-    b1080 = jax.device_put(rng.integers(
-        0, 256, size=(BATCH_1080, 1080, 1920, 3), dtype=np.uint8))
+    if name == "1_cvt_gauss_1080p":
+        x = jax.device_put(rng.integers(
+            0, 256, size=(BATCH_1080, 1080, 1920, 3), dtype=np.uint8))
 
-    @jax.jit
-    def cfg1(x):
-        g = cv.cvtColor(x, cv.COLOR_BGR2GRAY)
-        return cv.GaussianBlur(g, (5, 5), 0)
+        @jax.jit
+        def cfg1(x):
+            g = cv.cvtColor(x, cv.COLOR_BGR2GRAY)
+            return cv.GaussianBlur(g, (5, 5), 0)
 
-    def run1():
-        dt = _time_tpu(cfg1, (b1080,))
-        return BATCH_1080 * 1080 * 1920 / 1e6 / dt
+        dt = _time_tpu(cfg1, (x,))
+        mpix = BATCH_1080 * 1080 * 1920 / 1e6 / dt
 
-    _run_config("1_cvt_gauss_1080p", run1)
+    elif name == "3_pyr_corner_edge_1080p":
+        x = jax.device_put(rng.integers(
+            0, 256, size=(BATCH_1080, 1080, 1920, 1), dtype=np.uint8))
 
-    # ---- config 3: pyramid + corners + derivatives, 1080p ---------------
-    # (run before the 4K monster: cheaper compile, banked earlier)
-    g1080 = jax.device_put(rng.integers(
-        0, 256, size=(BATCH_1080, 1080, 1920, 1), dtype=np.uint8))
+        @jax.jit
+        def cfg3(x):
+            p = cv.pyrDown(x)
+            h = cv.cornerHarris(x.astype(jnp.float32) / 255., 2, 3, 0.04)
+            sx = cv.Sobel(x, cv.CV_16S, 1, 0)
+            c = cv.Canny(x, 50, 150)
+            return (p.astype(jnp.int32).sum() + h.sum().astype(jnp.int32)
+                    + sx.astype(jnp.int32).sum() + c.astype(jnp.int32).sum())
 
-    @jax.jit
-    def cfg3(x):
-        p = cv.pyrDown(x)
-        h = cv.cornerHarris(x.astype(jnp.float32) / 255., 2, 3, 0.04)
-        sx = cv.Sobel(x, cv.CV_16S, 1, 0)
-        c = cv.Canny(x, 50, 150)
-        return (p.astype(jnp.int32).sum() + h.sum().astype(jnp.int32)
-                + sx.astype(jnp.int32).sum() + c.astype(jnp.int32).sum())
+        dt = _time_tpu(cfg3, (x,), iters=min(ITERS, 4))
+        mpix = BATCH_1080 * 4 * 1080 * 1920 / 1e6 / dt
 
-    def run3():
-        dt = _time_tpu(cfg3, (g1080,), iters=4)
-        return BATCH_1080 * 4 * 1080 * 1920 / 1e6 / dt
+    elif name == "4_match_morph_1080p":
+        x = jax.device_put(rng.integers(
+            0, 256, size=(BATCH_1080, 1080, 1920, 1), dtype=np.uint8))
+        tmpl = jax.device_put(rng.integers(0, 256, size=(32, 32),
+                                           dtype=np.uint8))
+        se9 = np.ones((9, 9), np.uint8)
 
-    _run_config("3_pyr_corner_edge_1080p", run3)
+        @jax.jit
+        def cfg4(x, t):
+            m = cv.matchTemplate(x, t, cv.TM_CCOEFF_NORMED)
+            e3 = cv.erode(x, np.ones((3, 3), np.uint8))
+            d5 = cv.dilate(x, np.ones((5, 5), np.uint8))
+            e9 = cv.erode(x, se9)
+            return (m.sum().astype(jnp.float32) + e3.astype(jnp.int32).sum()
+                    + d5.astype(jnp.int32).sum() + e9.astype(jnp.int32).sum())
 
-    # ---- config 4: matchTemplate + morphology, 1080p ---------------------
-    tmpl = jax.device_put(rng.integers(0, 256, size=(32, 32),
-                                       dtype=np.uint8))
-    se9 = np.ones((9, 9), np.uint8)
+        dt = _time_tpu(cfg4, (x, tmpl), iters=min(ITERS, 4))
+        mpix = BATCH_1080 * 4 * 1080 * 1920 / 1e6 / dt
 
-    @jax.jit
-    def cfg4(x, t):
-        m = cv.matchTemplate(x, t, cv.TM_CCOEFF_NORMED)
-        e3 = cv.erode(x, np.ones((3, 3), np.uint8))
-        d5 = cv.dilate(x, np.ones((5, 5), np.uint8))
-        e9 = cv.erode(x, se9)
-        return (m.sum().astype(jnp.float32) + e3.astype(jnp.int32).sum()
-                + d5.astype(jnp.int32).sum() + e9.astype(jnp.int32).sum())
-
-    def run4():
-        dt = _time_tpu(cfg4, (g1080, tmpl), iters=4)
-        return BATCH_1080 * 4 * 1080 * 1920 / 1e6 / dt
-
-    _run_config("4_match_morph_1080p", run4)
-
-    # ---- config 5: ORB end-to-end, 1080p (batched device pipeline) ------
-    def run5():
+    elif name == "5_orb_1080p":
         n_img = min(32, BATCH_1080)
-        imgs5 = g1080[:n_img, :, :, 0]
+        x = jax.device_put(rng.integers(
+            0, 256, size=(n_img, 1080, 1920), dtype=np.uint8))
         orb = cv.ORB_create(nfeatures=500)
-        orb.detect_and_compute_batch(imgs5)  # warm (compiles)
-        n_orb = 3
+        orb.detect_and_compute_batch(x)  # warm (compiles)
+        n_orb = min(ITERS, 3)
         t0 = time.perf_counter()
         for _ in range(n_orb):
-            orb.detect_and_compute_batch(imgs5)
+            orb.detect_and_compute_batch(x)
         dt = (time.perf_counter() - t0) / n_orb
-        return n_img * 1080 * 1920 / 1e6 / dt
+        mpix = n_img * 1080 * 1920 / 1e6 / dt
 
-    _run_config("5_orb_1080p", run5)
+    elif name == "2_resize_warp_4k":
+        x = jax.device_put(rng.integers(
+            0, 256, size=(BATCH_4K, 2160, 3840, 3), dtype=np.uint8))
+        M = cv.getRotationMatrix2D((1920.0, 1080.0), 15.0, 0.9)
+        P = np.array([[0.95, 0.05, 8.0], [-0.04, 1.02, 4.0],
+                      [1e-6, -2e-6, 1.0]], np.float64)
 
-    # ---- config 2: resize + warp, 4K (the compile monster, last) --------
-    del g1080, b1080
-    b4k = jax.device_put(rng.integers(
-        0, 256, size=(BATCH_4K, 2160, 3840, 3), dtype=np.uint8))
-    M = cv.getRotationMatrix2D((1920.0, 1080.0), 15.0, 0.9)
-    P = np.array([[0.95, 0.05, 8.0], [-0.04, 1.02, 4.0],
-                  [1e-6, -2e-6, 1.0]], np.float64)
+        # split into three jits: smaller programs compile faster, cache
+        # independently, and partial compiles survive a deadline hit
+        @jax.jit
+        def cfg2_resize(x):
+            r1 = cv.resize(x, (1920, 1080), interpolation=cv.INTER_LINEAR)
+            r2 = cv.resize(x, (1920, 1080), interpolation=cv.INTER_AREA)
+            r3 = cv.resize(x, (1920, 1080), interpolation=cv.INTER_CUBIC)
+            return (r1.astype(jnp.int32).sum() + r2.astype(jnp.int32).sum()
+                    + r3.astype(jnp.int32).sum())
 
-    # split into three jits: smaller programs compile faster, cache
-    # independently, and partial compiles survive a deadline hit
-    @jax.jit
-    def cfg2_resize(x):
-        r1 = cv.resize(x, (1920, 1080), interpolation=cv.INTER_LINEAR)
-        r2 = cv.resize(x, (1920, 1080), interpolation=cv.INTER_AREA)
-        r3 = cv.resize(x, (1920, 1080), interpolation=cv.INTER_CUBIC)
-        return (r1.astype(jnp.int32).sum() + r2.astype(jnp.int32).sum()
-                + r3.astype(jnp.int32).sum())
+        @jax.jit
+        def cfg2_warp_a(x):
+            return cv.warpAffine(x, M, (3840, 2160)).astype(jnp.int32).sum()
 
-    @jax.jit
-    def cfg2_warp_a(x):
-        return cv.warpAffine(x, M, (3840, 2160)).astype(jnp.int32).sum()
+        @jax.jit
+        def cfg2_warp_p(x):
+            return (cv.warpPerspective(x, P, (3840, 2160))
+                    .astype(jnp.int32).sum())
 
-    @jax.jit
-    def cfg2_warp_p(x):
-        return cv.warpPerspective(x, P, (3840, 2160)).astype(jnp.int32).sum()
-
-    def run2():
         def chain(x):
             return (cfg2_resize(x), cfg2_warp_a(x), cfg2_warp_p(x))
-        dt = _time_tpu(chain, (b4k,), iters=4)
-        return BATCH_4K * 5 * 2160 * 3840 / 1e6 / dt
 
-    _run_config("2_resize_warp_4k", run2)
+        dt = _time_tpu(chain, (x,), iters=min(ITERS, 4))
+        mpix = BATCH_4K * 5 * 2160 * 3840 / 1e6 / dt
+
+    else:
+        raise SystemExit(f"unknown config {name}")
+
+    print(json.dumps({"mpix_s": mpix}), flush=True)
 
 
 # ------------------------------------------------------------- baseline
@@ -365,20 +469,32 @@ def measure_cpu_baseline():
     return res
 
 
+def _on_alarm(signum, frame):
+    _ERRORS.setdefault("_deadline", "global budget hit; partial results")
+    emit_and_exit(0)
+
+
 def main():
+    if "--child" in sys.argv:
+        child_main(sys.argv[sys.argv.index("--child") + 1])
+        return
     if "--cpu-baseline" in sys.argv:
         print(json.dumps(measure_cpu_baseline()))
         return
-    # Two deadline mechanisms: SIGALRM (interrupts python code) AND a
-    # watchdog thread (fires even while the main thread is blocked in a
-    # native compile RPC, where pending signals are not delivered).
+    # Global deadline: SIGALRM (interrupts python) AND a watchdog thread.
+    # Config work happens in killable subprocesses, so the main loop can
+    # always reach emit — these are belt-and-braces.
     signal.signal(signal.SIGALRM, _on_alarm)
-    signal.alarm(int(BUDGET_S))
-    watchdog = threading.Timer(BUDGET_S + 5, _on_alarm, args=(None, None))
+    signal.alarm(int(BUDGET_S) + 30)
+    watchdog = threading.Timer(BUDGET_S + 35, _on_alarm, args=(None, None))
     watchdog.daemon = True
     watchdog.start()
     try:
-        bench_tpu()
+        diag = preflight()
+        if diag is not None:
+            _fail_all(diag)  # emits and exits
+        for name in CONFIG_ORDER:
+            _run_config_subprocess(name)
         # TPU evidence banked; fill in the baseline only if the committed
         # cache is missing and time remains
         if not _load_cpu_baseline() and _remaining() > 90:

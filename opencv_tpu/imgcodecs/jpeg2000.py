@@ -265,11 +265,13 @@ def _t1_decode(data: bytes, w: int, h: int, numbps: int, orient: int,
         import ctypes
         out = np.zeros(h * w, np.int64)
         buf = np.frombuffer(data + b"\x00\x00", np.uint8).copy()
-        lib.ebcot_t1_decode(
+        rc = lib.ebcot_t1_decode(
             buf.ctypes.data_as(ctypes.c_void_p), len(data), w, h,
             numbps, orient, num_passes,
             out.ctypes.data_as(ctypes.c_void_p))
-        return out.reshape(h, w)
+        if rc == 0:
+            return out.reshape(h, w)
+        # rc < 0: allocation failure on untrusted dims — pure-Python path
     mq = _MQDecoder(data)
     val = np.zeros((h, w), np.int64)
     sig = np.zeros((h + 2, w + 2), np.uint8)
@@ -984,11 +986,13 @@ def _t1_encode(v, orient):
         outb = np.zeros(cap, np.uint8)
         nbps = ctypes.c_int(0)
         ln = ctypes.c_int(0)
-        lib.ebcot_t1_encode(
+        rc = lib.ebcot_t1_encode(
             coeffs.ctypes.data_as(ctypes.c_void_p), w, h, orient,
             outb.ctypes.data_as(ctypes.c_void_p), cap,
             ctypes.byref(nbps), ctypes.byref(ln))
-        return nbps.value, bytes(outb[1:1 + ln.value])
+        if rc == 0:
+            return nbps.value, bytes(outb[1:1 + ln.value])
+        # rc < 0: alloc failure or output overflow — pure-Python path
     numbps = int(mag.max()).bit_length()
     mq = _MQEncoder()
     enc = mq.encode

@@ -866,6 +866,11 @@ extern "C" int ebcot_t1_decode(const uint8_t* data, int len, int w, int h,
   uint8_t* sgn = (uint8_t*)calloc(cells, 1);
   uint8_t* refined = (uint8_t*)calloc(h * w, 1);
   uint8_t* visited = (uint8_t*)calloc(h * w, 1);
+  if (!sig || !sgn || !refined || !visited) {
+    /* codeblock dims come from the untrusted codestream; fail cleanly */
+    free(sig); free(sgn); free(refined); free(visited);
+    return -1;
+  }
   for (int i = 0; i < h * w; i++) out[i] = 0;
   MqDec mq; mqd_init(&mq, data, len);
   int bpno = numbps, passtype = 2;
@@ -962,10 +967,12 @@ extern "C" int ebcot_t1_decode(const uint8_t* data, int len, int w, int h,
 struct MqEnc {
   uint32_t a, c; int ct;
   uint8_t* out; int pos, cap;
+  int overflow;
   uint8_t idx[19], mps[19];
 };
 
 static void mqe_byteout(MqEnc* m) {
+  if (m->pos + 1 >= m->cap) { m->overflow = 1; return; }
   if (m->out[m->pos] == 0xFF) {
     m->pos++; m->out[m->pos] = (uint8_t)(m->c >> 20);
     m->c &= 0xFFFFF; m->ct = 7;
@@ -1029,9 +1036,13 @@ extern "C" int ebcot_t1_encode(const int64_t* coeffs, int w, int h, int orient,
   uint8_t* sgn = (uint8_t*)calloc(cells, 1);
   uint8_t* refined = (uint8_t*)calloc(h * w, 1);
   uint8_t* visited = (uint8_t*)calloc(h * w, 1);
+  if (!sig || !sgn || !refined || !visited) {
+    free(sig); free(sgn); free(refined); free(visited);
+    return -1;
+  }
   MqEnc mq;
   mq.a = 0x8000; mq.c = 0; mq.ct = 12;
-  mq.out = outbuf; mq.pos = 0; mq.cap = cap;
+  mq.out = outbuf; mq.pos = 0; mq.cap = cap; mq.overflow = 0;
   outbuf[0] = 0;   /* fake byte before start */
   for (int i = 0; i < 19; i++) { mq.idx[i] = 0; mq.mps[i] = 0; }
   mq.idx[18] = 46; mq.idx[17] = 3; mq.idx[0] = 4;
@@ -1146,6 +1157,6 @@ extern "C" int ebcot_t1_encode(const int64_t* coeffs, int w, int h, int orient,
   }
   *out_numbps = numbps;
   free(sig); free(sgn); free(refined); free(visited);
-  return 0;
+  return mq.overflow ? -1 : 0;  /* caller falls back / fails cleanly */
 }
 

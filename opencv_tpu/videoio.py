@@ -68,27 +68,40 @@ def _parse_avi(data):
 
 
 def _raw_frame_to_bgr(buf, size, fourcc):
-    """Decode an uncompressed AVI payload (videoio raw fourccs)."""
+    """Decode an uncompressed AVI payload (videoio raw fourccs).
+
+    Returns None for unknown fourccs AND for truncated payloads — the
+    caller turns that into (False, None), matching the reference's
+    corrupt-frame behavior (cv2 never raises from read()).
+    """
     from .ops.color import cvtColor
     from . import constants as K
     w, h = size
     a = np.frombuffer(buf, np.uint8)
     fc = fourcc.decode("latin-1", "replace").strip("\x00 ").upper()
     if fc in ("I420", "IYUV", "YV12"):
+        if len(a) < w * h * 3 // 2:
+            return None
         yuv = a[:w * h * 3 // 2].reshape(h * 3 // 2, w)
         code = K.COLOR_YUV2BGR_I420 if fc != "YV12" \
             else K.COLOR_YUV2BGR_YV12
         return np.asarray(cvtColor(yuv, code))
     if fc in ("Y800", "GREY", "Y8"):
+        if len(a) < w * h:
+            return None
         g = a[:w * h].reshape(h, w)
         return np.stack([g] * 3, axis=-1)
     if fc == "RGBA":
+        if len(a) < w * h * 4:
+            return None
         rgba = a[:w * h * 4].reshape(h, w, 4)
         return rgba[:, :, [2, 1, 0]].copy()
     if fc in ("RGB", "\x00\x00\x00\x00", "DIB", ""):
+        # Uncompressed DIB frames (BI_RGB, positive biHeight) are
+        # bottom-up rows of BGR triplets — flip vertically, keep order.
         if len(a) >= w * h * 3:
-            rgb = a[:w * h * 3].reshape(h, w, 3)
-            return rgb[:, :, ::-1].copy()
+            bgr = a[:w * h * 3].reshape(h, w, 3)
+            return bgr[::-1].copy()
     return None
 
 
@@ -165,12 +178,20 @@ class VideoCapture:
         if self._frames is not None:
             fc = getattr(self, "_fourcc", b"")
             fcs = fc.decode("latin-1", "replace").strip("\x00 ").upper()
-            if fcs and fcs not in ("MJPG", "JPEG", "MJPA"):
+            if fcs not in ("MJPG", "JPEG", "MJPA"):
+                # raw layouts, incl. empty fourcc = uncompressed DIB
                 img = _raw_frame_to_bgr(self._frames[pos], self._size,
                                         fc)
                 if img is not None:
                     return True, img
-            img = imdecode(np.frombuffer(self._frames[pos], np.uint8), 1)
+                if fcs:  # known-raw fourcc, truncated/bad payload
+                    return False, None
+                # empty fourcc and not a plausible DIB: try imdecode
+            try:
+                img = imdecode(np.frombuffer(self._frames[pos], np.uint8),
+                               1)
+            except Exception:
+                img = None
         else:
             img = imread(self._files[pos])
         return img is not None, img
@@ -259,7 +280,12 @@ class VideoWriter:
             self._frames.append(yuv.tobytes())
             return
         if fcc == "Y800":
-            g = a if a.ndim == 2 else a.mean(axis=2).astype(np.uint8)
+            if a.ndim == 2:
+                g = a
+            else:  # BT.601 luma, same weights as the reference writer
+                from .ops.color import cvtColor
+                from . import constants as K
+                g = np.asarray(cvtColor(a, K.COLOR_BGR2GRAY))
             self._frames.append(g.tobytes())
             return
         if fcc == "RGBA":

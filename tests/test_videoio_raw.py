@@ -56,8 +56,10 @@ def test_write_raw_avi_wheel_reads_exact(tmp_path, fcc):
     refs = _read_all(cv2.VideoCapture(p))
     assert len(refs) == 3
     for f, r in zip(frames, refs):
+        # Y800 write converts color with BT.601 luma (same weights as
+        # cvtColor BGR2GRAY), matching the reference writer's conversion
         want = f if fcc == "RGBA" else np.repeat(
-            f.mean(axis=2).astype(np.uint8)[..., None], 3, 2)
+            cv2.cvtColor(f, cv2.COLOR_BGR2GRAY)[..., None], 3, 2)
         assert_exact(r, want)
 
 
@@ -75,6 +77,95 @@ def test_write_i420_wheel_reads(tmp_path):
     assert len(refs) == 2
     d = np.abs(refs[0].astype(int) - img.astype(int))
     assert d.mean() < 3 and d.max() < 24   # chroma-filter difference
+
+
+def test_truncated_raw_frame_returns_false(tmp_path):
+    """A truncated raw payload must yield (False, None), not raise
+    (cv2 returns (False, None) on corrupt frames)."""
+    frames = _frames(seed=7)
+    p = str(tmp_path / "trunc.avi")
+    w = tcv.VideoWriter(p, tcv.VideoWriter_fourcc(*"I420"), 10, (64, 48))
+    for f in frames:
+        w.write(f)
+    w.release()
+    data = open(p, "rb").read()
+    open(p, "wb").write(data[:-100])  # cut into the last frame chunk
+    cap = tcv.VideoCapture(p)
+    results = []
+    for _ in range(3):
+        if not cap.grab():
+            break
+        results.append(cap.retrieve())
+    assert results, "no frames parsed at all"
+    ok_last, img_last = results[-1]
+    assert ok_last is False or ok_last == False  # noqa: E712
+    assert img_last is None
+    for ok, img in results[:-1]:
+        assert ok and img is not None
+
+
+def test_read_wheel_fourcc0_avi(tmp_path):
+    """fourcc=0 from the wheel's writer (it picks a raw layout itself —
+    I420 on this build) reads back within the YUV-conversion tolerance."""
+    frames = _frames(seed=8)
+    p = str(tmp_path / "raw0.avi")
+    w = cv2.VideoWriter(p, 0, 10, (64, 48))
+    if not w.isOpened():
+        pytest.skip("wheel cannot write fourcc-0 AVI")
+    for f in frames:
+        w.write(f)
+    w.release()
+    refs = _read_all(cv2.VideoCapture(p))
+    got = _read_all(tcv.VideoCapture(p))
+    if not refs:
+        pytest.skip("wheel wrote no readable frames")
+    assert len(got) == len(refs)
+    for g, r in zip(got, refs):
+        assert np.abs(g.astype(int) - r.astype(int)).max() <= 3
+
+
+def test_read_dib_avi_bottom_up():
+    """Hand-built BI_RGB AVI: payload is bottom-up rows of BGR
+    triplets; the reader must flip vertically and keep channel order
+    (cap_ffmpeg/container_avi DIB semantics)."""
+    import struct
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (48, 64, 3), np.uint8)  # BGR
+    payload = img[::-1].tobytes()                       # bottom-up rows
+
+    def chunk(ckid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return ckid + struct.pack("<I", len(body)) + body + pad
+
+    w, h = 64, 48
+    avih = struct.pack("<14I", 100000, 0, 0, 0x10, 1, 0, 1,
+                       len(payload), w, h, 0, 0, 0, 0)
+    strh = b"vids" + b"\x00" * 4 + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, 10, 0, 1, len(payload),
+        0xFFFFFFFF, 0, 0) + struct.pack("<4H", 0, 0, w, h)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24,
+                       b"\x00\x00\x00\x00", len(payload), 0, 0, 0, 0)
+    strl = b"LIST" + struct.pack(
+        "<I", 4 + len(chunk(b"strh", strh)) + len(chunk(b"strf", strf))
+    ) + b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl_body = b"hdrl" + chunk(b"avih", avih) + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_items = chunk(b"00db", payload)
+    movi = (b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi"
+            + movi_items)
+    body = b"AVI " + hdrl + movi
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    import tempfile, os
+    fd, p = tempfile.mkstemp(suffix=".avi")
+    os.write(fd, data)
+    os.close(fd)
+    try:
+        got = _read_all(tcv.VideoCapture(p))
+    finally:
+        os.remove(p)
+    assert len(got) == 1
+    assert_exact(got[0], img)
 
 
 def test_self_roundtrip_raw(tmp_path):
