@@ -820,27 +820,180 @@ class FontFace:
 
 
 class ANNIndex:
-    """Approximate NN index (core/src/ann_index) — backed by the same
-    brute-force exact search our flann module uses (exact results are a
-    valid ANN answer)."""
+    """Approximate NN index (the wheel's Annoy-backed cv::ANNIndex) —
+    backed by brute-force exact search (exact results are a valid ANN
+    answer; the distance definitions match Annoy's)."""
 
-    def __init__(self):
+    DIST_EUCLIDEAN = 0
+    DIST_MANHATTAN = 1
+    DIST_ANGULAR = 2
+    DIST_HAMMING = 3
+    DIST_DOTPRODUCT = 4
+
+    def __init__(self, dim=None, distType=0):
+        self._dim = dim
+        self._dist = distType
+        self._rows = []
+        self._data = None
+        self._trees = 0
+        self._seed = None
+
+    @classmethod
+    def create(cls, dim, distType=0):
+        return cls(dim, distType)
+
+    def addItems(self, features):
+        import numpy as _np
+        a = _np.asarray(features, _np.float32)
+        a = a.reshape(-1, self._dim) if self._dim else _np.atleast_2d(a)
+        self._rows.append(a)
         self._data = None
 
-    def build(self, features, trees: int = 4):
-        import numpy as _np
-        self._data = _np.asarray(features, _np.float32)
+    # pre-5.x spellings kept for compatibility
+    addIndex = addItems
 
-    addIndex = build
+    def build(self, trees: int = -1):
+        import numpy as _np
+        if self._rows:
+            self._data = _np.concatenate(self._rows, axis=0)
+        self._trees = trees if trees > 0 else 4
+
+    def getItemNumber(self):
+        import numpy as _np
+        if self._data is not None:
+            return int(self._data.shape[0])
+        return int(sum(r.shape[0] for r in self._rows))
+
+    def getTreeNumber(self):
+        return int(self._trees)
+
+    def setOnDiskBuild(self, filename):
+        self._disk = str(filename)
+        return True
+
+    def setSeed(self, seed):
+        self._seed = int(seed)
+
+    def save(self, filename, *a):
+        import numpy as _np
+        self.build(self._trees or -1)
+        _np.savez(str(filename), data=self._data,
+                  dist=self._dist, dim=self._dim or 0)
+        return True
+
+    def load(self, filename, *a):
+        import numpy as _np
+        z = _np.load(str(filename) if str(filename).endswith(".npz")
+                     else str(filename) + ".npz")
+        self._data = z["data"]
+        self._dist = int(z["dist"])
+        self._dim = int(z["dim"]) or None
+        self._rows = []
+        return True
 
     def knnSearch(self, query, knn: int):
         import numpy as _np
-        q = _np.asarray(query, _np.float32).reshape(-1,
-                                                    self._data.shape[1])
-        d = ((q[:, None, :] - self._data[None]) ** 2).sum(-1)
-        idx = _np.argsort(d, axis=1)[:, :knn]
+        if self._data is None:
+            self.build(self._trees or -1)
+        base = self._data
+        q = _np.asarray(query, _np.float32).reshape(-1, base.shape[1])
+        t = self._dist
+        if t == self.DIST_MANHATTAN:
+            d = _np.abs(q[:, None, :] - base[None]).sum(-1)
+        elif t == self.DIST_ANGULAR:
+            qn = q / _np.maximum(_np.linalg.norm(q, axis=1,
+                                                 keepdims=True), 1e-12)
+            bn = base / _np.maximum(_np.linalg.norm(base, axis=1,
+                                                    keepdims=True), 1e-12)
+            # annoy angular distance = sqrt(2 - 2cos)
+            d = _np.sqrt(_np.maximum(2.0 - 2.0 * (qn @ bn.T), 0.0))
+        elif t == self.DIST_HAMMING:
+            d = (q[:, None, :] != base[None]).sum(-1).astype(_np.float32)
+        elif t == self.DIST_DOTPRODUCT:
+            d = -(q @ base.T)   # larger dot = closer
+        else:  # euclidean
+            d = _np.sqrt(((q[:, None, :] - base[None]) ** 2).sum(-1))
+        idx = _np.argsort(d, axis=1, kind="stable")[:, :knn]
         dist = _np.take_along_axis(d, idx, 1)
+        if t == self.DIST_DOTPRODUCT:
+            dist = -dist        # report the dot product itself
         return idx.astype(_np.int32), dist.astype(_np.float32)
+
+
+def ANNIndex_create(dim, distType=0):
+    """cv2.ANNIndex_create binding alias (gen2.py static-factory
+    convention, modules/python/src2/gen2.py:1331)."""
+    return ANNIndex.create(dim, distType)
+
+
+# ---------------------------------------------------------------------------
+# CV_MAKETYPE family (5.x type system: depth in the low 5 bits, channels-1
+# shifted by 5 — core/include/opencv2/core/hal/interface.h)
+# ---------------------------------------------------------------------------
+
+_CV_CN_SHIFT = 5
+_CV_DEPTH_MAX = 1 << _CV_CN_SHIFT
+
+
+def CV_MAKETYPE(depth, cn):
+    return (depth & (_CV_DEPTH_MAX - 1)) + ((cn - 1) << _CV_CN_SHIFT)
+
+
+CV_MAKE_TYPE = CV_MAKETYPE
+
+
+def _make_typec(depth):
+    def typec(cn):
+        return CV_MAKETYPE(depth, cn)
+    return typec
+
+
+CV_8UC = _make_typec(0)
+CV_8SC = _make_typec(1)
+CV_16UC = _make_typec(2)
+CV_16SC = _make_typec(3)
+CV_32SC = _make_typec(4)
+CV_32FC = _make_typec(5)
+CV_64FC = _make_typec(6)
+CV_16FC = _make_typec(7)
+CV_16BFC = _make_typec(8)
+CV_BoolC = _make_typec(9)
+CV_64UC = _make_typec(10)
+CV_64SC = _make_typec(11)
+CV_32UC = _make_typec(12)
+
+
+def UMat_context():
+    """OpenCL context handle — 0 in this (non-OpenCL) build, same as a
+    wheel built without OpenCL."""
+    return 0
+
+
+def UMat_queue():
+    return 0
+
+
+# static-factory binding aliases (gen2.py convention)
+def BFMatcher_create(normType=4, crossCheck=False):
+    return BFMatcher.create(normType, crossCheck)
+
+
+def ALIKED_create(modelPath="", params=None):
+    return ALIKED.create(modelPath, params)
+
+
+def DISK_create(modelPath="", maxKeypoints=1024, scoreThreshold=0.0,
+                imageSize=(1024, 1024), backendId=0, targetId=0):
+    return DISK.create(modelPath, maxKeypoints, scoreThreshold,
+                       imageSize, backendId, targetId)
+
+
+def DISK_createFromMemory(bufferModel, maxKeypoints=1024,
+                          scoreThreshold=0.0, imageSize=(1024, 1024),
+                          backendId=0, targetId=0):
+    return DISK.createFromMemory(bufferModel, maxKeypoints,
+                                 scoreThreshold, imageSize, backendId,
+                                 targetId)
 
 
 # flattened aruco / detail / dnn names (binding aliases)
@@ -1010,3 +1163,24 @@ from .objdetect.mcc import (  # noqa: E402,F401
 from .features2d.dl_features import (  # noqa: E402,F401
     ALIKED, ALIKED_Params, DISK,
 )
+
+
+# ---------------------------------------------------------------------------
+# cv2 namespace submodules (Error/ocl/cuda/ipp/... — the binding layer
+# exports these as module attributes, modules/python/src2/gen2.py)
+# ---------------------------------------------------------------------------
+from . import Error  # noqa: E402,F401
+from . import cuda  # noqa: E402,F401
+from . import data  # noqa: E402,F401
+from . import instr  # noqa: E402,F401
+from . import ipp  # noqa: E402,F401
+from . import mat_wrapper  # noqa: E402,F401
+from . import misc  # noqa: E402,F401
+from . import ocl  # noqa: E402,F401
+from . import ogl  # noqa: E402,F401
+from . import qt  # noqa: E402,F401
+from . import samples  # noqa: E402,F401
+from . import typing  # noqa: E402,F401
+from . import version  # noqa: E402,F401
+from . import videoio_registry  # noqa: E402,F401
+from . import parallel  # noqa: E402,F401

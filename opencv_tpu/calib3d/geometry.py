@@ -34,15 +34,17 @@ LMEDS = 4
 FM_7POINT = 1
 FM_8POINT = 2
 FM_RANSAC = 8
+# 5.x numbering: DLS/UPNP were removed from the enum (both had been
+# internally mapped to EPNP since 3.x) and the tail shifted down.
 SOLVEPNP_ITERATIVE = 0
 SOLVEPNP_EPNP = 1
 SOLVEPNP_P3P = 2
-SOLVEPNP_DLS = 3
-SOLVEPNP_UPNP = 4
-SOLVEPNP_AP3P = 5
-SOLVEPNP_IPPE = 6
-SOLVEPNP_IPPE_SQUARE = 7
-SOLVEPNP_SQPNP = 8
+SOLVEPNP_AP3P = 3
+SOLVEPNP_IPPE = 4
+SOLVEPNP_IPPE_SQUARE = 5
+SOLVEPNP_SQPNP = 6
+SOLVEPNP_DLS = SOLVEPNP_EPNP   # deprecated aliases (behavior-equal)
+SOLVEPNP_UPNP = SOLVEPNP_EPNP
 # USAC flags (usac/ in the reference) — here they run the LO-RANSAC
 # path: standard RANSAC + iterated local optimization on inliers.
 USAC_DEFAULT = 32

@@ -497,9 +497,16 @@ class Net:
 
 
 def readNetFromONNX(path):
+    """Accepts a filename OR an in-memory model buffer (the reference's
+    readNetFromONNX has both overloads, modules/dnn/src/onnx/)."""
     model = _onnx.ModelProto()
-    with open(path, "rb") as f:
-        model.ParseFromString(f.read())
+    if isinstance(path, (bytes, bytearray, memoryview)):
+        model.ParseFromString(bytes(path))
+    elif isinstance(path, np.ndarray):
+        model.ParseFromString(path.tobytes())
+    else:
+        with open(path, "rb") as f:
+            model.ParseFromString(f.read())
     return Net(model)
 
 

@@ -1,16 +1,16 @@
-"""ISO BMFF (MP4) demuxer + MPEG-4 Part 2 (Simple Profile) video
-decoder — the payload the reference's FFmpeg backend writes for the
-'mp4v' fourcc (cap_ffmpeg.cpp path).  Decoding a file produced by the
-installed wheel is the parity test.
+"""ISO BMFF (MP4) demuxer — the container side of the reference's
+FFmpeg backend path (cap_ffmpeg.cpp).
 
-Demuxer: walks moov/trak/mdia/minf/stbl, resolves per-sample offsets
-via stsc/stsz/stco, pulls the VOL header from esds DecoderSpecificInfo.
+Walks moov/trak/mdia/minf/stbl, resolves per-sample offsets via
+stsc/stsz/stco, pulls the codec extradata (e.g. the MPEG-4 VOL header)
+from esds DecoderSpecificInfo, and exposes (offset, size) per sample
+plus width/height/fps.
 
-Decoder: I- and P-VOPs, H.263-style inverse quant (quant_type 0),
-intra DC/AC prediction, MCBPC/CBPY/TCOEF VLC tables from ISO 14496-2
-(normative tables), median MV prediction with half-pel compensation,
-float iDCT (FFmpeg's integer iDCT differs by at most ±1 per sample —
-comparisons against the wheel use a small tolerance)."""
+NO video payload decoder lives here: an MPEG-4 Part 2 decoder needs
+the ISO 14496-2 VLC tables (MCBPC/CBPY/TCOEF), which are not available
+in this build environment and are not derivable from encoded output.
+Compressed video payloads are handled by codecs whose tables are
+in-band or spec-derivable (MJPEG, and FFV1 — see imgcodecs/)."""
 
 from __future__ import annotations
 
@@ -18,7 +18,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["Mp4Demuxer", "Mpeg4Decoder"]
+__all__ = ["Mp4Demuxer"]
 
 
 # ---------------------------------------------------------------- demux

@@ -9,3 +9,9 @@ from .mesh import (  # noqa: F401
     sharded_hist,
     sharded_otsu,
 )
+
+
+def setParallelForBackend(backendName, propagateNumThreads=True):
+    """cv2.parallel.setParallelForBackend — accepted for compatibility;
+    parallelism here is XLA/pjit, not a host thread pool."""
+    return False
