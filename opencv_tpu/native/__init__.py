@@ -71,6 +71,16 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.hfyu_decode_syms.restype = ctypes.c_int
+        lib.hfyu_decode_syms.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_void_p,
+        ]
+        lib.hfyu_encode_syms.restype = ctypes.c_long
+        lib.hfyu_encode_syms.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long,
+        ]
         _LIB = lib
     except OSError:
         _LIB = None

@@ -1160,3 +1160,113 @@ extern "C" int ebcot_t1_encode(const int64_t* coeffs, int w, int h, int orient,
   return mq.overflow ? -1 : 0;  /* caller falls back / fails cleanly */
 }
 
+
+/* ------------------------------------------------------------------ */
+/* HuffYUV symbol decoder (imgcodecs/huffyuv.py drives this).         */
+/* Input is the already-bswapped bitstream (MSB-first bits); codes    */
+/* are classic-huffyuv canonical (longest length first, symbol order, */
+/* bits >>= 1 on each length decrease).  Single-level LUT: classic    */
+/* tables max out at 15 bits; lengths up to 16 are supported.        */
+/* ------------------------------------------------------------------ */
+
+extern "C" int hfyu_decode_syms(const uint8_t* buf, long nbytes,
+                                const uint8_t* lens, long n_syms,
+                                uint8_t* out) {
+  /* build canonical codes */
+  uint32_t codes[256];
+  int maxlen = 0;
+  {
+    uint32_t bits = 0;
+    for (int ln = 32; ln > 0; ln--) {
+      for (int sym = 0; sym < 256; sym++) {
+        if (lens[sym] == ln) {
+          codes[sym] = bits++;
+          if (ln > maxlen) maxlen = ln;
+        }
+      }
+      bits >>= 1;
+    }
+  }
+  if (maxlen > 16 || maxlen == 0) return -2;
+  /* LUT over 16-bit prefixes: (sym << 8) | len, 0 = invalid */
+  static_assert(sizeof(uint32_t) == 4, "u32");
+  uint32_t* lut = (uint32_t*)calloc(1 << 16, 4);
+  if (!lut) return -1;
+  for (int sym = 0; sym < 256; sym++) {
+    int ln = lens[sym];
+    if (!ln) continue;
+    uint32_t base = codes[sym] << (16 - ln);
+    uint32_t cnt = 1u << (16 - ln);
+    uint32_t val = ((uint32_t)sym << 8) | (uint32_t)ln;
+    for (uint32_t k = 0; k < cnt; k++) lut[base + k] = val;
+  }
+  /* bit reader: 64-bit window refilled byte-wise */
+  uint64_t window = 0;
+  int have = 0;          /* bits in window */
+  long pos = 0;          /* next byte */
+  long produced = 0;
+  while (produced < n_syms) {
+    while (have <= 48 && pos < nbytes) {
+      window = (window << 8) | buf[pos++];
+      have += 8;
+    }
+    if (have < maxlen && pos >= nbytes) {
+      /* may still decode short codes from the tail */
+      if (have <= 0) { free(lut); return -3; }
+    }
+    uint32_t peek;
+    if (have >= 16) {
+      peek = (uint32_t)((window >> (have - 16)) & 0xFFFF);
+    } else {
+      peek = (uint32_t)((window << (16 - have)) & 0xFFFF);
+    }
+    uint32_t e = lut[peek];
+    int ln = (int)(e & 0xFF);
+    if (ln == 0 || ln > have) { free(lut); return -3; }
+    out[produced++] = (uint8_t)(e >> 8);
+    have -= ln;
+  }
+  free(lut);
+  return 0;
+}
+
+/* HuffYUV symbol encoder: MSB-first bit packing of canonical codes.
+   Output is the UNswapped big-endian bitstream, padded with zero bits
+   to a 4-byte boundary; the caller does the 32-bit LE word swap.
+   Returns the byte length, or -1 if cap is too small. */
+extern "C" long hfyu_encode_syms(const uint8_t* syms, long n_syms,
+                                 const uint8_t* lens, uint8_t* out,
+                                 long cap) {
+  uint32_t codes[256];
+  {
+    uint32_t bits = 0;
+    for (int ln = 32; ln > 0; ln--) {
+      for (int sym = 0; sym < 256; sym++)
+        if (lens[sym] == ln) codes[sym] = bits++;
+      bits >>= 1;
+    }
+  }
+  uint64_t acc = 0;
+  int have = 0;
+  long pos = 0;
+  for (long i = 0; i < n_syms; i++) {
+    int sym = syms[i];
+    int ln = lens[sym];
+    acc = (acc << ln) | codes[sym];
+    have += ln;
+    while (have >= 8) {
+      if (pos >= cap) return -1;
+      out[pos++] = (uint8_t)(acc >> (have - 8));
+      have -= 8;
+    }
+  }
+  if (have > 0) {
+    if (pos >= cap) return -1;
+    out[pos++] = (uint8_t)(acc << (8 - have));
+  }
+  while (pos & 3) {
+    if (pos >= cap) return -1;
+    out[pos++] = 0;
+  }
+  return pos;
+}

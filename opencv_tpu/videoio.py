@@ -36,12 +36,15 @@ def VideoWriter_fourcc(*args):
 
 
 def _parse_avi(data):
-    """Minimal RIFF/AVI walk: returns (frames, fps, size, fourcc)."""
+    """Minimal RIFF/AVI walk: returns (frames, fps, size, fourcc,
+    extradata) — extradata = strf bytes beyond BITMAPINFOHEADER (codec
+    private data; HuffYUV keeps its Huffman tables there)."""
     assert data[:4] == b"RIFF" and data[8:12] == b"AVI ", "not an AVI"
     fps = 25.0
     size = (0, 0)
     frames = []
     fourcc = [b""]
+    extradata = [b""]
 
     def walk(pos, end):
         nonlocal fps, size
@@ -59,12 +62,14 @@ def _parse_avi(data):
                 size = (w, h)
             elif ckid == b"strf" and cksz >= 20 and not fourcc[0]:
                 fourcc[0] = data[body + 16:body + 20]
+                if cksz > 40:
+                    extradata[0] = data[body + 40:body + cksz]
             elif ckid[2:4] in (b"dc", b"db"):
                 frames.append(data[body:body + cksz])
             pos = body + cksz + (cksz & 1)
 
     walk(12, len(data))
-    return frames, fps, size, fourcc[0]
+    return frames, fps, size, fourcc[0], extradata[0]
 
 
 def _raw_frame_to_bgr(buf, size, fourcc):
@@ -133,7 +138,7 @@ class VideoCapture:
             with open(s, "rb") as f:
                 data = f.read()
             (self._frames, self._fps, self._size,
-             self._fourcc) = _parse_avi(data)
+             self._fourcc, self._extradata) = _parse_avi(data)
             self._files = None
             self._opened = True
             return True
@@ -178,6 +183,16 @@ class VideoCapture:
         if self._frames is not None:
             fc = getattr(self, "_fourcc", b"")
             fcs = fc.decode("latin-1", "replace").strip("\x00 ").upper()
+            if fcs == "HFYU":
+                from .imgcodecs import huffyuv as _hf
+                w, h = self._size
+                res = _hf.decode_frame(self._frames[pos], w, h,
+                                       getattr(self, "_extradata", b""))
+                if res is None:
+                    return False, None
+                if isinstance(res, tuple):
+                    return True, _hf.yuv422_to_bgr(*res)
+                return True, res
             if fcs not in ("MJPG", "JPEG", "MJPA"):
                 # raw layouts, incl. empty fourcc = uncompressed DIB
                 img = _raw_frame_to_bgr(self._frames[pos], self._size,
@@ -251,7 +266,7 @@ class VideoWriter:
                         (fourcc >> 16) & 0xFF, (fourcc >> 24) & 0xFF])
         self._fcc = fc.decode("latin-1").upper()
         if self._fcc not in ("MJPG", "I420", "IYUV", "YV12", "Y800",
-                            "RGBA"):
+                            "RGBA", "HFYU"):
             self._fcc = "MJPG"
         self._opened = True
         return True
@@ -295,6 +310,10 @@ class VideoWriter:
                               np.full(a.shape[:2], 255, np.uint8)])
             self._frames.append(rgba.tobytes())
             return
+        if fcc == "HFYU":
+            from .imgcodecs import huffyuv as _hf
+            self._frames.append(_hf.encode_frame_bgr(a))
+            return
         ok, buf = imencode(".jpg", a, [1, 95])
         self._frames.append(bytes(buf))
 
@@ -329,11 +348,16 @@ class VideoWriter:
         fcc = getattr(self, "_fcc", "MJPG").encode("latin-1")
         bits = {b"I420": 12, b"IYUV": 12, b"YV12": 12, b"Y800": 8,
                 b"RGBA": 32}.get(fcc, 24)
+        extradata = b""
+        if fcc == b"HFYU":
+            from .imgcodecs import huffyuv as _hf
+            extradata = _hf.build_extradata(24)
         strh = b"vids" + fcc + struct.pack(
             "<IHHIIIIIIIII", 0, 0, 0, 0, 1, int(fps), 0, n, maxbuf,
             0xFFFFFFFF, 0, 0) + struct.pack("<4H", 0, 0, w, h)
-        strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, bits, fcc,
-                           w * h * bits // 8, 0, 0, 0, 0)
+        strf = struct.pack("<IiiHH4sIiiII", 40 + len(extradata), w, h,
+                           1, bits, fcc, w * h * bits // 8,
+                           0, 0, 0, 0) + extradata
         strl = b"LIST" + struct.pack(
             "<I", 4 + len(chunk(b"strh", strh)) + len(chunk(b"strf", strf))
         ) + b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
