@@ -200,11 +200,71 @@ def _bmp_encode(img: np.ndarray) -> bytes:
 
 # ----------------------------------------------------------------- PPM/PGM
 
+def _pnm_header(data: bytes, n_fields: int):
+    """Parse a PNM header skipping '#' comments; returns (fields,
+    payload offset)."""
+    fields = []
+    pos = 0
+    token = b""
+    while len(fields) < n_fields and pos < len(data):
+        ch = data[pos:pos + 1]
+        pos += 1
+        if ch == b"#":
+            nl = data.find(b"\n", pos)
+            pos = len(data) if nl < 0 else nl + 1
+            continue
+        if ch.isspace():
+            if token:
+                fields.append(token)
+                token = b""
+            continue
+        token += ch
+    if token and len(fields) < n_fields:
+        fields.append(token)
+    return fields, pos
+
+
 def _pnm_decode(data: bytes):
-    parts = data.split(maxsplit=4)
-    magic = parts[0]
-    w, h, maxv = int(parts[1]), int(parts[2]), int(parts[3])
-    raw = parts[4] if len(parts) > 4 else b""
+    """PNM family (reference: modules/imgcodecs/src/grfmt_pxm.cpp):
+    P1/P4 bitmaps (1 = black = 0), P2/P5 graymaps, P3/P6 pixmaps."""
+    magic = data[:2]
+    if magic in (b"P1", b"P4"):  # PBM — no maxval field
+        (_, ws, hs), pos = _pnm_header(data, 3)
+        w, h = int(ws), int(hs)
+        if magic == b"P4":
+            stride = (w + 7) // 8
+            raw = np.frombuffer(data, np.uint8, stride * h, pos)
+            bits = np.unpackbits(raw.reshape(h, stride),
+                                 axis=1)[:, :w]
+        else:
+            # P1 digits may be packed without whitespace; '#' comments
+            digits = []
+            body = data[pos:]
+            i = 0
+            while i < len(body) and len(digits) < w * h:
+                c = body[i:i + 1]
+                if c == b"#":
+                    nl = body.find(b"\n", i)
+                    i = len(body) if nl < 0 else nl + 1
+                    continue
+                if c in (b"0", b"1"):
+                    digits.append(0 if c == b"0" else 1)
+                i += 1
+            bits = np.array(digits, np.uint8).reshape(h, w)
+        return ((1 - bits) * 255).astype(np.uint8)  # 1 = black
+    (_, ws, hs, mv), pos = _pnm_header(data, 4)
+    w, h, maxv = int(ws), int(hs), int(mv)
+    if magic in (b"P2", b"P3"):  # ASCII
+        ch = 1 if magic == b"P2" else 3
+        toks = data[pos:].split()
+        vals = np.array([int(t) for t in toks[:w * h * ch]],
+                        np.int64)
+        dt = np.uint8 if maxv < 256 else np.uint16
+        img = vals.astype(dt).reshape((h, w) if ch == 1 else (h, w, 3))
+        if ch == 3:
+            img = img[..., ::-1]
+        return np.ascontiguousarray(img)
+    raw = data[pos:]
     dt = np.uint8 if maxv < 256 else ">u2"
     if magic == b"P5":
         img = np.frombuffer(raw, dt, w * h).reshape(h, w)
@@ -213,6 +273,144 @@ def _pnm_decode(data: bytes):
     else:
         raise ValueError(f"unsupported PNM magic {magic}")
     return np.ascontiguousarray(img.astype(np.uint16 if maxv >= 256 else np.uint8))
+
+
+def _pbm_encode(img: np.ndarray) -> bytes:
+    a = np.asarray(img)
+    if a.ndim == 3:
+        from ..ops.color import cvtColor
+        from .. import constants as K
+        a = np.asarray(cvtColor(a, K.COLOR_BGR2GRAY))
+    bits = (a < 128).astype(np.uint8)      # 1 = black
+    packed = np.packbits(bits, axis=1)
+    head = b"P4\n%d %d\n" % (a.shape[1], a.shape[0])
+    return head + packed.tobytes()
+
+
+def _pfm_decode(data: bytes):
+    """PFM (grfmt_pfm.cpp): 'PF' = 3-ch, 'Pf' = 1-ch float32; scale
+    sign = endianness; rows stored BOTTOM-UP; file is RGB."""
+    (magic, ws, hs, sc), pos = _pnm_header(data, 4)
+    w, h = int(ws), int(hs)
+    scale = float(sc)
+    ch = 3 if magic == b"PF" else 1
+    dt = "<f4" if scale < 0 else ">f4"
+    img = np.frombuffer(data, dt, w * h * ch, pos).astype(np.float32)
+    img = img.reshape(h, w, ch)[::-1]      # bottom-up
+    if ch == 3:
+        img = img[..., ::-1]               # RGB file -> BGR
+    else:
+        img = img[..., 0]
+    s = abs(scale)
+    if s not in (0.0, 1.0):
+        img = img * np.float32(s)
+    return np.ascontiguousarray(img)
+
+
+def _pfm_encode(img: np.ndarray) -> bytes:
+    a = np.asarray(img, np.float32)
+    if a.ndim == 3 and a.shape[2] == 3:
+        magic = b"PF"
+        payload = a[::-1, :, ::-1]         # bottom-up, BGR -> RGB
+    else:
+        magic = b"Pf"
+        payload = a.reshape(a.shape[0], -1)[::-1]
+    head = b"%s\n%d %d\n-1\n" % (magic, a.shape[1], a.shape[0])
+    return head + np.ascontiguousarray(payload, "<f4").tobytes()
+
+
+_RAS_MAGIC = 0x59A66A95
+
+
+def _sunras_decode(data: bytes):
+    """Sun raster (grfmt_sunras.cpp): big-endian header, depths
+    1/8/24/32, RT_OLD/STANDARD (raw) and RT_BYTE_ENCODED (0x80 RLE),
+    optional RGB palette; rows padded to 16 bits; 24-bit is BGR unless
+    type RT_FORMAT_RGB."""
+    (magic, w, h, depth, length, rtype, maptype, maplen) = \
+        __import__("struct").unpack(">8I", data[:32])
+    if magic != _RAS_MAGIC:
+        raise ValueError("not a Sun raster")
+    pos = 32
+    palette = None
+    if maptype == 1 and maplen:
+        pal = np.frombuffer(data, np.uint8, maplen, pos)
+        n = maplen // 3
+        palette = np.stack([pal[2 * n:3 * n], pal[n:2 * n], pal[:n]],
+                           axis=1)  # file RGB planes -> BGR rows
+    pos += maplen
+    stride = ((w * depth + 15) // 16) * 2  # rows padded to 16 bits
+    need = stride * h
+    if rtype == 2:  # RT_BYTE_ENCODED
+        raw = np.empty(need, np.uint8)
+        src = data
+        i, o = pos, 0
+        while o < need and i < len(src):
+            b = src[i]
+            i += 1
+            if b == 0x80:
+                cnt = src[i]
+                i += 1
+                if cnt == 0:
+                    raw[o] = 0x80
+                    o += 1
+                else:
+                    v = src[i]
+                    i += 1
+                    raw[o:o + cnt + 1] = v
+                    o += cnt + 1
+            else:
+                raw[o] = b
+                o += 1
+        raw = raw[:need]
+    else:
+        raw = np.frombuffer(data, np.uint8, min(need, len(data) - pos),
+                            pos)
+        if len(raw) < need:
+            raw = np.concatenate([raw,
+                                  np.zeros(need - len(raw), np.uint8)])
+    rows = raw.reshape(h, stride)
+    if depth == 1:
+        bits = np.unpackbits(rows, axis=1)[:, :w]
+        img = ((1 - bits) * 255).astype(np.uint8)  # 1 = black
+        if palette is not None and len(palette) >= 2:
+            img = palette[bits.astype(np.int64)]
+    elif depth == 8:
+        img = rows[:, :w]
+        if palette is not None:
+            img = palette[img.astype(np.int64)]
+    elif depth == 24:
+        img = rows[:, :w * 3].reshape(h, w, 3)
+        if rtype == 3:  # RT_FORMAT_RGB
+            img = img[..., ::-1]
+    elif depth == 32:
+        px = rows[:, :w * 4].reshape(h, w, 4)
+        # file layout x,B,G,R (xBGR); RT_FORMAT_RGB = x,R,G,B
+        img = px[..., 1:4] if rtype != 3 else px[..., :0:-1]
+    else:
+        raise ValueError(f"unsupported Sun raster depth {depth}")
+    return np.ascontiguousarray(img)
+
+
+def _sunras_encode(img: np.ndarray) -> bytes:
+    import struct as _struct
+    a = np.asarray(img, np.uint8)
+    h, w = a.shape[:2]
+    depth = 8 if a.ndim == 2 else 24
+    stride = ((w * depth + 15) // 16) * 2
+    rows = np.zeros((h, stride), np.uint8)
+    if depth == 8:
+        rows[:, :w] = a
+        maptype, maplen = 1, 768
+        pal = np.arange(256, dtype=np.uint8)
+        cmap = pal.tobytes() * 3           # identity gray palette
+    else:
+        rows[:, :w * 3] = a.reshape(h, w * 3)
+        maptype, maplen = 0, 0
+        cmap = b""
+    head = _struct.pack(">8I", _RAS_MAGIC, w, h, depth,
+                        stride * h, 1, maptype, maplen)
+    return head + cmap + rows.tobytes()
 
 
 def _pnm_encode(img: np.ndarray, ext: str) -> bytes:
@@ -238,8 +436,12 @@ def imdecode(buf, flags: int = IMREAD_COLOR):
         img = _png_decode(data)
     elif data[:2] == b"BM":
         img = _bmp_decode(data)
-    elif data[:2] in (b"P5", b"P6"):
+    elif data[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
         img = _pnm_decode(data)
+    elif data[:2] in (b"PF", b"Pf"):
+        img = _pfm_decode(data)
+    elif data[:4] == b"\x59\xa6\x6a\x95":
+        img = _sunras_decode(data)
     elif data[:2] == b"\xff\xd8":
         from .jpeg import jpeg_decode
         img = jpeg_decode(data)
@@ -296,6 +498,12 @@ def imencode(ext: str, img, params=None):
         data = _bmp_encode(img)
     elif ext in (".ppm", ".pgm", ".pnm"):
         data = _pnm_encode(img, ext)
+    elif ext == ".pbm":
+        data = _pbm_encode(img)
+    elif ext == ".pfm":
+        data = _pfm_encode(img)
+    elif ext in (".sr", ".ras"):
+        data = _sunras_encode(img)
     elif ext in (".jpg", ".jpeg", ".jpe"):
         from .jpeg import jpeg_encode
         from .. import constants as K
@@ -430,10 +638,12 @@ def imencodemulti(ext: str, imgs, params=None):
     return False, b""
 
 
-_READER_EXTS = (".png", ".bmp", ".dib", ".ppm", ".pgm", ".pnm", ".jpg",
+_READER_EXTS = (".png", ".bmp", ".dib", ".ppm", ".pgm", ".pnm", ".pbm",
+                ".pfm", ".sr", ".ras", ".jpg",
                 ".jpeg", ".jpe", ".tif", ".tiff", ".gif", ".exr",
                 ".webp", ".hdr", ".pic", ".pam")
-_WRITER_EXTS = (".png", ".bmp", ".dib", ".ppm", ".pgm", ".pnm", ".jpg",
+_WRITER_EXTS = (".png", ".bmp", ".dib", ".ppm", ".pgm", ".pnm", ".pbm",
+                ".pfm", ".sr", ".ras", ".jpg",
                 ".jpeg", ".jpe", ".tif", ".tiff", ".gif", ".exr",
                 ".webp", ".hdr", ".pam")
 
@@ -447,7 +657,9 @@ def haveImageReader(filename: str) -> bool:
             head = f.read(16)
     except OSError:
         return False
-    sigs = (b"\x89PNG\r\n\x1a\n", b"BM", b"P5", b"P6", b"P7", b"\xff\xd8",
+    sigs = (b"\x89PNG\r\n\x1a\n", b"BM", b"P1", b"P2", b"P3", b"P4",
+            b"P5", b"P6", b"P7", b"PF", b"Pf", b"\x59\xa6\x6a\x95",
+            b"\xff\xd8",
             b"II*\x00", b"MM\x00*", b"GIF87a", b"GIF89a",
             b"\x76\x2f\x31\x01", b"#?", b"\xff\x4f",
             b"\x00\x00\x00\x0cjP")
