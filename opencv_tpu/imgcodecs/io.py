@@ -467,6 +467,10 @@ def imdecode(buf, flags: int = IMREAD_COLOR):
             or data[:2] == b"\xff\x4f":
         from .jpeg2000 import jp2_decode
         img = jp2_decode(data)
+    elif len(data) > 12 and data[4:8] == b"ftyp" and (
+            b"avif" in data[8:32] or b"avis" in data[8:32]):
+        from .avif import avif_decode
+        img = avif_decode(data)
     else:
         raise ValueError("unsupported image format "
                          "(PNG/BMP/PNM/JPEG/TIFF/GIF/EXR/WebP/JPEG2000 available)")
@@ -535,6 +539,9 @@ def imencode(ext: str, img, params=None):
     elif ext == ".pam":
         from .hdr_pam import pam_encode
         data = pam_encode(img, params)
+    elif ext == ".avif":
+        from .avif import avif_encode
+        data = avif_encode(img, params)
     else:
         raise ValueError(f"unsupported extension {ext}")
     return True, np.frombuffer(data, np.uint8)
@@ -641,11 +648,11 @@ def imencodemulti(ext: str, imgs, params=None):
 _READER_EXTS = (".png", ".bmp", ".dib", ".ppm", ".pgm", ".pnm", ".pbm",
                 ".pfm", ".sr", ".ras", ".jpg",
                 ".jpeg", ".jpe", ".tif", ".tiff", ".gif", ".exr",
-                ".webp", ".hdr", ".pic", ".pam")
+                ".webp", ".hdr", ".pic", ".pam", ".avif")
 _WRITER_EXTS = (".png", ".bmp", ".dib", ".ppm", ".pgm", ".pnm", ".pbm",
                 ".pfm", ".sr", ".ras", ".jpg",
                 ".jpeg", ".jpe", ".tif", ".tiff", ".gif", ".exr",
-                ".webp", ".hdr", ".pam")
+                ".webp", ".hdr", ".pam", ".avif")
 
 
 def haveImageReader(filename: str) -> bool:
@@ -665,6 +672,10 @@ def haveImageReader(filename: str) -> bool:
             b"\x00\x00\x00\x0cjP")
     if any(head.startswith(s) for s in sigs):
         return True
+    if head[4:8] == b"ftyp" and (b"avif" in head[8:16]
+                                 or b"avis" in head[8:16]):
+        from .avif import have_avif
+        return have_avif()
     return head[:4] == b"RIFF" and head[8:12] == b"WEBP"
 
 

@@ -1,0 +1,70 @@
+"""AVIF codec vs the wheel (reference: grfmt_avif.cpp, a libavif
+adapter — ours adapts the same libavif build, so decodes are
+bit-identical)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from common import cv2, assert_exact
+
+import opencv_tpu as tcv
+from opencv_tpu.imgcodecs.avif import have_avif
+
+pytestmark = pytest.mark.skipif(not have_avif(),
+                                reason="no avif plugin in this image")
+
+RNG = np.random.default_rng(0)
+
+
+def _wheel_writes(tmp_path, img, params=None):
+    p = str(tmp_path / "w.avif")
+    assert cv2.imwrite(p, img, params or [])
+    return p
+
+
+def test_decode_wheel_file_bit_identical(tmp_path):
+    img = RNG.integers(0, 255, (40, 56, 3), np.uint8)
+    p = _wheel_writes(tmp_path, img)
+    ours = tcv.imread(p, tcv.IMREAD_UNCHANGED)
+    ref = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+    assert_exact(ours, ref)
+
+
+def test_decode_wheel_lossless(tmp_path):
+    img = RNG.integers(0, 255, (24, 20, 3), np.uint8)
+    p = _wheel_writes(tmp_path, img, [cv2.IMWRITE_AVIF_QUALITY, 100])
+    ours = tcv.imread(p, tcv.IMREAD_UNCHANGED)
+    assert_exact(ours, img)
+
+
+def test_encode_wheel_reads_q100(tmp_path):
+    img = RNG.integers(0, 255, (24, 20, 3), np.uint8)
+    p = str(tmp_path / "o.avif")
+    assert tcv.imwrite(p, img, [tcv.IMWRITE_AVIF_QUALITY, 100])
+    back = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+    # near-lossless: the bundled encoder lacks identity-MC control, so
+    # q100 leaves a ±2 YUV round-trip (documented in avif.py)
+    assert back.shape == img.shape
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_encode_lossy_roundtrip_quality(tmp_path):
+    img = cv2.GaussianBlur(
+        RNG.integers(0, 255, (48, 64, 3), np.uint8), (9, 9), 3)
+    p = str(tmp_path / "o90.avif")
+    assert tcv.imwrite(p, img, [tcv.IMWRITE_AVIF_QUALITY, 90])
+    back = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+    assert back is not None and back.shape == img.shape
+    d = np.abs(back.astype(int) - img.astype(int))
+    assert d.mean() < 6, d.mean()
+    # and our decode of our own file equals the wheel's decode of it
+    ours = tcv.imread(p, tcv.IMREAD_UNCHANGED)
+    assert_exact(ours, back)
+
+
+def test_have_image_reader(tmp_path):
+    img = RNG.integers(0, 255, (8, 8, 3), np.uint8)
+    p = _wheel_writes(tmp_path, img)
+    assert tcv.haveImageReader(p)
