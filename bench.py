@@ -21,14 +21,19 @@ including when the device is gone):
 - PRE-FLIGHT, before any config: (a) a raw TCP connect to the axon
   relay ports (~1 s — a dead relay is connection-refused, and the jax
   client then hangs >240 s, so this must not go through jax), then
-  (b) one trivial jitted op in a KILLABLE SUBPROCESS with a hard bound.
+  (b) one trivial jitted op in a KILLABLE SUBPROCESS with a hard bound
+  and ONE retry (measured: device attach through the tunnel varies
+  10-140 s run to run even when healthy).
   Either failure stamps an explicit "tpu unreachable" diagnostic into
   EVERY config and exits 0 — a dead tunnel must be legible in
   BENCH_r{N}.json, never inferred.
-- EVERY CONFIG RUNS IN ITS OWN SUBPROCESS with an adaptive wall budget
-  (remaining/remaining-configs, floor 60 s). A hang — native compile
-  RPC included, which ignores signals — is killed and recorded as a
-  per-config timeout; it can never eat the other configs or the round.
+- ALL CONFIGS RUN IN ONE KILLABLE RUNNER SUBPROCESS that emits a JSON
+  heartbeat line as each config completes; the parent enforces an
+  adaptive per-config deadline on the heartbeat and, on a stall — a
+  native compile RPC hang included, which ignores signals — kills the
+  runner and respawns it with the remaining configs.  One attach cost
+  in the good case, at most one re-attach per hang; a hang can never
+  eat the other configs or the round.
 - persistent XLA compilation cache under `.jax_cache/` shared by all
   subprocesses, so warm reruns skip the axon compile wall;
 - a global deadline (BENCH_BUDGET_S, default 480 s) enforced by a
@@ -63,7 +68,10 @@ ITERS = int(os.environ.get("BENCH_ITERS", "2" if FAST else "6"))
 CPU_IMGS = int(os.environ.get("BENCH_CPU_IMGS", "2"))
 CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", "2"))
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
-PROBE_S = float(os.environ.get("BENCH_PROBE_S", "120"))
+PROBE_S = float(os.environ.get("BENCH_PROBE_S", "240"))
+# device attach through the tunnel is paid once per process and varies
+# 10-140s even when healthy; the runner's first config gets this grace
+ATTACH_GRACE_S = float(os.environ.get("BENCH_ATTACH_GRACE_S", "150"))
 CPU_CACHE = os.path.join(REPO, "perf", "cpu_baseline.json")
 CACHE_DIR = os.path.join(REPO, ".jax_cache")
 
@@ -184,20 +192,28 @@ def preflight():
     code = ("import jax, jax.numpy as jnp\n"
             "x = jnp.arange(1024, dtype=jnp.float32)\n"
             "print('PROBE_OK', float(jnp.max(x * 2 + 1)))\n")
-    t0 = time.monotonic()
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, text=True, timeout=PROBE_S,
-                           env=_child_env())
-    except subprocess.TimeoutExpired:
-        return (f"tpu unreachable: trivial-op probe did not complete in "
-                f"{PROBE_S:.0f}s (relay ports {open_ports} accept "
-                "connections but the device/compile service is wedged)")
-    _META["preflight_probe_s"] = round(time.monotonic() - t0, 1)
-    if r.returncode != 0 or "PROBE_OK" not in r.stdout:
-        tail = (r.stderr or r.stdout).strip()[-200:]
-        return f"tpu unreachable: probe failed rc={r.returncode}: {tail}"
-    return None
+    last = None
+    for attempt in range(2):  # attach latency varies 10-140s when healthy
+        bound = min(PROBE_S, max(60.0, _remaining() - 60))
+        t0 = time.monotonic()
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True, timeout=bound,
+                               env=_child_env())
+        except subprocess.TimeoutExpired:
+            last = (f"tpu unreachable: trivial-op probe did not complete in "
+                    f"{bound:.0f}s x{attempt + 1} (relay ports {open_ports} "
+                    "accept connections but the device/compile service is "
+                    "wedged)")
+            continue
+        _META["preflight_probe_s"] = round(time.monotonic() - t0, 1)
+        _META["preflight_attempts"] = attempt + 1
+        if r.returncode != 0 or "PROBE_OK" not in r.stdout:
+            tail = (r.stderr or r.stdout).strip()[-200:]
+            last = f"tpu unreachable: probe failed rc={r.returncode}: {tail}"
+            continue
+        return None
+    return last
 
 
 # ------------------------------------------------------- config children
@@ -208,36 +224,104 @@ def _child_env():
     return env
 
 
-def _run_config_subprocess(name):
-    """Run one config in its own process with an adaptive wall budget."""
-    left = _remaining() - 15  # reserve for emit
+def _config_deadline(first_in_process):
+    """Adaptive per-config heartbeat deadline."""
     n_left = max(1, len([c for c in CONFIG_ORDER
                          if c not in _TPU_RES and c not in _ERRORS]))
-    budget = max(60.0, left / n_left)
-    if left < 30:
-        _ERRORS[name] = "skipped: global budget exhausted"
-        return
-    budget = min(budget, left)
-    t0 = time.monotonic()
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", name],
-            capture_output=True, text=True, timeout=budget,
+    budget = max(60.0, (_remaining() - 15) / n_left)
+    if first_in_process:
+        budget += ATTACH_GRACE_S  # device attach is paid once per process
+    return min(budget, max(10.0, _remaining() - 10))
+
+
+def _run_all_configs():
+    """One runner child for all configs; heartbeat line per config.
+
+    The runner prints {"config": name, "mpix_s": x} (or {"config": name,
+    "error": ...}) as each config finishes.  The parent enforces a
+    per-config deadline on the heartbeat; on a stall it kills the runner
+    and respawns it with the remaining configs, so the attach cost is
+    paid once in the good case and a hang costs one config + one
+    re-attach, never the round."""
+    respawns = 0
+    while True:
+        todo = [c for c in CONFIG_ORDER
+                if c not in _TPU_RES and c not in _ERRORS]
+        if not todo:
+            return
+        if _remaining() < 45:
+            for c in todo:
+                _ERRORS[c] = "skipped: global budget exhausted"
+            return
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--runner"] + todo,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
             env=_child_env())
-    except subprocess.TimeoutExpired:
-        _ERRORS[name] = (f"killed: exceeded {budget:.0f}s wall budget "
-                         "(per-config isolation; other configs continue)")
-        return
-    dt = time.monotonic() - t0
-    if r.returncode != 0:
-        tail = (r.stderr or r.stdout).strip()[-250:]
-        _ERRORS[name] = f"child rc={r.returncode} after {dt:.0f}s: {tail}"
-        return
+        first = True
+        expecting = todo[0]
+        try:
+            for name in todo:
+                expecting = name
+                deadline = _config_deadline(first)
+                line = _readline_deadline(proc, deadline)
+                first = False
+                if line is None:  # stall or runner death
+                    raise _RunnerStall(
+                        f"no heartbeat within {deadline:.0f}s")
+                try:
+                    res = json.loads(line)
+                except ValueError:
+                    raise _RunnerStall(f"bad heartbeat: {line[-200:]}")
+                if res.get("config") != name:
+                    raise _RunnerStall(f"out-of-order heartbeat: {line[-200:]}")
+                if "mpix_s" in res:
+                    _TPU_RES[name] = float(res["mpix_s"])
+                else:
+                    _ERRORS[name] = str(res.get("error", "unknown"))[:250]
+            proc.wait(timeout=10)
+            return
+        except _RunnerStall as e:
+            proc.kill()
+            proc.wait()
+            _ERRORS[expecting] = (f"killed: {e} (runner respawns for the "
+                                  "remaining configs)")
+            respawns += 1
+            _META["runner_respawns"] = respawns
+            if respawns > len(CONFIG_ORDER):
+                for c in CONFIG_ORDER:
+                    _ERRORS.setdefault(c, "skipped: runner respawn limit")
+                return
+
+
+class _RunnerStall(Exception):
+    pass
+
+
+def _readline_deadline(proc, deadline):
+    """Read one stdout line from proc within deadline; None on timeout/EOF."""
+    import selectors
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    buf = []
+    end = time.monotonic() + deadline
     try:
-        res = json.loads(r.stdout.strip().splitlines()[-1])
-        _TPU_RES[name] = float(res["mpix_s"])
-    except Exception as e:  # noqa: BLE001
-        _ERRORS[name] = f"bad child output ({e}): {r.stdout.strip()[-200:]}"
+        while True:
+            left = end - time.monotonic()
+            if left <= 0:
+                return None
+            if not sel.select(timeout=min(left, 5.0)):
+                if proc.poll() is not None:
+                    return None
+                continue
+            ch = proc.stdout.readline()
+            if ch == "":
+                return None  # EOF: runner died
+            ch = ch.strip()
+            if ch.startswith("{"):
+                return ch
+            buf.append(ch)  # stray output (jax warnings routed to stdout)
+    finally:
+        sel.close()
 
 
 def _sync(x):
@@ -264,8 +348,7 @@ def _time_tpu(fn, args, iters=None):
     return (time.perf_counter() - t0) / n
 
 
-def child_main(name):
-    """Measure ONE config; print {"mpix_s": x} as the last stdout line."""
+def _child_setup():
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -275,6 +358,29 @@ def child_main(name):
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass
+
+
+def runner_main(names):
+    """Measure configs sequentially; one JSON heartbeat line per config."""
+    _child_setup()
+    for name in names:
+        try:
+            mpix = _measure_config(name)
+            print(json.dumps({"config": name, "mpix_s": mpix}), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"config": name,
+                              "error": f"{type(e).__name__}: {e}"[:250]}),
+                  flush=True)
+
+
+def child_main(name):
+    """Measure ONE config; print {"mpix_s": x} as the last stdout line."""
+    _child_setup()
+    print(json.dumps({"mpix_s": _measure_config(name)}), flush=True)
+
+
+def _measure_config(name):
+    import jax
     import jax.numpy as jnp
     import opencv_tpu as cv
 
@@ -375,7 +481,7 @@ def child_main(name):
     else:
         raise SystemExit(f"unknown config {name}")
 
-    print(json.dumps({"mpix_s": mpix}), flush=True)
+    return mpix
 
 
 # ------------------------------------------------------------- baseline
@@ -475,6 +581,9 @@ def _on_alarm(signum, frame):
 
 
 def main():
+    if "--runner" in sys.argv:
+        runner_main(sys.argv[sys.argv.index("--runner") + 1:])
+        return
     if "--child" in sys.argv:
         child_main(sys.argv[sys.argv.index("--child") + 1])
         return
@@ -493,8 +602,7 @@ def main():
         diag = preflight()
         if diag is not None:
             _fail_all(diag)  # emits and exits
-        for name in CONFIG_ORDER:
-            _run_config_subprocess(name)
+        _run_all_configs()
         # TPU evidence banked; fill in the baseline only if the committed
         # cache is missing and time remains
         if not _load_cpu_baseline() and _remaining() > 90:
