@@ -666,19 +666,204 @@ def _luv2rgb_f(L, u, v, bidx, srgb=True):
     return jnp.stack(chans, axis=-1)
 
 
+# --- bit-exact u8 Lab/Luv: the reference's fixed-point/LUT pipelines -----
+# (color_lab.cpp: RGB2Lab_b :1573, Lab2RGBinteger :2399, RGB2Luvinterpolate
+# :3276, Luv2RGBinteger :3556).  The LUT contents are platform-independent
+# softfloat-built constants snapshotted by tools/gen_lab_luts.py; every
+# conversion below is verified bit-exact against the wheel over ALL 2^24
+# u8 inputs (tests/test_color.py).
+
+_LAB_LUTS_CACHE = None
+
+
+def _lab_luts():
+    global _LAB_LUTS_CACHE
+    if _LAB_LUTS_CACHE is None:
+        import os
+        path = os.path.join(os.path.dirname(__file__), "lab_luts.npz")
+        with np.load(path) as z:
+            _LAB_LUTS_CACHE = {k: z[k] for k in z.files}
+    return _LAB_LUTS_CACHE
+
+
+_LAB_SHIFT, _LAB_SHIFT2, _INVG_SHIFT = 12, 15, 12
+_LAB_BASE = 1 << 14
+_M14 = (1 << 14) - 1
+
+
+def _idescale(x, n):
+    return (x + (1 << (n - 1))) >> n
+
+
+def _rgb2lab_u8(x, bidx, srgb):
+    T = _lab_luts()
+    xi = x.astype(jnp.int32)
+    b, g, r = xi[..., bidx], xi[..., 1], xi[..., 2 - bidx]
+    tab = jnp.asarray(T["sRGBGammaTab_b" if srgb else "linearGammaTab_b"],
+                      jnp.int32)
+    R, G, B = tab[r], tab[g], tab[b]
+    C = T["lab_fwd_coeffs"]          # static host ints, rows X/Y/Z
+    cb = jnp.asarray(T["LabCbrtTab_b"], jnp.int32)
+    f = [cb[_idescale(R * int(C[i, 0]) + G * int(C[i, 1])
+                      + B * int(C[i, 2]), _LAB_SHIFT)] for i in range(3)]
+    fX, fY, fZ = f
+    lscale = (116 * 255 + 50) // 100
+    lshift = -((16 * 255 * (1 << _LAB_SHIFT2) + 50) // 100)
+    Lo = _idescale(lscale * fY + lshift, _LAB_SHIFT2)
+    ao = _idescale(500 * (fX - fY) + (128 << _LAB_SHIFT2), _LAB_SHIFT2)
+    bo = _idescale(200 * (fY - fZ) + (128 << _LAB_SHIFT2), _LAB_SHIFT2)
+    out = jnp.stack([Lo, ao, bo], axis=-1)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def _inv_gamma_store(ch3, srgb, T):
+    res = []
+    inv_tab = jnp.asarray(T["sRGBInvGammaTab_b"], jnp.int32) if srgb else None
+    for v in ch3:
+        v = jnp.clip(v, 0, (1 << _INVG_SHIFT) - 1)
+        if srgb:
+            v = inv_tab[v]
+        else:
+            v = ((v << 8) - v) >> _INVG_SHIFT
+        res.append(jnp.clip(v, 0, 255))
+    return jnp.stack(res, axis=-1).astype(jnp.uint8)
+
+
+def _lab2rgb_u8(x, bidx, srgb):
+    T = _lab_luts()
+    xi = x.astype(jnp.int32)
+    LL, aa, bb = xi[..., 0], xi[..., 1], xi[..., 2]
+    yf = jnp.asarray(T["LabToYF_b"], jnp.int32)
+    y, ify = yf[LL, 0], yf[LL, 1]
+    adiv = ((5 * aa * 53687 + (1 << 7)) >> 13) - 128 * _LAB_BASE // 500
+    bdiv = ((bb * 41943 + (1 << 4)) >> 9) - 128 * _LAB_BASE // 200 + 1
+    ab = jnp.asarray(T["abToXZ_b"], jnp.int32)
+    min_ab = -8145
+    xx = ab[ify + adiv - min_ab]
+    zz = ab[ify - bdiv - min_ab]
+    C = T["lab_inv_coeffs"]          # rows R/G/B, cols X/Y/Z
+    sh = _LAB_SHIFT + (14 - _INVG_SHIFT)
+    ro = _idescale(int(C[0, 0]) * xx + int(C[0, 1]) * y + int(C[0, 2]) * zz, sh)
+    go = _idescale(int(C[1, 0]) * xx + int(C[1, 1]) * y + int(C[1, 2]) * zz, sh)
+    bo = _idescale(int(C[2, 0]) * xx + int(C[2, 1]) * y + int(C[2, 2]) * zz, sh)
+    out = _inv_gamma_store([bo, go, ro], srgb, T)
+    if bidx == 2:
+        out = out[..., ::-1]
+    return out
+
+
+def _rgb2luv_u8(x, bidx):
+    """Trilinear interpolation over the 33^3 LUT (RGB2Luvinterpolate)."""
+    T = _lab_luts()
+    xi = x.astype(jnp.int32)
+    b, g, r = xi[..., bidx], xi[..., 1], xi[..., 2 - bidx]
+    base_div = _LAB_BASE // 256                      # 64
+    cx, cy, cz = b * base_div, g * base_div, r * base_div
+    tx, ty, tz = cx >> 9, cy >> 9, cz >> 9           # cube origin, 0..31
+    xw, yw, zw = (cx >> 5) & 15, (cy >> 5) & 15, (cz >> 5) & 15
+    lut = jnp.asarray(T["RGB2LuvLUT"].reshape(-1, 3), jnp.int32)  # (33^3, 3)
+    acc = 0
+    for dp in (0, 1):
+        wx = xw if dp else 16 - xw
+        for dq in (0, 1):
+            wy = yw if dq else 16 - yw
+            for dr in (0, 1):
+                wz = zw if dr else 16 - zw
+                idx = (jnp.minimum(tz + dr, 32) * (33 * 33)
+                       + jnp.minimum(ty + dq, 32) * 33
+                       + jnp.minimum(tx + dp, 32))
+                acc = acc + lut[idx] * (wx * wy * wz)[..., None]
+    out = _idescale(acc, 12) >> 6     # values >= 0: shift == trunc division
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+# base-2^14 limb arithmetic (LSB first, signed top limb) — lets the 48-bit
+# int64 intermediates of Luv2RGBinteger run in pure int32 lanes on TPU.
+
+def _limbs_norm(limbs):
+    out, carry = [], 0
+    for l in limbs[:-1]:
+        v = l + carry
+        out.append(v & _M14)
+        carry = v >> 14                   # arithmetic shift == floor
+    out.append(limbs[-1] + carry)
+    return out
+
+
+def _limbs_shift14_trunc(limbs):
+    """trunc(value / 2^14) for normalized limbs."""
+    rem, rest = limbs[0], list(limbs[1:])
+    fix = ((rest[-1] < 0) & (rem != 0)).astype(jnp.int32)
+    return _limbs_norm([rest[0] + fix] + rest[1:])
+
+
+def _luv2rgb_u8(x, bidx, srgb):
+    T = _lab_luts()
+    xi = x.astype(jnp.int32)
+    LL, uu, vv = xi[..., 0], xi[..., 1], xi[..., 2]
+    y = jnp.asarray(T["LabToYF_b"], jnp.int32)[LL, 0]
+    up = jnp.asarray(T["LuToUp_b"].reshape(-1), jnp.int32)[LL * 256 + uu]
+    vp = jnp.asarray(T["LvToVp_b"].reshape(-1), jnp.int32)[LL * 256 + vv]
+    zero = jnp.zeros_like(up)
+
+    # xv = up*vp (37 bits)
+    v0, v1 = vp & _M14, vp >> 14
+    xv = _limbs_norm([up * v0, up * v1, zero, zero])
+    # x = trunc(xv/BASE) fits int32; then x = trunc(y*x/BASE)
+    xq = _limbs_shift14_trunc(xv)
+    xs = xq[0] + (xq[1] << 14) + (xq[2] << 28)
+    x0, x1 = xs & _M14, xs >> 14
+    fl = y * x1 + ((y * x0) >> 14)
+    rem = (y * x0) & _M14
+    xout = fl + ((fl < 0) & (rem != 0)).astype(jnp.int32)
+
+    # z chain needs vpl - xv*(255//3) at 48 bits
+    vpl = jnp.asarray(T["LvToVpl_limbs"].reshape(-1, 4),
+                      jnp.int32)[LL * 256 + vv]
+    xv85 = _limbs_norm([l * 85 for l in xv])
+    diff = _limbs_norm([vpl[..., k] - xv85[k] for k in range(4)])
+    zp = _limbs_shift14_trunc(diff)                   # 34 bits, 3 limbs
+    zq = _limbs_norm([zp[0], zp[1] - 1275, zp[2]])    # -5*255*BASE == -1275<<14
+    zmq = _limbs_norm([y * zq[0], y * zq[1], y * zq[2], zero])
+    zm = _limbs_shift14_trunc(zmq)                    # 34 bits, 3 limbs
+    mid = (zm[1] << 14) + zm[0]                       # [0, 2^28)
+    neg = zm[-1] < 0
+    t256 = zm[2] * (1 << 20) + (mid >> 8)
+    t256 = t256 + (neg & ((mid & 255) != 0)).astype(jnp.int32)
+    t65536 = zm[2] * (1 << 12) + (mid >> 16)
+    t65536 = t65536 + (neg & ((mid & 65535) != 0)).astype(jnp.int32)
+    zout = t256 + t65536
+
+    xout = jnp.clip(xout, 0, 2 * _LAB_BASE)
+    zout = jnp.clip(zout, 0, 2 * _LAB_BASE)
+    C = T["luv_inv_coeffs"]
+    sh = _LAB_SHIFT + (14 - _INVG_SHIFT)
+    ro = _idescale(int(C[0, 0]) * xout + int(C[0, 1]) * y
+                   + int(C[0, 2]) * zout, sh)
+    go = _idescale(int(C[1, 0]) * xout + int(C[1, 1]) * y
+                   + int(C[1, 2]) * zout, sh)
+    bo = _idescale(int(C[2, 0]) * xout + int(C[2, 1]) * y
+                   + int(C[2, 2]) * zout, sh)
+    out = _inv_gamma_store([bo, go, ro], srgb, T)
+    if bidx == 2:
+        out = out[..., ::-1]
+    return out
+
+
 def _lab_fwd(x, bidx, kind, srgb=True):
     fwd = _rgb2lab_f if kind == "lab" else _rgb2luv_f
     if _is_int(x):
+        if kind == "lab":
+            return _rgb2lab_u8(x, bidx, srgb)
+        if srgb:
+            return _rgb2luv_u8(x, bidx)
+        # LRGB2Luv u8: the reference uses its float path here
+        # (RGB2Luv_b:3415, interpolation disabled for linear RGB).
         xf = x.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
         L, A, B = fwd(xf, bidx, srgb)
-        if kind == "lab":
-            out = jnp.stack([L * (255.0 / 100.0), A + 128.0, B + 128.0],
-                            axis=-1)
-        else:
-            # u8 Luv: L*255/100, u: (u+134)*255/354, v: (v+140)*255/262
-            out = jnp.stack([L * (255.0 / 100.0),
-                             (A + 134.0) * (255.0 / 354.0),
-                             (B + 140.0) * (255.0 / 262.0)], axis=-1)
+        out = jnp.stack([L * (255.0 / 100.0),
+                         (A + 134.0) * (255.0 / 354.0),
+                         (B + 140.0) * (255.0 / 262.0)], axis=-1)
         return saturate_cast(out, x.dtype)
     L, A, B = fwd(x, bidx, srgb)
     return jnp.stack([L, A, B], axis=-1).astype(jnp.float32)
@@ -687,17 +872,9 @@ def _lab_fwd(x, bidx, kind, srgb=True):
 def _lab_inv(x, bidx, kind, srgb=True):
     inv = _lab2rgb_f if kind == "lab" else _luv2rgb_f
     if _is_int(x):
-        xf = x.astype(jnp.float32)
         if kind == "lab":
-            L = xf[..., 0] * (100.0 / 255.0)
-            A = xf[..., 1] - 128.0
-            B = xf[..., 2] - 128.0
-        else:
-            L = xf[..., 0] * (100.0 / 255.0)
-            A = xf[..., 1] * (354.0 / 255.0) - 134.0
-            B = xf[..., 2] * (262.0 / 255.0) - 140.0
-        out = inv(L, A, B, bidx, srgb) * 255.0
-        return saturate_cast(out, x.dtype)
+            return _lab2rgb_u8(x, bidx, srgb)
+        return _luv2rgb_u8(x, bidx, srgb)
     return inv(x[..., 0], x[..., 1], x[..., 2], bidx, srgb).astype(jnp.float32)
 
 

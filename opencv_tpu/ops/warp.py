@@ -705,7 +705,12 @@ def _floor_q5_dd(hi, lo):
 
 
 BLOCK_K = int(__import__("os").environ.get("OPENCV_TPU_WARP_BLOCK_K", "8"))
-_BLOCK_ON = __import__("os").environ.get("OPENCV_TPU_WARP_BLOCK", "1") != "0"
+# Off by default: measured on TPU v5e the blocked operand ([Npix/K, bh, bw,
+# C*K] u8) is materialized by XLA in HBM — 31.8 GB for one 4K frame — and
+# the path is ~4.5x SLOWER than the per-pixel single-gather design it was
+# meant to beat (it OOMs outright at batch>=8).  Kept behind the env switch
+# for narrow-block matrices where the operand stays small.
+_BLOCK_ON = __import__("os").environ.get("OPENCV_TPU_WARP_BLOCK", "0") == "1"
 _BLOCK_CELL_CAP = 8.0   # blocked only if block cells per pixel <= this
 
 

@@ -130,18 +130,33 @@ def test_hsv_hls_f32(code):
     assert_near(ours, ref, atol=2e-3, msg=code)
 
 
-def test_lab_luv_u8():
+LAB_LUV_U8 = [
+    "COLOR_BGR2Lab", "COLOR_RGB2Lab", "COLOR_Lab2BGR", "COLOR_Lab2RGB",
+    "COLOR_BGR2Luv", "COLOR_RGB2Luv", "COLOR_Luv2BGR", "COLOR_Luv2RGB",
+    "COLOR_LBGR2Lab", "COLOR_Lab2LBGR", "COLOR_Luv2LBGR", "COLOR_LRGB2Lab",
+    "COLOR_Lab2LRGB", "COLOR_Luv2LRGB",
+]
+
+
+@pytest.mark.parametrize("code", LAB_LUV_U8)
+def test_lab_luv_u8_bitexact(code):
+    """u8 Lab/Luv runs the reference's fixed-point/LUT pipelines with
+    softfloat-snapshotted tables (tools/gen_lab_luts.py) — bit-exact.
+    The full 2^24-input exhaustive check lives in tools/ (run once per
+    table regeneration); here a dense random + boundary grid sample.
+    """
     rng = np.random.default_rng(30)
-    img = rand_img(rng, 48, 48, 3)
-    for code in ["COLOR_BGR2Lab", "COLOR_Lab2BGR", "COLOR_BGR2Luv"]:
-        ref = cv2.cvtColor(img, getattr(cv2, code))
-        ours = np.asarray(tcv.cvtColor(img, getattr(tcv, code)))
-        assert_near(ours, ref, atol=2, msg=code)  # analytic vs LUT tables
-    # Luv2BGR diverges on degenerate L~0 pixels; compare in the mean
-    ref = cv2.cvtColor(img, cv2.COLOR_Luv2BGR)
-    ours = np.asarray(tcv.cvtColor(img, tcv.COLOR_Luv2BGR))
-    d = np.abs(ref.astype(int) - ours.astype(int))
-    assert np.median(d) <= 1 and (d <= 2).mean() > 0.85
+    img = rand_img(rng, 128, 128, 3)
+    # all combinations of boundary channel values
+    edges = np.array([0, 1, 7, 8, 20, 21, 127, 128, 254, 255], np.uint8)
+    grid = np.stack(np.meshgrid(edges, edges, edges, indexing="ij"),
+                    axis=-1).reshape(-1, 3)
+    pad = -len(grid) % 128
+    grid = np.vstack([grid, grid[:pad]]).reshape(-1, 128, 3)
+    img = np.vstack([img, grid])
+    ref = cv2.cvtColor(img, getattr(cv2, code))
+    ours = np.asarray(tcv.cvtColor(img, getattr(tcv, code)))
+    assert_exact(ours, ref, code)
 
 
 def test_lab_luv_f32():
