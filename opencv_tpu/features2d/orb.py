@@ -237,15 +237,23 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
         jnp.sum(vals >= boundary[:, None], axis=1),
         jnp.sum(jnp.isfinite(vals), axis=1)).astype(jnp.int32)
 
-    # sliding-window operand (shared by sparse Harris, IC moments):
-    # P[b,y,x,j] = img[b, y, x + j - hp] — row-payload gathers cost one
-    # index per ROW instead of one per scalar tap
+    # row-payload fetch shared by sparse Harris and IC moments: 32
+    # SHIFTED SCALAR GATHERS from the padded image.  The previous design
+    # materialized a sliding-window operand P[b,y,x,j] = img[b,y,x+j-hp]
+    # (B*H*W*32 bytes — 2.1 GB at 1080p batch 32, ~71 ms to build plus
+    # ~40 ms to row-gather); the shifted gathers touch only the candidate
+    # rows and measure ~5x faster end to end.
     hp = half_patch
+    Wp = W + 32
     imgp = jnp.pad(img4d[..., 0], ((0, 0), (0, 0), (hp, 32 - hp)),
                    mode="reflect")
-    P = jnp.stack([imgp[:, :, j:j + W] for j in range(32)], axis=-1)
-    P = P.reshape(B * H * W, 32)
-    rbase = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None, None]
+    flatp = imgp.reshape(-1).astype(jnp.int32)
+    rbase = (jnp.arange(B, dtype=jnp.int32) * (H * Wp))[:, None, None]
+
+    def _gather_rows32(row_start):
+        """(...,) scalar start indices -> (..., 32) int32 row payloads."""
+        return jnp.stack([jnp.take(flatp, row_start + j)
+                          for j in range(32)], axis=-1)
 
     if is_harris:
         # sparse HarrisResponses (orb.cpp:131): 9-row patches around each
@@ -253,10 +261,9 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
         # on (B, cap, 9, 32) patches (the dense maps this replaces cost
         # ~20ms/level and were read at 0.02% of pixels)
         dr9 = jnp.arange(-4, 5, dtype=jnp.int32)
-        hidx = (_ref101(iy[..., None] + dr9[None, None, :], H) * W
+        hidx = (_ref101(iy[..., None] + dr9[None, None, :], H) * Wp
                 + ix[..., None] + rbase)
-        hpat = jnp.take(P, hidx.reshape(-1), axis=0) \
-            .reshape(B, cap, 9, 32).astype(jnp.int32)
+        hpat = _gather_rows32(hidx)                 # (B, cap, 9, 32) i32
         # dx/dy at patch rows 1..7, img cols x-14..x+15 -> need x-3..x+3
         right = hpat[:, :, :, 2:]
         left = hpat[:, :, :, :-2]
@@ -297,11 +304,11 @@ def _level_cand_desc(img4d, fast_threshold: int, half_patch: int,
         out_score = vals[:, :dcap]
         n_ge2 = n_ge
 
-    # sliding-window IC moments over the shared P operand
+    # IC moments over the same shifted-gather row payloads
     dvs = jnp.arange(-hp, hp + 1, dtype=jnp.int32)
-    ridx = (_ref101(iy_d[..., None] + dvs[None, None, :], H) * W
+    ridx = (_ref101(iy_d[..., None] + dvs[None, None, :], H) * Wp
             + ix_d[..., None] + rbase)              # (B, dcap, 31)
-    patches = jnp.take(P, ridx.reshape(-1), axis=0) \
+    patches = _gather_rows32(ridx) \
         .reshape(B * dcap, (2 * hp + 1) * 32).astype(jnp.float32)
     w10, w01 = _ic_weight_mats(hp)
     mm = patches @ jnp.stack([jnp.asarray(w10), jnp.asarray(w01)], axis=1)
