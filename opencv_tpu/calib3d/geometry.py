@@ -34,17 +34,19 @@ LMEDS = 4
 FM_7POINT = 1
 FM_8POINT = 2
 FM_RANSAC = 8
-# 5.x numbering: DLS/UPNP were removed from the enum (both had been
-# internally mapped to EPNP since 3.x) and the tail shifted down.
+# 4.12 reference numbering (calib3d.hpp:459-479).  DLS/UPNP are the
+# reference's documented broken-implementation flags that fall back to
+# EPnP; the 5.0 wheel dropped them and renumbered the tail, but our
+# contract is the reference (tests/test_constants.py pins these).
 SOLVEPNP_ITERATIVE = 0
 SOLVEPNP_EPNP = 1
 SOLVEPNP_P3P = 2
-SOLVEPNP_AP3P = 3
-SOLVEPNP_IPPE = 4
-SOLVEPNP_IPPE_SQUARE = 5
-SOLVEPNP_SQPNP = 6
-SOLVEPNP_DLS = SOLVEPNP_EPNP   # deprecated aliases (behavior-equal)
-SOLVEPNP_UPNP = SOLVEPNP_EPNP
+SOLVEPNP_DLS = 3       # falls back to EPnP, as in the reference
+SOLVEPNP_UPNP = 4      # falls back to EPnP, as in the reference
+SOLVEPNP_AP3P = 5
+SOLVEPNP_IPPE = 6
+SOLVEPNP_IPPE_SQUARE = 7
+SOLVEPNP_SQPNP = 8
 # USAC flags (usac/ in the reference) — here they run the LO-RANSAC
 # path: standard RANSAC + iterated local optimization on inliers.
 USAC_DEFAULT = 32

@@ -10,7 +10,8 @@ NO video payload decoder lives here: an MPEG-4 Part 2 decoder needs
 the ISO 14496-2 VLC tables (MCBPC/CBPY/TCOEF), which are not available
 in this build environment and are not derivable from encoded output.
 Compressed video payloads are handled by codecs whose tables are
-in-band or spec-derivable (MJPEG, and FFV1 — see imgcodecs/)."""
+in-band or spec-derivable (MJPEG-AVI, and HuffYUV — imgcodecs/jpeg.py,
+imgcodecs/huffyuv.py)."""
 
 from __future__ import annotations
 

@@ -752,16 +752,11 @@ def _lab2rgb_u8(x, bidx, srgb):
     return out
 
 
-def _rgb2luv_u8(x, bidx):
-    """Trilinear interpolation over the 33^3 LUT (RGB2Luvinterpolate)."""
-    T = _lab_luts()
-    xi = x.astype(jnp.int32)
-    b, g, r = xi[..., bidx], xi[..., 1], xi[..., 2 - bidx]
-    base_div = _LAB_BASE // 256                      # 64
-    cx, cy, cz = b * base_div, g * base_div, r * base_div
-    tx, ty, tz = cx >> 9, cy >> 9, cz >> 9           # cube origin, 0..31
+def _trilinear_lut(cx, cy, cz, lut):
+    """trilinearInterpolate (color_lab.cpp:1352): coords in [0, LAB_BASE],
+    cube origin at >>9, 16-step weights, CV_DESCALE by 12."""
+    tx, ty, tz = cx >> 9, cy >> 9, cz >> 9           # cube origin, 0..32
     xw, yw, zw = (cx >> 5) & 15, (cy >> 5) & 15, (cz >> 5) & 15
-    lut = jnp.asarray(T["RGB2LuvLUT"].reshape(-1, 3), jnp.int32)  # (33^3, 3)
     acc = 0
     for dp in (0, 1):
         wx = xw if dp else 16 - xw
@@ -773,8 +768,40 @@ def _rgb2luv_u8(x, bidx):
                        + jnp.minimum(ty + dq, 32) * 33
                        + jnp.minimum(tx + dp, 32))
                 acc = acc + lut[idx] * (wx * wy * wz)[..., None]
-    out = _idescale(acc, 12) >> 6     # values >= 0: shift == trunc division
+    return _idescale(acc, 12)
+
+
+def _rgb2luv_u8(x, bidx):
+    """Trilinear interpolation over the 33^3 LUT (RGB2Luvinterpolate)."""
+    T = _lab_luts()
+    xi = x.astype(jnp.int32)
+    b, g, r = xi[..., bidx], xi[..., 1], xi[..., 2 - bidx]
+    base_div = _LAB_BASE // 256                      # 64
+    lut = jnp.asarray(T["RGB2LuvLUT"].reshape(-1, 3), jnp.int32)  # (33^3, 3)
+    out = _trilinear_lut(b * base_div, g * base_div, r * base_div, lut)
+    out = out >> 6                    # values >= 0: shift == trunc division
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def _rgb2lab_f32_interp(x, bidx):
+    """f32 sRGB RGB2Lab: the reference's interpolated path (RGB2Lab_f,
+    color_lab.cpp:2037-2050) — cvRound to the LAB_BASE grid, the same
+    trilinear 33^3 LUT as u8 Luv, float rescale.  Bit-exact."""
+    T = _lab_luts()
+    b = jnp.clip(x[..., bidx], 0.0, 1.0)
+    g = jnp.clip(x[..., 1], 0.0, 1.0)
+    r = jnp.clip(x[..., 2 - bidx], 0.0, 1.0)
+    fb = jnp.float32(_LAB_BASE)
+    cb = jnp.rint(b * fb).astype(jnp.int32)
+    cg = jnp.rint(g * fb).astype(jnp.int32)
+    cr = jnp.rint(r * fb).astype(jnp.int32)
+    lut = jnp.asarray(T["RGB2LabLUT"].reshape(-1, 3), jnp.int32)
+    iv = _trilinear_lut(cb, cg, cr, lut).astype(jnp.float32)
+    inv = jnp.float32(1.0 / _LAB_BASE)               # exact power of two
+    L = (iv[..., 0] * inv) * jnp.float32(100.0)
+    a = (iv[..., 1] * inv) * jnp.float32(256.0) - jnp.float32(128.0)
+    bb = (iv[..., 2] * inv) * jnp.float32(256.0) - jnp.float32(128.0)
+    return jnp.stack([L, a, bb], axis=-1).astype(jnp.float32)
 
 
 # base-2^14 limb arithmetic (LSB first, signed top limb) — lets the 48-bit
@@ -865,6 +892,8 @@ def _lab_fwd(x, bidx, kind, srgb=True):
                          (A + 134.0) * (255.0 / 354.0),
                          (B + 140.0) * (255.0 / 262.0)], axis=-1)
         return saturate_cast(out, x.dtype)
+    if kind == "lab" and srgb:
+        return _rgb2lab_f32_interp(x, bidx)
     L, A, B = fwd(x, bidx, srgb)
     return jnp.stack([L, A, B], axis=-1).astype(jnp.float32)
 
