@@ -14,8 +14,8 @@ from .geometry import (  # noqa: F401
     RANSAC, LMEDS, FM_8POINT, FM_RANSAC, SOLVEPNP_ITERATIVE,
     USAC_DEFAULT, USAC_PARALLEL, USAC_FM_8PTS, USAC_FAST,
     USAC_ACCURATE, USAC_PROSAC, USAC_MAGSAC,
-    SOLVEPNP_EPNP, SOLVEPNP_P3P, SOLVEPNP_AP3P, SOLVEPNP_DLS,
-    SOLVEPNP_UPNP, SOLVEPNP_IPPE, SOLVEPNP_IPPE_SQUARE, SOLVEPNP_SQPNP,
+    SOLVEPNP_EPNP, SOLVEPNP_P3P, SOLVEPNP_AP3P, SOLVEPNP_IPPE,
+    SOLVEPNP_IPPE_SQUARE, SOLVEPNP_SQPNP, SOLVEPNP_MAX_COUNT,
 )
 from .geometry import estimateAffine2D, estimateAffinePartial2D, stereoRectify  # noqa: F401
 from .geometry import (  # noqa: F401

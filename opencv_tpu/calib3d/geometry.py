@@ -26,27 +26,26 @@ __all__ = ["Rodrigues", "projectPoints", "undistortPoints",
            "USAC_DEFAULT", "USAC_PARALLEL", "USAC_FM_8PTS", "USAC_FAST",
            "USAC_ACCURATE", "USAC_PROSAC", "USAC_MAGSAC",
            "SOLVEPNP_ITERATIVE", "SOLVEPNP_EPNP", "SOLVEPNP_P3P",
-           "SOLVEPNP_AP3P", "SOLVEPNP_DLS", "SOLVEPNP_UPNP",
-           "SOLVEPNP_IPPE", "SOLVEPNP_IPPE_SQUARE", "SOLVEPNP_SQPNP"]
+           "SOLVEPNP_AP3P", "SOLVEPNP_IPPE", "SOLVEPNP_IPPE_SQUARE",
+           "SOLVEPNP_SQPNP", "SOLVEPNP_MAX_COUNT"]
 
 RANSAC = 8
 LMEDS = 4
 FM_7POINT = 1
 FM_8POINT = 2
 FM_RANSAC = 8
-# 4.12 reference numbering (calib3d.hpp:459-479).  DLS/UPNP are the
-# reference's documented broken-implementation flags that fall back to
-# EPnP; the 5.0 wheel dropped them and renumbered the tail, but our
-# contract is the reference (tests/test_constants.py pins these).
+# 5.0 wheel numbering (the installed oracle; the 4.x reference's
+# DLS/UPNP broken-implementation aliases were dropped and the enum tail
+# renumbered — calib3d.hpp SolvePnPMethod).  tests/test_surface.py
+# enforces value equality with the wheel.
 SOLVEPNP_ITERATIVE = 0
 SOLVEPNP_EPNP = 1
 SOLVEPNP_P3P = 2
-SOLVEPNP_DLS = 3       # falls back to EPnP, as in the reference
-SOLVEPNP_UPNP = 4      # falls back to EPnP, as in the reference
-SOLVEPNP_AP3P = 5
-SOLVEPNP_IPPE = 6
-SOLVEPNP_IPPE_SQUARE = 7
-SOLVEPNP_SQPNP = 8
+SOLVEPNP_AP3P = 3
+SOLVEPNP_IPPE = 4
+SOLVEPNP_IPPE_SQUARE = 5
+SOLVEPNP_SQPNP = 6
+SOLVEPNP_MAX_COUNT = 7
 # USAC flags (usac/ in the reference) — here they run the LO-RANSAC
 # path: standard RANSAC + iterated local optimization on inliers.
 USAC_DEFAULT = 32
@@ -584,8 +583,7 @@ def solvePnP(objectPoints, imagePoints, cameraMatrix, distCoeffs,
     n = len(obj)
 
     if flags in (SOLVEPNP_EPNP, SOLVEPNP_P3P, SOLVEPNP_AP3P,
-                 SOLVEPNP_IPPE, SOLVEPNP_IPPE_SQUARE, SOLVEPNP_SQPNP,
-                 SOLVEPNP_DLS, SOLVEPNP_UPNP):
+                 SOLVEPNP_IPPE, SOLVEPNP_IPPE_SQUARE, SOLVEPNP_SQPNP):
         from . import pnp as _pnp
         if flags in (SOLVEPNP_P3P, SOLVEPNP_AP3P):
             cands = _pnp.solve_p3p(obj, und)
@@ -593,7 +591,7 @@ def solvePnP(objectPoints, imagePoints, cameraMatrix, distCoeffs,
             cands = _pnp.solve_ippe(obj, und)
         elif flags == SOLVEPNP_SQPNP:
             cands = _pnp.solve_sqpnp(obj, und)
-        else:   # EPNP; DLS/UPNP map to EPnP like modern reference builds
+        else:
             cands = _pnp.solve_epnp(obj, und)
         if not cands:
             return False, None, None

@@ -343,9 +343,10 @@ def solve_sqpnp(obj, und):
     out = []
     seen = []
     for k in range(3):   # three smallest eigenvectors as starts
-        R0 = nearest_rot(V[:, k])
-        for Rs in (R0, -R0 if np.linalg.det(-R0) > 0 else R0):
-            R = refine(nearest_rot(Rs.reshape(9)))
+        # eigenvectors carry a sign ambiguity: project BOTH ±v onto
+        # SO(3) (the projections differ; negating a 3x3 flips det)
+        for Rs in (nearest_rot(V[:, k]), nearest_rot(-V[:, k])):
+            R = refine(Rs)
             t = P @ R.reshape(9)
             # cheirality
             pc = obj @ R.T + t

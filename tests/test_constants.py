@@ -8,14 +8,9 @@ cv2 = pytest.importorskip("cv2")
 import opencv_tpu as K
 
 
-# Our contract is the 4.12 reference (/root/reference).  The installed
-# oracle wheel is OpenCV 5.0, which dropped SOLVEPNP_DLS/UPNP and
-# renumbered the SolvePnPMethod enum (calib3d.hpp:465-479 in 4.12 vs 5.0);
-# those names are checked against the reference, not the wheel.
-_REF_NOT_WHEEL = {
-    "SOLVEPNP_AP3P": 5, "SOLVEPNP_IPPE": 6, "SOLVEPNP_IPPE_SQUARE": 7,
-    "SOLVEPNP_SQPNP": 8, "SOLVEPNP_DLS": 3, "SOLVEPNP_UPNP": 4,
-}
+# Every constant tracks the installed 5.0 oracle wheel (including the
+# SolvePnPMethod renumbering that dropped DLS/UPNP).
+_REF_NOT_WHEEL = {}
 
 
 def test_constants_match_cv2():
