@@ -18,32 +18,42 @@ and the axon TPU client must not share a process) when absent.
 Robustness contract (the reference's perf harness measures to stability
 and ALWAYS reports, `modules/ts/src/ts_perf.cpp:1922` — ours must too,
 including when the device is gone):
-- PRE-FLIGHT, before any config: (a) a raw TCP connect to the axon
-  relay ports (~1 s — a dead relay is connection-refused, and the jax
-  client then hangs >240 s, so this must not go through jax), then
-  (b) one trivial jitted op in a KILLABLE SUBPROCESS with a hard bound
-  and ONE retry (measured: device attach through the tunnel varies
-  10-140 s run to run even when healthy).
-  Either failure stamps an explicit "tpu unreachable" diagnostic into
-  EVERY config and exits 0 — a dead tunnel must be legible in
-  BENCH_r{N}.json, never inferred.
-- ALL CONFIGS RUN IN ONE KILLABLE RUNNER SUBPROCESS that emits a JSON
-  heartbeat line as each config completes; the parent enforces an
-  adaptive per-config deadline on the heartbeat and, on a stall — a
-  native compile RPC hang included, which ignores signals — kills the
-  runner and respawns it with the remaining configs.  One attach cost
-  in the good case, at most one re-attach per hang; a hang can never
-  eat the other configs or the round.
+- PRE-FLIGHT is a raw TCP connect to the axon relay ports (~1 s — a
+  dead relay is connection-refused, and the jax client then hangs
+  >240 s, so this must not go through jax).  A closed relay stamps an
+  explicit "tpu unreachable" diagnostic into EVERY config and exits 0 —
+  a dead tunnel must be legible in BENCH_r{N}.json, never inferred.
+- THE RUNNER IS THE PROBE: all configs run in ONE killable runner
+  subprocess that emits an {"attached": s} line once the device is up
+  (this doubles as the trivial-op probe — the attach is paid ONCE and
+  then reused for the measurements, instead of a probe process paying
+  ~200 s of attach that is thrown away), {"tick": ...} lines at stage
+  boundaries inside a config, and a {"config": ..., "mpix_s": ...}
+  heartbeat as each config completes.
+- STALL DETECTION IS TICK-TO-TICK, not per-config-total: the parent
+  enforces a deadline on the SILENT INTERVAL between runner lines —
+  floored at the attach wall (~200-300 s measured through the tunnel)
+  right after a spawn and after a "compile" tick, tighter between
+  measurement ticks.  On a stall — a native compile RPC hang included,
+  which ignores signals — it kills the runner and respawns it with the
+  remaining configs.  One attach cost in the good case, at most one
+  re-attach per hang; a hang can never eat the other configs or the
+  round.
 - persistent XLA compilation cache under `.jax_cache/` shared by all
   subprocesses, so warm reruns skip the axon compile wall;
 - a global deadline (BENCH_BUDGET_S, default 480 s) enforced by a
   watchdog thread that emits whatever completed;
 - BENCH_FAST=1 shrinks batch/iters for a cold-cache run that finishes
-  through the tunnel in <6 min.
+  through the tunnel in <6 min; the parent AUTO-DROPS a respawned
+  runner to FAST shapes when the remaining budget cannot fit the full
+  ones.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}:
 value = geometric-mean TPU Mpix/s across completed configs,
-vs_baseline = geometric-mean speedup; per-config detail under "configs".
+vs_baseline = geometric-mean speedup; per-config detail under
+"configs".  The metric name says "5config" ONLY when all five configs
+contributed; a partial run is named `imgproc_{n}of5config_...` so a
+3-config geomean can never masquerade as the full one.
 """
 
 import json
@@ -68,16 +78,26 @@ ITERS = int(os.environ.get("BENCH_ITERS", "2" if FAST else "6"))
 CPU_IMGS = int(os.environ.get("BENCH_CPU_IMGS", "2"))
 CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", "2"))
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
-PROBE_S = float(os.environ.get("BENCH_PROBE_S", "240"))
-# device attach through the tunnel is paid once per process and varies
-# 10-140s even when healthy; the runner's first config gets this grace
-ATTACH_GRACE_S = float(os.environ.get("BENCH_ATTACH_GRACE_S", "150"))
+# device attach through the tunnel is paid once per process; measured
+# 10-200+s run to run even when healthy (r4: 201s for a trivial op).
+# Every silent-interval deadline that may include an attach or a cold
+# compile is FLOORED at this wall.
+ATTACH_WALL_S = float(os.environ.get("BENCH_ATTACH_WALL_S", "300"))
+# warm tick-to-tick silence bound (measurement iterations emit ticks)
+STALL_S = float(os.environ.get("BENCH_STALL_S", "150"))
 CPU_CACHE = os.path.join(REPO, "perf", "cpu_baseline.json")
 CACHE_DIR = os.path.join(REPO, ".jax_cache")
 
-# run order: cheapest/highest-yield first so a tight budget banks the most
-CONFIG_ORDER = ["1_cvt_gauss_1080p", "3_pyr_corner_edge_1080p",
-                "4_match_morph_1080p", "5_orb_1080p", "2_resize_warp_4k"]
+# run order: cfg1 first (cheap, proves the attach), then the two
+# historically starved configs (ORB, resize/warp-4K) while budget is
+# plentiful, then the remaining dense configs
+CONFIG_ORDER = ["1_cvt_gauss_1080p", "5_orb_1080p", "2_resize_warp_4k",
+                "3_pyr_corner_edge_1080p", "4_match_morph_1080p"]
+# rough full-shape per-config wall (warm cache, measured r4/r5) used by
+# the auto-FAST downgrade decision
+_EST_CONFIG_S = {"1_cvt_gauss_1080p": 35, "5_orb_1080p": 90,
+                 "2_resize_warp_4k": 75, "3_pyr_corner_edge_1080p": 45,
+                 "4_match_morph_1080p": 45}
 
 _T0 = time.monotonic()
 _TPU_RES = {}      # filled incrementally, config by config
@@ -124,8 +144,10 @@ def emit_and_exit(code=0):
             ratios.append(r)
     for k, e in _ERRORS.items():
         configs[k] = {"error": e}
+    n_done = len(_TPU_RES)
+    tag = "5config" if n_done == len(CONFIG_ORDER) else f"{n_done}of5config"
     out = {
-        "metric": "imgproc_5config_geomean_mpix_per_s_per_chip",
+        "metric": f"imgproc_{tag}_geomean_mpix_per_s_per_chip",
         "value": (round(_geomean(list(_TPU_RES.values())), 1)
                   if _TPU_RES else None),
         "unit": "Mpix/s",
@@ -161,15 +183,15 @@ def _relay_ports():
 
 
 def preflight():
-    """Return None if the TPU is reachable, else a diagnostic string.
+    """Return None if the relay accepts connections, else a diagnostic.
 
-    Mirrors the reference perf harness's always-report contract
-    (modules/ts/src/ts_perf.cpp:1922): when the device is gone, the
-    output must SAY so per config, not time out silently.
+    Raw socket only: the axon relay is a local TCP bridge; a dead relay
+    is connection-refused in <1s, while the jax client blocks >240s, so
+    this must not go through jax.  The device-level probe is the
+    RUNNER's own attach (its "attached" heartbeat) — one attach, reused
+    for the measurements (modules/ts/src/ts_perf.cpp:1922 contract:
+    when the device is gone the output must SAY so per config).
     """
-    # (a) raw socket: the axon relay is a local TCP bridge; dead relay
-    # == connection refused in <1s. Do NOT use jax for this — the axon
-    # client blocks >240s when the relay is down.
     ports = _relay_ports()
     t0 = time.monotonic()
     open_ports = []
@@ -187,33 +209,7 @@ def preflight():
     if not open_ports:
         return ("tpu unreachable: axon relay down (connection refused "
                 f"on ports {ports}; relay process not running)")
-    # (b) one trivial jitted op, in a killable subprocess with a hard
-    # bound — catches a listening-but-wedged relay or compile service.
-    code = ("import jax, jax.numpy as jnp\n"
-            "x = jnp.arange(1024, dtype=jnp.float32)\n"
-            "print('PROBE_OK', float(jnp.max(x * 2 + 1)))\n")
-    last = None
-    for attempt in range(2):  # attach latency varies 10-140s when healthy
-        bound = min(PROBE_S, max(60.0, _remaining() - 60))
-        t0 = time.monotonic()
-        try:
-            r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, text=True, timeout=bound,
-                               env=_child_env())
-        except subprocess.TimeoutExpired:
-            last = (f"tpu unreachable: trivial-op probe did not complete in "
-                    f"{bound:.0f}s x{attempt + 1} (relay ports {open_ports} "
-                    "accept connections but the device/compile service is "
-                    "wedged)")
-            continue
-        _META["preflight_probe_s"] = round(time.monotonic() - t0, 1)
-        _META["preflight_attempts"] = attempt + 1
-        if r.returncode != 0 or "PROBE_OK" not in r.stdout:
-            tail = (r.stderr or r.stdout).strip()[-200:]
-            last = f"tpu unreachable: probe failed rc={r.returncode}: {tail}"
-            continue
-        return None
-    return last
+    return None
 
 
 # ------------------------------------------------------- config children
@@ -224,26 +220,23 @@ def _child_env():
     return env
 
 
-def _config_deadline(first_in_process):
-    """Adaptive per-config heartbeat deadline."""
-    n_left = max(1, len([c for c in CONFIG_ORDER
-                         if c not in _TPU_RES and c not in _ERRORS]))
-    budget = max(60.0, (_remaining() - 15) / n_left)
-    if first_in_process:
-        budget += ATTACH_GRACE_S  # device attach is paid once per process
-    return min(budget, max(10.0, _remaining() - 10))
-
-
 def _run_all_configs():
-    """One runner child for all configs; heartbeat line per config.
+    """One runner child for all configs; the runner doubles as the probe.
 
-    The runner prints {"config": name, "mpix_s": x} (or {"config": name,
-    "error": ...}) as each config finishes.  The parent enforces a
-    per-config deadline on the heartbeat; on a stall it kills the runner
-    and respawns it with the remaining configs, so the attach cost is
-    paid once in the good case and a hang costs one config + one
-    re-attach, never the round."""
+    Runner stdout protocol (one JSON object per line):
+      {"attached": s}               device attach done (the probe)
+      {"tick": name, "stage": s}    stage boundary inside a config
+      {"config": name, "mpix_s": x} config complete
+      {"config": name, "error": e}  config raised
+
+    The parent bounds the SILENT INTERVAL between lines: the attach
+    wall right after a spawn and after any "compile" stage tick (cold
+    compiles through the tunnel rival the attach), STALL_S otherwise.
+    On a stall it kills the runner, stamps the config, and respawns
+    with the remaining configs — downgraded to BENCH_FAST shapes when
+    the remaining budget can no longer fit the full ones."""
     respawns = 0
+    fast_forced = False
     while True:
         todo = [c for c in CONFIG_ORDER
                 if c not in _TPU_RES and c not in _ERRORS]
@@ -253,18 +246,28 @@ def _run_all_configs():
             for c in todo:
                 _ERRORS[c] = "skipped: global budget exhausted"
             return
+        env = _child_env()
+        est = sum(_EST_CONFIG_S.get(c, 60) for c in todo)
+        attach_due = 0 if respawns == 0 else ATTACH_WALL_S * 0.8
+        if not FAST and _remaining() - attach_due < est and respawns:
+            # a respawned runner re-pays the attach; if what's left can't
+            # fit full shapes, salvage the configs at FAST shapes instead
+            # of banking nothing (result is still honest: fast_mode and
+            # per-config batch are stamped into the output)
+            env["BENCH_FAST"] = "1"
+            fast_forced = True
+            _META["fast_forced_configs"] = todo
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--runner"] + todo,
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-            env=_child_env())
-        first = True
-        expecting = todo[0]
+            env=env)
+        spawned = time.monotonic()
+        pending = list(todo)
+        window = ATTACH_WALL_S          # first line may include attach
         try:
-            for name in todo:
-                expecting = name
-                deadline = _config_deadline(first)
+            while pending:
+                deadline = min(window, max(10.0, _remaining() - 10))
                 line = _readline_deadline(proc, deadline)
-                first = False
                 if line is None:  # stall or runner death
                     raise _RunnerStall(
                         f"no heartbeat within {deadline:.0f}s")
@@ -272,19 +275,34 @@ def _run_all_configs():
                     res = json.loads(line)
                 except ValueError:
                     raise _RunnerStall(f"bad heartbeat: {line[-200:]}")
-                if res.get("config") != name:
+                if "attached" in res:
+                    _META.setdefault("attach_s", round(
+                        time.monotonic() - spawned, 1))
+                    window = ATTACH_WALL_S  # first compile rivals attach
+                    continue
+                if "tick" in res:
+                    stage = str(res.get("stage", ""))
+                    window = (ATTACH_WALL_S if "compile" in stage
+                              else STALL_S)
+                    continue
+                name = res.get("config")
+                if name != pending[0]:
                     raise _RunnerStall(f"out-of-order heartbeat: {line[-200:]}")
+                pending.pop(0)
                 if "mpix_s" in res:
                     _TPU_RES[name] = float(res["mpix_s"])
+                    if fast_forced:
+                        _META.setdefault("fast_results", []).append(name)
                 else:
                     _ERRORS[name] = str(res.get("error", "unknown"))[:250]
+                window = ATTACH_WALL_S  # next config's first compile
             proc.wait(timeout=10)
             return
         except _RunnerStall as e:
             proc.kill()
             proc.wait()
-            _ERRORS[expecting] = (f"killed: {e} (runner respawns for the "
-                                  "remaining configs)")
+            _ERRORS[pending[0]] = (f"killed: {e} (runner respawns for the "
+                                   "remaining configs)")
             respawns += 1
             _META["runner_respawns"] = respawns
             if respawns > len(CONFIG_ORDER):
@@ -332,15 +350,26 @@ def _sync(x):
     float(jnp.max(jnp.asarray(x).astype(jnp.float32)))
 
 
+_CUR_CONFIG = [None]
+
+
+def _tick(stage):
+    """Stage-boundary heartbeat; resets the parent's stall window."""
+    print(json.dumps({"tick": _CUR_CONFIG[0], "stage": stage}), flush=True)
+
+
 def _time_tpu(fn, args, iters=None):
     iters = ITERS if iters is None else iters
+    _tick("compile")
     out = fn(*args)
     _sync(out)  # compile + sync
+    _tick("warm")
     t0 = time.perf_counter()
     out = fn(*args)
     _sync(out)
     dt1 = time.perf_counter() - t0
     n = max(1, min(iters, int(60.0 / max(dt1, 1e-3))))
+    _tick("measure")
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
@@ -361,12 +390,25 @@ def _child_setup():
 
 
 def runner_main(names):
-    """Measure configs sequentially; one JSON heartbeat line per config."""
+    """Measure configs sequentially; one JSON heartbeat line per config.
+
+    The first emitted line, {"attached": s}, doubles as the device
+    probe — the parent treats its absence within the attach wall as
+    "tpu unreachable"."""
     _child_setup()
+    import jax
+    import jax.numpy as jnp
+    t0 = time.monotonic()
+    float(jnp.max(jnp.arange(1024, dtype=jnp.float32) * 2 + 1))
+    print(json.dumps({"attached": round(time.monotonic() - t0, 1),
+                      "backend": jax.default_backend()}), flush=True)
     for name in names:
+        _CUR_CONFIG[0] = name
         try:
             mpix = _measure_config(name)
-            print(json.dumps({"config": name, "mpix_s": mpix}), flush=True)
+            print(json.dumps({"config": name, "mpix_s": mpix,
+                              "batch": BATCH_1080, "fast": FAST}),
+                  flush=True)
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"config": name,
                               "error": f"{type(e).__name__}: {e}"[:250]}),
@@ -438,10 +480,12 @@ def _measure_config(name):
         x = jax.device_put(rng.integers(
             0, 256, size=(n_img, 1080, 1920), dtype=np.uint8))
         orb = cv.ORB_create(nfeatures=500)
+        _tick("compile")        # first call compiles the whole pipeline
         orb.detect_and_compute_batch(x)  # warm (compiles)
         n_orb = min(ITERS, 3)
         t0 = time.perf_counter()
-        for _ in range(n_orb):
+        for i in range(n_orb):
+            _tick(f"measure_{i}")
             orb.detect_and_compute_batch(x)
         dt = (time.perf_counter() - t0) / n_orb
         mpix = n_img * 1080 * 1920 / 1e6 / dt

@@ -351,10 +351,15 @@ def _resize_linear_exact_u8(x, dw, dh):
 def _resize_ksize(x, dw, dh, ksize, out_dtype):
     """Cubic (ksize=4) / Lanczos4 (ksize=8), all dtypes.
 
-    u8 uses Q11 short coeffs horizontally (int32 accum); vertical follows
-    the reference: cubic → float32 scaled betas + rint
-    (VResizeCubicVec_32s8u), lanczos → int `(v + 2^21) >> 22`
-    (FixedPtCast<int,uchar,22>).  Other dtypes are float32 end-to-end.
+    u8 uses Q11 short coeffs horizontally (int32 accum); vertical is
+    integer Q22: `(v + 2^21) >> 22` (FixedPtCast<int,uchar,22>), for
+    BOTH cubic and lanczos.  The reference's cubic vertical is float32
+    betas + rint (VResizeCubicVec_32s8u); the integer form differs from
+    it only on f32 rounding ties (~1e-4 of pixels) but is bit-identical
+    across backends (CPU/TPU), which the on-TPU tier contract requires
+    (tests/test_tpu.py: 99.9% exact).  Worst-case |v| for A=-0.75 is
+    255*2048^2*1.375^2 = 2.02e9 < 2^31, so int32 accumulation is safe.
+    Other dtypes are float32 end-to-end.
     """
     N, H, W, C = x.shape
     interp = _interpolate_cubic if ksize == 4 else _interpolate_lanczos4
@@ -372,14 +377,6 @@ def _resize_ksize(x, dw, dh, ksize, out_dtype):
         for j in range(ksize):
             t = _gather_w(xi, sx - (k2 - 1) + j) * _col_const(axq[:, j], jnp.int32)
             h = t if h is None else h + t
-        if ksize == 4:
-            byq = _q11(cy).astype(np.float64) * (1.0 / (COEF_SCALE * COEF_SCALE))
-            v = None
-            for j in range(ksize - 1, -1, -1):
-                t = _gather_h(h, sy - (k2 - 1) + j).astype(jnp.float32) \
-                    * _row_const(np.float32(byq[:, j]), jnp.float32)
-                v = t if v is None else t + v
-            return jnp.clip(jnp.rint(v), 0, 255).astype(jnp.uint8)
         byq = _q11(cy)
         v = None
         for j in range(ksize):

@@ -704,16 +704,6 @@ def _floor_q5_dd(hi, lo):
     return ti >> 5, ti & 31
 
 
-BLOCK_K = int(__import__("os").environ.get("OPENCV_TPU_WARP_BLOCK_K", "8"))
-# Off by default: measured on TPU v5e the blocked operand ([Npix/K, bh, bw,
-# C*K] u8) is materialized by XLA in HBM — 31.8 GB for one 4K frame — and
-# the path is ~4.5x SLOWER than the per-pixel single-gather design it was
-# meant to beat (it OOMs outright at batch>=8).  Kept behind the env switch
-# for narrow-block matrices where the operand stays small.
-_BLOCK_ON = __import__("os").environ.get("OPENCV_TPU_WARP_BLOCK", "0") == "1"
-_BLOCK_CELL_CAP = 8.0   # blocked only if block cells per pixel <= this
-
-
 def _warp_step_bounds(m, dw, dh):
     """Host bounds on (dX/dj, dY/dj) — the source-coordinate steps per
     output COLUMN — over the whole output rect.
@@ -743,131 +733,6 @@ def _warp_step_bounds(m, dw, dh):
     return out[0], out[1], out[2], out[3]
 
 
-def _blk_tap_bounds(s_lo, s_hi, K_):
-    """Per-t static bounds [lo_t, hi_t] on x0(t) - min_block(x0), given
-    the per-column source step lies in [s_lo, s_hi] (sign-definite).
-    Block anchor = device min over the K pixels; floor carries make each
-    offset at most 1 above its step integral (NOTES_r3 gap #1)."""
-    if s_lo >= 0:
-        lo = [int(math.floor(t * s_lo)) for t in range(K_)]
-        hi = [int(math.floor(t * s_hi)) + 1 for t in range(K_)]
-    elif s_hi <= 0:
-        lo = [int(math.floor((K_ - 1 - t) * -s_hi)) for t in range(K_)]
-        hi = [int(math.floor((K_ - 1 - t) * -s_lo)) + 1 for t in range(K_)]
-    else:
-        return None  # step changes sign: block min is not at an end
-    return lo, hi
-
-
-def _padded_operand(x, pH, pW, border_type, cval):
-    """(H+2pH, W+2pW, N*C) source with the border semantics baked into
-    the pad region, so blocked taps need no per-tap border masks."""
-    N, H, W, C = x.shape
-    xt = x.transpose(1, 2, 0, 3).reshape(H, W, N * C)
-    bt = border_type & ~K.BORDER_ISOLATED
-    if bt == K.BORDER_REPLICATE:
-        return jnp.pad(xt, ((pH, pH), (pW, pW), (0, 0)), mode="edge")
-    fill = jnp.tile(cval, N).astype(x.dtype).reshape(1, 1, N * C)
-    left = jnp.broadcast_to(fill, (H, pW, N * C))
-    mid = jnp.concatenate([left, xt, left], axis=1)
-    top = jnp.broadcast_to(fill, (pH, W + 2 * pW, N * C))
-    return jnp.concatenate([top, mid, top], axis=0)
-
-
-def _chain_select(win, d, n, axis):
-    """win[..., r, ...] at r = clip(d, 0, n-1) via a static where-chain
-    (n is small and static; d is a (G, 1) device plane)."""
-    out = jnp.take(win, 0, axis=axis)
-    for r in range(1, n):
-        out = jnp.where(d == r, jnp.take(win, r, axis=axis), out)
-    return out
-
-
-def _remap_linear_dev_blocked(x, x0, fx, y0, fy, border_type, border_value,
-                              xb, yb):
-    """Blocked bilinear remap: ONE (H_blk, W_blk, N*C) block gather per
-    BLOCK_K consecutive output pixels instead of one gather per pixel.
-
-    TPU gather cost is per-INDEX (~14 ns), so the per-pixel patch gather
-    (one index per output pixel) is index-bound at large outputs; the
-    reference blocks its warps the same way for cache reasons
-    (imgwarp.cpp:2247 WarpAffineInvoker BLOCK_SZ).  Source coordinates
-    of K consecutive output pixels advance by a bounded step, so the K
-    pixels' 2x2 taps live in one statically-sized block anchored at the
-    device-computed per-block coordinate min; each pixel's taps are then
-    STATIC window slices + boolean carry selects (floor carries are the
-    only freedom), with bilinear arithmetic identical to the per-pixel
-    path.  Border handling: the operand is pre-padded with the border
-    semantics and raw coordinates are clamped into the padded domain, so
-    out-of-image taps read correct pad cells with no masks (any pixel
-    whose clamp engages provably selects only pad cells)."""
-    N, H, W, C = x.shape
-    dh, dw = x0.shape
-    NC = N * C
-    K_ = BLOCK_K
-    (xlo, xhi), (ylo, yhi) = xb, yb
-    W_blk = max(xhi) + 2
-    H_blk = max(yhi) + 2
-    pW, pH = W_blk + 1, H_blk + 1
-    cval = _cval_vec(border_value, x.dtype, C)
-
-    nb = -(-dw // K_)
-    pad_w = nb * K_ - dw
-    if pad_w:
-        x0 = jnp.pad(x0, ((0, 0), (0, pad_w)), mode="edge")
-        y0 = jnp.pad(y0, ((0, 0), (0, pad_w)), mode="edge")
-        fx = jnp.pad(fx, ((0, 0), (0, pad_w)), mode="edge")
-        fy = jnp.pad(fy, ((0, 0), (0, pad_w)), mode="edge")
-    G = dh * nb
-
-    x0c = jnp.clip(x0, -pW, W + 1).reshape(G, K_)
-    y0c = jnp.clip(y0, -pH, H + 1).reshape(G, K_)
-    ax = x0c.min(axis=1)
-    ay = y0c.min(axis=1)
-
-    padded = _padded_operand(x, pH, pW, border_type, cval)
-    from jax import lax
-    starts = jnp.stack([ay + pH, ax + pW], axis=-1).astype(jnp.int32)
-    dnums = lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
-        start_index_map=(0, 1))
-    blk = lax.gather(padded, starts, dnums,
-                     slice_sizes=(H_blk, W_blk, NC),
-                     mode=lax.GatherScatterMode.CLIP)   # (G, H_blk, W_blk, NC)
-
-    fxb = fx.reshape(G, K_)
-    fyb = fy.reshape(G, K_)
-    f32 = jnp.float32
-    outs = []
-    for t in range(K_):
-        ny = yhi[t] - ylo[t] + 1
-        nx = xhi[t] - xlo[t] + 1
-        win = blk[:, ylo[t]:yhi[t] + 2, xlo[t]:xhi[t] + 2, :]
-        dyr = jnp.clip(y0c[:, t] - ay - ylo[t], 0, ny - 1)[:, None, None]
-        dxr = jnp.clip(x0c[:, t] - ax - xlo[t], 0, nx - 1)[:, None]
-        rowa = _chain_select(win[:, :-1], dyr, ny, axis=1)   # (G, nx+1, NC)
-        rowb = _chain_select(win[:, 1:], dyr, ny, axis=1)
-        t00 = _chain_select(rowa[:, :-1], dxr, nx, axis=1).astype(f32)
-        t01 = _chain_select(rowa[:, 1:], dxr, nx, axis=1).astype(f32)
-        t10 = _chain_select(rowb[:, :-1], dxr, nx, axis=1).astype(f32)
-        t11 = _chain_select(rowb[:, 1:], dxr, nx, axis=1).astype(f32)
-        fxt = fxb[:, t][:, None]
-        fyt = fyb[:, t][:, None]
-        acc = (t00 * ((1 - fxt) * (1 - fyt)) + t01 * (fxt * (1 - fyt))
-               + t10 * ((1 - fxt) * fyt) + t11 * (fxt * fyt))
-        outs.append(saturate_cast(acc, x.dtype))
-    out = jnp.stack(outs, axis=1)                       # (G, K, NC)
-    out = out.reshape(dh, nb * K_, N, C)[:, :dw]
-    out = out.transpose(2, 0, 1, 3)
-    bt = border_type & ~K.BORDER_ISOLATED
-    if bt == K.BORDER_CONSTANT:
-        fully_out = ((x0 >= W) | (x0 + 1 < 0) | (y0 >= H) | (y0 + 1 < 0))
-        fully_out = fully_out[:, :dw] if pad_w else fully_out
-        out = jnp.where(fully_out[None, :, :, None],
-                        cval.astype(x.dtype).reshape(1, 1, 1, C), out)
-    return out
-
-
 def _remap_linear_dev(x, x0, fx, y0, fy, border_type, border_value,
                       step_bounds=None):
     """Bilinear remap with DEVICE integer taps + f32 fractions.
@@ -880,24 +745,17 @@ def _remap_linear_dev(x, x0, fx, y0, fy, border_type, border_value,
     (min(ry), min(rx)) contains every resolved tap; a cheap decode picks
     each tap out of the four gathered values.
 
-    When the caller knows host bounds on the per-column coordinate steps
-    (warps: step_bounds from the matrix), the K-pixel BLOCKED path cuts
-    the gather index count by BLOCK_K (see _remap_linear_dev_blocked)."""
+    step_bounds (host bounds on the per-column coordinate steps, from
+    the warp matrix) is accepted for future blocked/kernel paths; an
+    XLA-level K-pixel blocked gather was tried in r4 and measured 4.5x
+    SLOWER (XLA materializes the blocked operand in HBM — 31.8 GB at 4K;
+    see kernels/README.md "blocked-gather negative result")."""
     N, H, W, C = x.shape
     dh, dw = x0.shape
     bt = border_type & ~K.BORDER_ISOLATED
     if bt == K.BORDER_WRAP:
         return _remap_linear_dev_4tap(x, x0, fx, y0, fy, border_type,
                                       border_value)
-    if (_BLOCK_ON and step_bounds is not None and dw >= BLOCK_K
-            and bt in (K.BORDER_CONSTANT, K.BORDER_REPLICATE)):
-        xb = _blk_tap_bounds(step_bounds[0], step_bounds[1], BLOCK_K)
-        yb = _blk_tap_bounds(step_bounds[2], step_bounds[3], BLOCK_K)
-        if xb is not None and yb is not None:
-            cells = (max(xb[1]) + 2) * (max(yb[1]) + 2)
-            if cells <= _BLOCK_CELL_CAP * BLOCK_K:
-                return _remap_linear_dev_blocked(
-                    x, x0, fx, y0, fy, border_type, border_value, xb, yb)
     cval = _cval_vec(border_value, x.dtype, C)
     t00, t01, t10, t11 = _gather_patch_taps(x, x0, y0, border_type, cval)
 

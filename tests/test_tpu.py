@@ -121,6 +121,13 @@ _ORACLE2 = r"""
 import sys
 import numpy as np
 import cv2
+# The wheel routes INTER_CUBIC through IPP (Intel's closed binary), which
+# differs from OpenCV's own resize.cpp fixed-point algorithm on ~5.6% of
+# pixels (+-1).  We implement the documented resize.cpp path
+# (modules/imgproc/src/resize.cpp:961-1020, Q11 short coeffs), so the
+# oracle is the wheel with IPP off; warps and the other ops here are
+# unaffected by the switch (measured r5).
+cv2.ipp.setUseIPP(False)
 d = sys.argv[1]
 x = np.load(d + "/in2.npy")          # (B, H, W) u8
 c = np.load(d + "/in23.npy")         # (B, H, W, 3) u8
@@ -219,7 +226,7 @@ def test_tpu_bitexact2(tpu_results2, op):
 
 
 @pytest.mark.parametrize("op,atol,frac", [
-    ("warpa", 1, 0.995), ("warpp", 1, 0.995), ("resize_cubic", 1, 0.999)])
+    ("warpa", 1, 0.995), ("warpp", 1, 0.995), ("resize_cubic", 1, 0.9999)])
 def test_tpu_near_u8(tpu_results2, op, atol, frac):
     """u8 paths with documented rare +-1 rounding ties."""
     d, outs = tpu_results2
