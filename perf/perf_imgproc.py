@@ -31,6 +31,14 @@ BATCH = int(os.environ.get("PERF_BATCH", "16"))
 ITERS = int(os.environ.get("PERF_ITERS", "4"))
 
 
+def _case_batch(h):
+    """Per-case batch: BASELINE.json's contract batch (64) applies at
+    1080p; 4K inputs are capped so K independent copies + int32
+    intermediates stay inside 16 GB HBM (a 4K u8 frame is 24.9 MB; the
+    resize int32 horizontal buffer is 4x that per copy)."""
+    return BATCH if h <= 1080 else max(8, BATCH // 4)
+
+
 def _sync(x):
     import jax.numpy as jnp
     float(jnp.max(jnp.asarray(x).astype(jnp.float32)))
@@ -143,7 +151,8 @@ def run_tpu():
     # measures repeated steady-state iterations (ts_perf.cpp:1922).
     K = int(os.environ.get("PERF_CHAIN", "4"))
     for name, (h, w, c), fn, _, mode in _cases():
-        shape = (BATCH, h, w, c)
+        B = _case_batch(h)
+        shape = (B, h, w, c)
         xs = None
         try:
             if mode == "chain":
@@ -186,7 +195,7 @@ def run_tpu():
                 o = f(*args)
             _sync(o)
             dt = (time.perf_counter() - t0) / ITERS / kk
-            out[name] = BATCH * h * w / 1e6 / dt
+            out[name] = B * h * w / 1e6 / dt
         except Exception as e:  # keep the campaign alive per-op
             print(f"# {name}: {e}", file=sys.stderr)
             out[name] = None
@@ -222,7 +231,7 @@ print(json.dumps(res))
 
 
 def run_cpu():
-    cases = [(name, size, expr) for name, size, _, expr in _cases()]
+    cases = [(name, size, expr) for name, size, _, expr, _m in _cases()]
     code = _CPU_SCRIPT % {"cases": repr(cases)}
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
@@ -243,7 +252,7 @@ def main():
     tpu = run_tpu()
     cpu = run_cpu()
     rows = []
-    for name, _, _, _ in _cases():
+    for name, *_rest in _cases():
         t = tpu.get(name)
         c = cpu.get(name)
         sp = (t / c) if t and c else None
@@ -261,7 +270,8 @@ def main():
     print(md)
     if args.json:
         with open(args.json, "w") as f:
-            json.dump({"tpu": tpu, "cpu": cpu, "batch": BATCH}, f, indent=1)
+            json.dump({"tpu": tpu, "cpu": cpu, "batch": BATCH,
+                       "batch_4k": _case_batch(2160)}, f, indent=1)
     if args.md:
         path = os.path.join(REPO, "BASELINE.md")
         src = open(path).read()
@@ -269,7 +279,8 @@ def main():
         hi = src.find("<!-- perf-table-end -->")
         stamp = os.environ.get("PERF_STAMP", "driver bench round")
         block = ("<!-- perf-table-start -->\n"
-                 f"Measured ({stamp}; TPU v5e via axon, batch {BATCH}, "
+                 f"Measured ({stamp}; TPU v5e via axon, batch {BATCH} at "
+                 f"1080p / {_case_batch(2160)} at 4K, "
                  "HBM-resident; cv2 wheel pinned to 1 thread):\n\n"
                  + md + "\n")
         if lo != -1 and hi != -1:
