@@ -193,6 +193,16 @@ class VideoCapture:
                 if isinstance(res, tuple):
                     return True, _hf.yuv422_to_bgr(*res)
                 return True, res
+            if fcs == "FFV1":
+                from .imgcodecs import ffv1 as _ff
+                if getattr(self, "_ffv1_dec", None) is None:
+                    w, h = self._size
+                    self._ffv1_dec = _ff.FFV1Decoder(
+                        getattr(self, "_extradata", b""), w, h)
+                try:
+                    return True, self._ffv1_dec.decode(self._frames[pos])
+                except ValueError:
+                    return False, None
             if fcs not in ("MJPG", "JPEG", "MJPA"):
                 # raw layouts, incl. empty fourcc = uncompressed DIB
                 img = _raw_frame_to_bgr(self._frames[pos], self._size,
@@ -266,7 +276,7 @@ class VideoWriter:
                         (fourcc >> 16) & 0xFF, (fourcc >> 24) & 0xFF])
         self._fcc = fc.decode("latin-1").upper()
         if self._fcc not in ("MJPG", "I420", "IYUV", "YV12", "Y800",
-                            "RGBA", "HFYU"):
+                            "RGBA", "HFYU", "FFV1"):
             self._fcc = "MJPG"
         self._opened = True
         return True
@@ -314,6 +324,15 @@ class VideoWriter:
             from .imgcodecs import huffyuv as _hf
             self._frames.append(_hf.encode_frame_bgr(a))
             return
+        if fcc == "FFV1":
+            from .imgcodecs import ffv1 as _ff
+            if a.ndim == 2:
+                a = np.stack([a] * 3, -1)
+            if getattr(self, "_ffv1_enc", None) is None:
+                w, h = self._size
+                self._ffv1_enc = _ff.FFV1Encoder(w, h)
+            self._frames.append(self._ffv1_enc.encode(a))
+            return
         ok, buf = imencode(".jpg", a, [1, 95])
         self._frames.append(bytes(buf))
 
@@ -352,6 +371,13 @@ class VideoWriter:
         if fcc == b"HFYU":
             from .imgcodecs import huffyuv as _hf
             extradata = _hf.build_extradata(24)
+        elif fcc == b"FFV1":
+            enc = getattr(self, "_ffv1_enc", None)
+            if enc is not None:
+                extradata = enc.extradata
+            else:
+                from .imgcodecs import ffv1 as _ff
+                extradata = _ff.build_extradata()
         strh = b"vids" + fcc + struct.pack(
             "<IHHIIIIIIIII", 0, 0, 0, 0, 1, int(fps), 0, n, maxbuf,
             0xFFFFFFFF, 0, 0) + struct.pack("<4H", 0, 0, w, h)
