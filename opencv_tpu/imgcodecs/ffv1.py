@@ -54,6 +54,13 @@ _CRC_TBL = _crc_table()
 
 
 def crc32_ffv1(data: bytes, crc: int = 0) -> int:
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+        arr = np.frombuffer(data, np.uint8)
+        return int(lib.crc32_msb(
+            arr.ctypes.data_as(ctypes.c_void_p), len(arr),
+            np.uint32(crc)))
     arr = np.frombuffer(data, np.uint8)
     tbl = _CRC_TBL
     for b in arr:
@@ -324,61 +331,64 @@ def _mid_pred(a, b, c):
     return min(b, max(a, c))
 
 
-class VlcState:
-    __slots__ = ("drift", "error_sum", "bias", "count")
-
-    def __init__(self):
-        self.drift = 0
-        self.error_sum = 4
-        self.bias = 0
-        self.count = 1
-
-    def update(self, v: int):
-        drift = self.drift + v
-        self.error_sum += abs(v)
-        count = self.count
-        if count == 128:
-            count >>= 1
-            drift >>= 1
-            self.error_sum >>= 1
-        count += 1
-        if drift <= -count:
-            self.bias = max(self.bias - 1, -128)
-            drift = max(drift + count, -count + 1)
-        elif drift > 0:
-            self.bias = min(self.bias + 1, 127)
-            drift = min(drift - count, 0)
-        self.drift = drift
-        self.count = count
+# VlcState is an int32[4] row {drift, error_sum, bias, count} inside a
+# numpy array owned by the slice state — the same layout the native C
+# fast path (hosttails.cpp ffv1_decode_slice/ffv1_encode_slice) mutates,
+# so contexts persist across frames regardless of which tier ran.
+_VLC_INIT = (0, 4, 0, 1)
 
 
-def _vlc_k(state: VlcState) -> int:
-    i = state.count
+def new_vlc_states(n: int) -> np.ndarray:
+    return np.tile(np.array(_VLC_INIT, np.int32), (n, 1))
+
+
+def _vlc_update(s, v: int):
+    drift = int(s[0]) + v
+    s[1] += abs(v)
+    count = int(s[3])
+    if count == 128:
+        count >>= 1
+        drift >>= 1
+        s[1] >>= 1
+    count += 1
+    if drift <= -count:
+        s[2] = max(int(s[2]) - 1, -128)
+        drift = max(drift + count, -count + 1)
+    elif drift > 0:
+        s[2] = min(int(s[2]) + 1, 127)
+        drift = min(drift - count, 0)
+    s[0] = drift
+    s[3] = count
+
+
+def _vlc_k(s) -> int:
+    i = int(s[3])
+    es = int(s[1])
     k = 0
-    while i < state.error_sum:
+    while i < es:
         k += 1
         i += i
     return k
 
 
-def _get_vlc_symbol(gb: BitReader, state: VlcState, bits: int) -> int:
-    k = _vlc_k(state)
+def _get_vlc_symbol(gb: BitReader, s, bits: int) -> int:
+    k = _vlc_k(s)
     v = _get_sr_golomb(gb, k, 12, bits)
-    if (2 * state.drift + state.count) < 0:
+    if (2 * int(s[0]) + int(s[3])) < 0:
         v = -1 - v          # v ^= -1 when the bias correction is active
-    ret = _fold(v + state.bias, bits)
-    state.update(v)
+    ret = _fold(v + int(s[2]), bits)
+    _vlc_update(s, v)
     return ret
 
 
-def _put_vlc_symbol(pb: BitWriter, state: VlcState, v: int, bits: int):
-    k = _vlc_k(state)
-    res = _fold(v - state.bias, bits)      # true residual
+def _put_vlc_symbol(pb: BitWriter, s, v: int, bits: int):
+    k = _vlc_k(s)
+    res = _fold(v - int(s[2]), bits)       # true residual
     code = res
-    if (2 * state.drift + state.count) < 0:
+    if (2 * int(s[0]) + int(s[3])) < 0:
         code = -1 - code                   # wire-only sign-bias flip
     _put_ur_golomb(pb, _sr_map(code), k, 12, bits)
-    state.update(res)                      # both sides track the residual
+    _vlc_update(s, res)                    # both sides track the residual
 
 
 # ---------------------------------------------------------------------------
@@ -670,20 +680,42 @@ def _slice_coord(dim, idx, num):
     return dim * idx // num
 
 
+def _native_lib():
+    try:
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "ffv1_decode_slice"):
+            return lib
+    except Exception:
+        return None
+    return None
+
+
+def _qts_array(params: FFV1Params) -> np.ndarray:
+    return np.ascontiguousarray(
+        np.stack([np.stack(tabs) for tabs, _ in params.quant_tables]),
+        dtype=np.int32)
+
+
 class _SliceState:
-    """Per-slice contexts; persists across frames for inter frames."""
+    """Per-slice contexts; persists across frames for inter frames.
+
+    ``arr`` has shape (plane_count, max_cc, 4) int32 — shared between the
+    Python tier and the native C tier."""
 
     def __init__(self, params: FFV1Params, qt_indices):
         self.qt_indices = list(qt_indices)
         self.params = params
+        self.max_cc = max(params.quant_tables[i][1] for i in qt_indices)
+        self.arr = np.empty((params.plane_count, self.max_cc, 4), np.int32)
         self.reset()
 
     def reset(self):
-        p = self.params
-        self.vlc = []
-        for i in range(p.plane_count):
-            _tabs, ccount = p.quant_tables[self.qt_indices[i]]
-            self.vlc.append([VlcState() for _ in range(ccount)])
+        self.arr[:] = _VLC_INIT
+
+    @property
+    def vlc(self):
+        return self.arr
 
 
 # ---------------------------------------------------------------------------
@@ -765,13 +797,48 @@ class FFV1Decoder:
         if p.micro > 1:
             c.get_rac([129])
         ac_bytes = c.pos - 1
-        gb = BitReader(chunk[ac_bytes:])
+        bits = 9                                     # 8-bit RGB: bits+1
 
+        lib = _native_lib()
+        if lib is not None:
+            import ctypes
+            if not hasattr(self, "_qts"):
+                self._qts = _qts_array(p)
+            gb_arr = np.frombuffer(chunk, np.uint8)[ac_bytes:]
+            gb_arr = np.ascontiguousarray(gb_arr)
+            plane_ctx = np.array([(pl + 1) // 2 for pl in range(nplanes)],
+                                 np.int32)
+            ctx_qt = np.array(qt_idx, np.int32)
+            samples = np.empty((h, nplanes, w), np.int32)
+            run_io = np.zeros(1, np.int32)
+            rc = lib.ffv1_decode_slice(
+                gb_arr.ctypes.data_as(ctypes.c_void_p), len(gb_arr),
+                w, h, nplanes, bits,
+                self._qts.ctypes.data_as(ctypes.c_void_p),
+                plane_ctx.ctypes.data_as(ctypes.c_void_p),
+                ctx_qt.ctypes.data_as(ctypes.c_void_p),
+                state.arr.ctypes.data_as(ctypes.c_void_p),
+                np.int32(state.max_cc),
+                run_io.ctypes.data_as(ctypes.c_void_p),
+                samples.ctypes.data_as(ctypes.c_void_p))
+            if rc < 0:
+                raise ValueError("ffv1: corrupt slice (native)")
+            g = samples[:, 0]
+            b = samples[:, 1] - 256
+            r = samples[:, 2] - 256
+            gg = g - ((b + r) >> 2)
+            out[y0:y1, x0:x1, 0] = (b + gg) & 0xFF
+            out[y0:y1, x0:x1, 1] = gg & 0xFF
+            out[y0:y1, x0:x1, 2] = (r + gg) & 0xFF
+            if nplanes == 4:
+                out[y0:y1, x0:x1, 3] = samples[:, 3] & 0xFF
+            return
+
+        gb = BitReader(chunk[ac_bytes:])
         # 2 previous lines + current, per plane, with 2 left guards +
         # 2 right guards (int32)
         lines = [np.zeros((3, w + 5), np.int32) for _ in range(nplanes)]
         run_state = [0]
-        bits = 9                                     # 8-bit RGB: bits+1
         for y in range(h):
             for pl in range(nplanes):
                 plane_index = (pl + 1) // 2
@@ -840,25 +907,50 @@ class FFV1Encoder:
         rac = c.terminate(True)
 
         tabs, ccount = p.quant_tables[0]
-        vlc = [[VlcState() for _ in range(ccount)] for _ in range(2)]
-        pb = BitWriter()
-        lines = [np.zeros((3, w + 5), np.int32) for _ in range(3)]
-        run_state = [0]
-        for y in range(h):
-            for pl in range(3):
-                plane_index = (pl + 1) // 2
-                buf = lines[pl]
-                prev2, prev, cur = buf[0], buf[1], buf[2]
-                buf[:] = np.stack([prev, cur, prev2])
-                prev2, prev, cur = buf[0], buf[1], buf[2]
-                cur[2:w + 2] = planes[pl][y]
-                cur[1] = prev[2]
-                cur[0] = prev[2]
-                prev[w + 2] = prev[w + 1]
-                prev[w + 3] = prev[w + 1]
-                _encode_line(pb, w, cur, prev, prev2, tabs,
-                             vlc[plane_index], run_state, 9, False)
-        payload = rac + pb.flush()
+        vlc = new_vlc_states(2 * ccount).reshape(2, ccount, 4)
+        lib = _native_lib()
+        if lib is not None:
+            import ctypes
+            if not hasattr(self, "_qts"):
+                self._qts = _qts_array(p)
+            samples = np.ascontiguousarray(
+                np.stack(planes, axis=1), dtype=np.int32)  # (h, 3, w)
+            plane_ctx = np.array([0, 1, 1], np.int32)
+            ctx_qt = np.zeros(2, np.int32)
+            run_io = np.zeros(1, np.int32)
+            cap = samples.nbytes + 4096
+            outb = np.empty(cap, np.uint8)
+            n = lib.ffv1_encode_slice(
+                samples.ctypes.data_as(ctypes.c_void_p),
+                w, h, 3, 9,
+                self._qts.ctypes.data_as(ctypes.c_void_p),
+                plane_ctx.ctypes.data_as(ctypes.c_void_p),
+                ctx_qt.ctypes.data_as(ctypes.c_void_p),
+                vlc.ctypes.data_as(ctypes.c_void_p), np.int32(ccount),
+                run_io.ctypes.data_as(ctypes.c_void_p),
+                outb.ctypes.data_as(ctypes.c_void_p), cap)
+            if n < 0:
+                raise ValueError("ffv1: encode overflow (native)")
+            payload = rac + outb[:n].tobytes()
+        else:
+            pb = BitWriter()
+            lines = [np.zeros((3, w + 5), np.int32) for _ in range(3)]
+            run_state = [0]
+            for y in range(h):
+                for pl in range(3):
+                    plane_index = (pl + 1) // 2
+                    buf = lines[pl]
+                    prev2, prev, cur = buf[0], buf[1], buf[2]
+                    buf[:] = np.stack([prev, cur, prev2])
+                    prev2, prev, cur = buf[0], buf[1], buf[2]
+                    cur[2:w + 2] = planes[pl][y]
+                    cur[1] = prev[2]
+                    cur[0] = prev[2]
+                    prev[w + 2] = prev[w + 1]
+                    prev[w + 3] = prev[w + 1]
+                    _encode_line(pb, w, cur, prev, prev2, tabs,
+                                 vlc[plane_index], run_state, 9, False)
+            payload = rac + pb.flush()
         sz = struct.pack(">I", len(payload))[1:]    # uint24
         body = payload + sz + b"\x00"               # error status 0
         crc = crc32_ffv1(body)

@@ -102,7 +102,7 @@ def gauss5_down2_u8(gray, sigma: float = 0.0, interpret: bool = False):
         _make_kernel(kq),
         out_shape=jax.ShapeDtypeStruct((N, Hp, Wp), jnp.uint8),
         grid=(N, Hp // _TH, Wp // _TW),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, _TH, _TW),
                                lambda n, i, j: (n, i, j),
                                memory_space=pltpu.VMEM),
@@ -228,7 +228,7 @@ def gauss5_down2_u8_db(gray, sigma: float = 0.0, interpret: bool = False):
         _make_kernel_db(kq, NI, NJ),
         out_shape=jax.ShapeDtypeStruct((N, Hp, Wp), jnp.uint8),
         grid=(N, NI, NJ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, _TH, _TW),
                                lambda n, i, j: (n, i, j),
                                memory_space=pltpu.VMEM),

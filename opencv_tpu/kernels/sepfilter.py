@@ -114,7 +114,7 @@ def _scaffold(compute, ih, iw, NI, NJ, row_stride=_TH, col_stride=_TW):
 
 def _pallas_tiled(kernel, xf, N, NI, NJ, ih, iw, out_dtype, n_consts=0,
                   interpret=False, th=_TH, tw=_TW):
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_consts
     return pl.pallas_call(
         kernel,

@@ -81,6 +81,23 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_long,
         ]
+        lib.crc32_msb.restype = ctypes.c_uint32
+        lib.crc32_msb.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                  ctypes.c_uint32]
+        lib.ffv1_decode_slice.restype = ctypes.c_int64
+        lib.ffv1_decode_slice.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.ffv1_encode_slice.restype = ctypes.c_int64
+        lib.ffv1_encode_slice.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
         _LIB = lib
     except OSError:
         _LIB = None

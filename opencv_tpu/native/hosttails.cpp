@@ -1270,3 +1270,368 @@ extern "C" long hfyu_encode_syms(const uint8_t* syms, long n_syms,
   }
   return pos;
 }
+
+/* ========================================================================
+ * FFV1 slice residual coder (Golomb-Rice / coder_type 0), 8..16 bpp.
+ *
+ * Native port of the validated Python reference in imgcodecs/ffv1.py
+ * (RFC 9043 bitstream; the reference reads/writes FFV1 through FFmpeg,
+ * modules/videoio/src/cap_ffmpeg.cpp).  The range-coded parts (config
+ * record, slice headers) stay in Python — they are tiny; this is the
+ * per-pixel line loop.
+ *
+ * VlcState layout (int32[4]): {drift, error_sum, bias, count} — owned by
+ * the caller as a numpy array so contexts persist across frames.
+ * ===================================================================== */
+
+static const uint8_t ffv1_log2_run[41] = {
+    0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 5, 5,
+    6, 6, 7, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+    20, 21, 22, 23, 24};
+
+/* 64-bit-cached MSB-first bit IO (left-aligned cache; bit 63 = next). */
+struct FBitR {
+  const uint8_t *p;
+  int64_t len;     /* bytes */
+  int64_t bytepos;
+  uint64_t cache;
+  int ncache;
+};
+
+static inline void f_refill(FBitR &b) {
+  while (b.ncache <= 56) {
+    uint64_t byte = b.bytepos < b.len ? b.p[b.bytepos] : 0;
+    b.bytepos++;
+    b.cache |= byte << (56 - b.ncache);
+    b.ncache += 8;
+  }
+}
+
+static inline int f_get_bit(FBitR &b) {
+  if (b.ncache == 0) f_refill(b);
+  int v = (int)(b.cache >> 63);
+  b.cache <<= 1;
+  b.ncache--;
+  return v;
+}
+
+static inline uint32_t f_get_bits(FBitR &b, int n) {
+  if (n == 0) return 0;
+  if (b.ncache < n) f_refill(b);
+  uint32_t v = (uint32_t)(b.cache >> (64 - n));
+  b.cache <<= n;
+  b.ncache -= n;
+  return v;
+}
+
+static inline int64_t f_bits_consumed(const FBitR &b) {
+  return b.bytepos * 8 - b.ncache;
+}
+
+struct FBitW {
+  uint8_t *p;
+  int64_t cap;     /* bytes */
+  int64_t bytepos;
+  uint64_t cache;
+  int ncache;
+};
+
+static inline int f_put_bits(FBitW &b, uint32_t v, int n) {
+  b.cache |= ((uint64_t)v & ((n < 64 ? (1ull << n) : 0) - 1))
+             << (64 - b.ncache - n);
+  b.ncache += n;
+  while (b.ncache >= 8) {
+    if (b.bytepos >= b.cap) return -1;
+    b.p[b.bytepos++] = (uint8_t)(b.cache >> 56);
+    b.cache <<= 8;
+    b.ncache -= 8;
+  }
+  return 0;
+}
+
+static inline int64_t f_bw_flush(FBitW &b) {
+  while (b.ncache > 0) {
+    if (b.bytepos >= b.cap) return -1;
+    b.p[b.bytepos++] = (uint8_t)(b.cache >> 56);
+    b.cache <<= 8;
+    b.ncache -= 8;
+  }
+  return b.bytepos;
+}
+
+static inline int f_vlc_k(const int32_t *s) {
+  int i = s[3], k = 0;
+  while (i < s[1]) { k++; i += i; }
+  return k;
+}
+
+static inline void f_vlc_update(int32_t *s, int v) {
+  int drift = s[0] + v;
+  s[1] += v < 0 ? -v : v;
+  int count = s[3];
+  if (count == 128) { count >>= 1; drift >>= 1; s[1] >>= 1; }
+  count++;
+  if (drift <= -count) {
+    s[2] = s[2] - 1 < -128 ? -128 : s[2] - 1;
+    drift += count;
+    if (drift < -count + 1) drift = -count + 1;
+  } else if (drift > 0) {
+    s[2] = s[2] + 1 > 127 ? 127 : s[2] + 1;
+    drift -= count;
+    if (drift > 0) drift = 0;
+  }
+  s[0] = drift;
+  s[3] = count;
+}
+
+static inline int f_fold(int diff, int bits) {
+  diff &= (1 << bits) - 1;
+  if (diff & (1 << (bits - 1))) diff -= 1 << bits;
+  return diff;
+}
+
+static inline int f_get_ur(FBitR &b, int k, int limit, int esc) {
+  /* whole-symbol read off the 64-bit cache: refill guarantees >= 57
+     bits, and q(<=limit=12) + 1 + k(<=16) fits comfortably */
+  f_refill(b);
+  uint64_t c = b.cache;
+  int q = c ? __builtin_clzll(c) : 64;
+  if (q >= limit) {
+    b.cache <<= limit;
+    b.ncache -= limit;
+    return (int)f_get_bits(b, esc) + limit - 1;
+  }
+  uint32_t suffix = k ? (uint32_t)((c << (q + 1)) >> (64 - k)) : 0;
+  b.cache <<= (q + 1 + k);
+  b.ncache -= (q + 1 + k);
+  return (q << k) | (int)suffix;
+}
+
+static inline int f_put_ur(FBitW &b, int v, int k, int limit, int esc) {
+  int q = v >> k;
+  if (q < limit)  /* q leading zeros are implicit in the n-bit value */
+    return f_put_bits(b, (1u << k) | ((uint32_t)v & ((1u << k) - 1)),
+                      q + 1 + k);
+  if (f_put_bits(b, 0, limit)) return -1;
+  return f_put_bits(b, (uint32_t)(v - limit + 1), esc);
+}
+
+static inline int f_get_vlc(FBitR &b, int32_t *s, int bits) {
+  int k = f_vlc_k(s);
+  unsigned uv = (unsigned)f_get_ur(b, k, 12, bits);
+  int v = (int)(uv >> 1) ^ -(int)(uv & 1);
+  if (2 * s[0] + s[3] < 0) v = -1 - v;
+  int ret = f_fold(v + s[2], bits);
+  f_vlc_update(s, v);
+  return ret;
+}
+
+static inline int f_put_vlc(FBitW &b, int32_t *s, int v, int bits) {
+  int k = f_vlc_k(s);
+  int res = f_fold(v - s[2], bits);
+  int code = res;
+  if (2 * s[0] + s[3] < 0) code = -1 - code;
+  unsigned uv = code >= 0 ? (unsigned)(code << 1)
+                          : (unsigned)(((-code) << 1) - 1);
+  if (f_put_ur(b, (int)uv, k, 12, bits)) return -1;
+  f_vlc_update(s, res);
+  return 0;
+}
+
+static inline int f_mid_pred(int a, int b, int c) {
+  if (a > b) { int t = a; a = b; b = t; }
+  return c < a ? a : (c > b ? b : c);
+}
+
+/* Decode one slice's residual section.
+ * gb_buf/gb_len : Golomb section bytes
+ * w,h,nplanes   : slice geometry and coded plane count (3 or 4 for RGB)
+ * bits          : sample bits (9 for 8-bit RGB)
+ * qts           : [nqt][5][256] int32 quant tables
+ * plane_ctx     : [nplanes] plane-context index per coded plane
+ * ctx_qt        : [nctx] quant-table index per plane context
+ * vlc           : [nctx][max_cc][4] persistent VlcStates
+ * run_index_io  : in/out run index
+ * out           : [h][nplanes][w] decoded samples
+ * returns bits consumed, or -1 on error. */
+extern "C" int64_t ffv1_decode_slice(
+    const uint8_t *gb_buf, int64_t gb_len, int w, int h, int nplanes,
+    int bits, const int32_t *qts, const int32_t *plane_ctx,
+    const int32_t *ctx_qt, int32_t *vlc, int32_t max_cc,
+    int32_t *run_index_io, int32_t *out) {
+  FBitR b{gb_buf, gb_len, 0, 0, 0};
+  int stride = w + 5;
+  int32_t *bufv = (int32_t *)calloc((size_t)nplanes * 3 * stride, 4);
+  if (!bufv) return -1;
+  int run_index = *run_index_io;
+  int mask = (1 << bits) - 1;
+  for (int y = 0; y < h; y++) {
+    for (int p = 0; p < nplanes; p++) {
+      int pc = plane_ctx[p];
+      const int32_t *qt = qts + (size_t)ctx_qt[pc] * 5 * 256;
+      const int32_t *q0 = qt, *q1 = qt + 256, *q2 = qt + 512,
+                    *q3 = qt + 768, *q4 = qt + 1024;
+      int five = q3[127] || q4[127];
+      int32_t *base = bufv + (size_t)p * 3 * stride;
+      int32_t *prev2 = base + (size_t)(y % 3) * stride;
+      int32_t *prev = base + (size_t)((y + 1) % 3) * stride;
+      int32_t *cur = base + (size_t)((y + 2) % 3) * stride;
+      cur[1] = prev[2];
+      cur[0] = prev[2];
+      prev[w + 2] = prev[w + 1];
+      prev[w + 3] = prev[w + 1];
+      int32_t *stb = vlc + (size_t)pc * max_cc * 4;
+      int run_mode = 0, run_count = 0;
+      int32_t *orow = out + ((size_t)y * nplanes + p) * w;
+      for (int x = 0; x < w; x++) {
+        int i2 = x + 2;
+        int l = cur[i2 - 1], t = prev[i2], lt = prev[i2 - 1],
+            rt = prev[i2 + 1];
+        int ctx = q0[(l - lt) & 0xFF] + q1[(lt - t) & 0xFF] +
+                  q2[(t - rt) & 0xFF];
+        if (five)
+          ctx += q3[(cur[i2 - 2] - l) & 0xFF] + q4[(prev2[i2] - t) & 0xFF];
+        int sign = 0;
+        if (ctx < 0) { ctx = -ctx; sign = 1; }
+        if (ctx >= max_cc) { free(bufv); return -1; }
+        int diff;
+        if (ctx == 0 && run_mode == 0) run_mode = 1;
+        if (run_mode) {
+          if (run_count == 0 && run_mode == 1) {
+            if (f_get_bit(b)) {
+              run_count = 1 << ffv1_log2_run[run_index];
+              if (x + run_count <= w) run_index++;
+            } else {
+              run_count = ffv1_log2_run[run_index]
+                              ? (int)f_get_bits(b, ffv1_log2_run[run_index])
+                              : 0;
+              if (run_index) run_index--;
+              run_mode = 2;
+            }
+          }
+          run_count--;
+          if (run_count < 0) {
+            run_mode = 0;
+            run_count = 0;
+            diff = f_get_vlc(b, stb + (size_t)ctx * 4, bits);
+            if (diff >= 0) diff++;
+          } else {
+            diff = 0;
+          }
+        } else {
+          diff = f_get_vlc(b, stb + (size_t)ctx * 4, bits);
+        }
+        if (sign) diff = -diff;
+        cur[i2] = (f_mid_pred(l, t, l + t - lt) + diff) & mask;
+        orow[x] = cur[i2];
+      }
+      if (f_bits_consumed(b) > (gb_len + 8) * 8) { free(bufv); return -1; }
+    }
+  }
+  free(bufv);
+  *run_index_io = run_index;
+  return f_bits_consumed(b);
+}
+
+/* Encode one slice's residual section; returns byte count or -1. */
+extern "C" int64_t ffv1_encode_slice(
+    const int32_t *in, int w, int h, int nplanes, int bits,
+    const int32_t *qts, const int32_t *plane_ctx, const int32_t *ctx_qt,
+    int32_t *vlc, int32_t max_cc, int32_t *run_index_io, uint8_t *outb,
+    int64_t out_cap) {
+  FBitW b{outb, out_cap, 0, 0, 0};
+  int stride = w + 5;
+  int32_t *bufv = (int32_t *)calloc((size_t)nplanes * 3 * stride, 4);
+  if (!bufv) return -1;
+  int run_index = *run_index_io;
+  for (int y = 0; y < h; y++) {
+    for (int p = 0; p < nplanes; p++) {
+      int pc = plane_ctx[p];
+      const int32_t *qt = qts + (size_t)ctx_qt[pc] * 5 * 256;
+      const int32_t *q0 = qt, *q1 = qt + 256, *q2 = qt + 512,
+                    *q3 = qt + 768, *q4 = qt + 1024;
+      int five = q3[127] || q4[127];
+      int32_t *base = bufv + (size_t)p * 3 * stride;
+      int32_t *prev2 = base + (size_t)(y % 3) * stride;
+      int32_t *prev = base + (size_t)((y + 1) % 3) * stride;
+      int32_t *cur = base + (size_t)((y + 2) % 3) * stride;
+      const int32_t *irow = in + ((size_t)y * nplanes + p) * w;
+      for (int x = 0; x < w; x++) cur[x + 2] = irow[x];
+      cur[1] = prev[2];
+      cur[0] = prev[2];
+      prev[w + 2] = prev[w + 1];
+      prev[w + 3] = prev[w + 1];
+      int32_t *stb = vlc + (size_t)pc * max_cc * 4;
+      int run_mode = 0, run_count = 0;
+      for (int x = 0; x < w; x++) {
+        int i2 = x + 2;
+        int l = cur[i2 - 1], t = prev[i2], lt = prev[i2 - 1],
+            rt = prev[i2 + 1];
+        int ctx = q0[(l - lt) & 0xFF] + q1[(lt - t) & 0xFF] +
+                  q2[(t - rt) & 0xFF];
+        if (five)
+          ctx += q3[(cur[i2 - 2] - l) & 0xFF] + q4[(prev2[i2] - t) & 0xFF];
+        int sign = 0;
+        if (ctx < 0) { ctx = -ctx; sign = 1; }
+        if (ctx >= max_cc) { free(bufv); return -1; }
+        int diff = cur[i2] - f_mid_pred(l, t, l + t - lt);
+        if (sign) diff = -diff;
+        diff = f_fold(diff, bits);
+        if (ctx == 0 && run_mode == 0) run_mode = 1;
+        if (run_mode) {
+          if (diff) {
+            while (run_count >= 1 << ffv1_log2_run[run_index]) {
+              run_count -= 1 << ffv1_log2_run[run_index];
+              run_index++;
+              if (f_put_bits(b, 1, 1)) { free(bufv); return -1; }
+            }
+            if (f_put_bits(b, (uint32_t)run_count,
+                           1 + ffv1_log2_run[run_index])) {
+              free(bufv); return -1;
+            }
+            if (run_index) run_index--;
+            run_count = 0;
+            run_mode = 0;
+            if (diff > 0) diff--;
+          } else {
+            run_count++;
+          }
+        }
+        if (run_mode == 0 &&
+            f_put_vlc(b, stb + (size_t)ctx * 4, diff, bits)) {
+          free(bufv); return -1;
+        }
+      }
+      if (run_mode) {
+        while (run_count >= 1 << ffv1_log2_run[run_index]) {
+          run_count -= 1 << ffv1_log2_run[run_index];
+          run_index++;
+          if (f_put_bits(b, 1, 1)) { free(bufv); return -1; }
+        }
+        if (run_count && f_put_bits(b, 1, 1)) { free(bufv); return -1; }
+      }
+    }
+  }
+  free(bufv);
+  *run_index_io = run_index;
+  return f_bw_flush(b);
+}
+
+/* CRC-32 poly 0x04C11DB7, MSB-first, init/xorout 0 (FFV1's record CRC). */
+extern "C" uint32_t crc32_msb(const uint8_t *data, int64_t len,
+                              uint32_t crc) {
+  static uint32_t tbl[256];
+  static int init = 0;
+  if (!init) {
+    for (int i = 0; i < 256; i++) {
+      uint32_t c = (uint32_t)i << 24;
+      for (int j = 0; j < 8; j++)
+        c = (c & 0x80000000u) ? (c << 1) ^ 0x04C11DB7u : (c << 1);
+      tbl[i] = c;
+    }
+    init = 1;
+  }
+  for (int64_t i = 0; i < len; i++)
+    crc = (crc << 8) ^ tbl[((crc >> 24) ^ data[i]) & 0xFF];
+  return crc;
+}
