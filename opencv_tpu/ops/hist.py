@@ -344,9 +344,17 @@ class CLAHE:
         assert C == 1 and x.dtype == jnp.uint8
         tx, ty = self.tiles
         # reference pads the image to a multiple of the grid with
-        # BORDER_REFLECT_101 (clahe.cpp CLAHE_Impl::apply)
-        ph = (ty - H % ty) % ty
-        pw = (tx - W % tx) % tx
+        # BORDER_REFLECT_101 (clahe.cpp CLAHE_Impl::apply).  QUIRK,
+        # reproduced exactly: the pad amounts are `tiles - dim % tiles`
+        # WITHOUT a modulo wrap, so when only one dimension is
+        # non-divisible the OTHER (divisible) one still gets a full
+        # `tiles`-pixel pad — e.g. 64x64 on a (2,5) grid pads to 66x65
+        # with tile width 33, not 32 (clahe.cpp:374-383).
+        if H % ty == 0 and W % tx == 0:
+            ph = pw = 0
+        else:
+            ph = ty - H % ty
+            pw = tx - W % tx
         from ..core.borders import pad_nhwc
         xp = pad_nhwc(x, 0, ph, 0, pw, K.BORDER_REFLECT_101)
         Hp, Wp = H + ph, W + pw

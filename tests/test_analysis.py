@@ -181,29 +181,27 @@ def test_calc_back_project():
 
 def test_clahe():
     rng = np.random.default_rng(15)
-    # grid-divisible sizes: bit-exact (weights/blend/redistribution all
-    # match the reference).  Non-divisible sizes follow the 4.x
-    # documented reflect-101 bottom/right padding; the 5.x wheel
-    # changed the padded-tile semantics in a way its public sources
-    # don't show, so those compare statistically (exact when clipping
-    # is inactive, small drift under heavy clipping).
-    for (h, w, grid, clip, exact) in [
-            (64, 64, (8, 8), 2.0, True),
-            (128, 160, (16, 16), 3.5, True),
-            (96, 128, (8, 8), 40.0, True),
-            (80, 100, (4, 4), 0.0, True),
-            (97, 131, (8, 8), 40.0, True),
-            (120, 160, (16, 16), 3.5, False)]:
+    # bit-exact for divisible AND non-divisible sizes.  The long-missing
+    # non-divisible piece was clahe.cpp's pad quirk: copyMakeBorder pads
+    # `tiles - dim % tiles` WITHOUT a modulo wrap, so a divisible
+    # dimension still gets a full extra-tile pad whenever the other
+    # dimension is non-divisible (clahe.cpp:374-383).
+    for (h, w, grid, clip) in [
+            (64, 64, (8, 8), 2.0),
+            (128, 160, (16, 16), 3.5),
+            (96, 128, (8, 8), 40.0),
+            (80, 100, (4, 4), 0.0),
+            (97, 131, (8, 8), 40.0),
+            (120, 160, (16, 16), 3.5),
+            (64, 64, (2, 5), 40.0),     # one dim divisible: pad quirk
+            (65, 63, (7, 4), 2.0),
+            (30, 31, (3, 3), 0.0),
+            (100, 99, (7, 4), 40.0)]:
         img = np.clip(rng.normal(120, 40, (h, w)), 0, 255) \
             .astype(np.uint8)
         ref = cv2.createCLAHE(clip, grid).apply(img)
         ours = np.asarray(tcv.createCLAHE(clip, grid).apply(img))
-        if exact:
-            assert_exact(np.squeeze(ours), ref, f"{grid} {clip}")
-        else:
-            d = np.abs(np.squeeze(ours).astype(int) - ref.astype(int))
-            assert d.mean() < 4.0 and d.max() < 32, \
-                (d.mean(), d.max())
+        assert_exact(np.squeeze(ours), ref, f"{h}x{w} {grid} {clip}")
 
 
 # ------------------------------------------------------------- median/bilat
