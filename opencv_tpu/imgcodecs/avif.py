@@ -93,11 +93,16 @@ def avif_encode(img, params=None) -> bytes:
     kw = {"quality": max(0, min(100, quality)),
           "speed": max(0, min(10, speed))}
     if quality >= 100:
-        # best-effort lossless: full-res chroma + q100.  The bundled
-        # encoder has no identity-matrix-coefficients control, so the
-        # YUV round-trip leaves <=±2 (the reference's q100 is exactly
-        # lossless); decode of ANY avif remains bit-identical to the
-        # reference.
+        # q100 lossless status: GRAY is exactly lossless (YUV400 has no
+        # color matrix; aom coding pinned lossless).  COLOR is
+        # near-lossless: full-res chroma + q100 + aom lossless leaves a
+        # <=±2 BT.601 YUV round-trip because the bundled PIL binding
+        # exposes no identity-matrix-coefficients control (the
+        # reference's grfmt_avif.cpp sets MC identity at q100 and is
+        # exactly lossless).  Decode of ANY avif — including the
+        # reference's MC-identity lossless files — remains bit-identical
+        # to the reference.
         kw["subsampling"] = "4:4:4"
+        kw["advanced"] = {"lossless": "1"}
     pil.save(buf, format="AVIF", **kw)
     return buf.getvalue()

@@ -68,3 +68,20 @@ def test_have_image_reader(tmp_path):
     img = RNG.integers(0, 255, (8, 8, 3), np.uint8)
     p = _wheel_writes(tmp_path, img)
     assert tcv.haveImageReader(p)
+
+
+def test_encode_gray_q100_exactly_lossless(tmp_path):
+    """Grayscale q100 is EXACTLY lossless (YUV400 carries no color
+    matrix, so the identity-MC gap does not apply); the wheel reads the
+    file back byte-identically."""
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (40, 56), np.uint8)
+    ok, buf = tcv.imencode(".avif", img,
+                           [tcv.IMWRITE_AVIF_QUALITY, 100])
+    assert ok
+    ours = tcv.imdecode(buf, tcv.IMREAD_GRAYSCALE)
+    assert np.array_equal(np.asarray(ours), img)
+    p = str(tmp_path / "g100.avif")
+    open(p, "wb").write(bytes(buf))
+    ref = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+    assert ref is not None and np.array_equal(ref, img)
