@@ -64,8 +64,14 @@ def register(op: str, predicate=None):
 
 def lookup(op: str, **ctx):
     """Return the first registered kernel whose predicate accepts `ctx`
-    (bound to that ctx), or None (caller falls to the XLA tier)."""
+    (bound to that ctx), or None (caller falls to the XLA tier).
+
+    Every resolution bumps a ``tier.<op>.<pallas|xla>`` counter in
+    utils.trace (the CV_INSTRUMENT analogue for the CALL_HAL ladder)."""
+    from ..utils import trace as _trace
+
     if not kernels_enabled():
+        _trace.count(f"tier.{op}.xla")
         return None
     import functools
 
@@ -75,7 +81,9 @@ def lookup(op: str, **ctx):
     for pred, fn in _REGISTRY.get(op, ()):
         try:
             if pred is None or pred(ctx):
+                _trace.count(f"tier.{op}.pallas")
                 return functools.partial(fn, ctx)
         except Exception:
             continue
+    _trace.count(f"tier.{op}.xla")
     return None
