@@ -147,6 +147,7 @@ for i in range(x.shape[0]):
         labback=cv2.cvtColor(cv2.cvtColor(im, cv2.COLOR_BGR2Lab),
                              cv2.COLOR_Lab2BGR),
         eqhist=cv2.equalizeHist(g),
+        clahe=cv2.createCLAHE(2.0, (7, 4)).apply(g),
         otsu=cv2.threshold(g, 0, 255,
                            cv2.THRESH_BINARY + cv2.THRESH_OTSU)[1],
         match=cv2.matchTemplate(g, x[0][60:90, 100:140],
@@ -191,6 +192,7 @@ def tpu_results2():
             labback=cv.cvtColor(cv.cvtColor(col, cv.COLOR_BGR2Lab),
                                 cv.COLOR_Lab2BGR),
             eqhist=cv.equalizeHist(x),
+            clahe=cv.createCLAHE(2.0, (7, 4)).apply(x),
             otsu=cv.threshold(x, 0, 255,
                               cv.THRESH_BINARY + cv.THRESH_OTSU)[1],
             match=cv.matchTemplate(x, tmpl, cv.TM_CCOEFF_NORMED),
@@ -214,7 +216,7 @@ def tpu_results2():
 
 
 @pytest.mark.parametrize("op", ["resize_area", "lab", "luv", "labback",
-                                "eqhist", "otsu"])
+                                "eqhist", "otsu", "clahe"])
 def test_tpu_bitexact2(tpu_results2, op):
     d, outs = tpu_results2
     ref = np.load(d + f"/ref2_{op}.npy")
