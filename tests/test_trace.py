@@ -57,3 +57,23 @@ def test_dispatch_tier_counters():
     # on the CPU test backend the pallas tier is gated off -> xla tier
     assert any(k.endswith(".xla") or k.endswith(".pallas")
                for k in stats)
+
+
+def test_logger_per_tag_levels(capsys):
+    from opencv_tpu.utils import logger as lg
+    prev = lg.getLogLevel()
+    try:
+        lg.setLogLevel(lg.LOG_LEVEL_WARNING)
+        lg.setLogTagLevel("imgproc.resize", lg.LOG_LEVEL_DEBUG)
+        assert lg.getLogTagLevel("imgproc.resize") == lg.LOG_LEVEL_DEBUG
+        # dotted-prefix match
+        assert lg.getLogTagLevel("imgproc.resize.cubic") \
+            == lg.LOG_LEVEL_DEBUG
+        assert lg.getLogTagLevel("core") == lg.LOG_LEVEL_WARNING
+        lg.log(lg.LOG_LEVEL_DEBUG, "visible", tag="imgproc.resize")
+        lg.log(lg.LOG_LEVEL_DEBUG, "hidden", tag="core")
+        err = capsys.readouterr().err
+        assert "visible" in err and "hidden" not in err
+    finally:
+        lg.setLogLevel(prev)
+        lg._tag_levels.pop("imgproc.resize", None)
