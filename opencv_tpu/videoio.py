@@ -1,10 +1,17 @@
 """videoio (modules/videoio) — file-based backends.
 
 Camera/device IO is out of scope on TPU hosts; the file surface is
-real: MJPEG-in-AVI read/write (RIFF container around this framework's
-JPEG codec) and printf-style image sequences, which covers the
-reference's most portable interchange path (VideoWriter MJPG /
-VideoCapture CAP_IMAGES).
+real, in two tiers:
+
+1. From-scratch codecs (first tier): MJPEG-in-AVI both ways (RIFF
+   container around this framework's JPEG codec), HuffYUV and FFV1
+   lossless compressed payloads (bit-exact wheel interop both
+   directions), raw AVI layouts, Y4M, printf-style image sequences.
+2. FFmpeg adapter (fallback tier, `videoio_ffmpeg.py`): MP4/H.264,
+   HEVC, VP9, MPEG-4 ASP, MKV/WebM and every other payload whose
+   bitstream spec is not derivable in-image — the same architectural
+   position as the reference's FFmpeg backend (reference:
+   modules/videoio/src/cap_ffmpeg.cpp:1).
 """
 
 from __future__ import annotations
@@ -110,10 +117,23 @@ def _raw_frame_to_bgr(buf, size, fourcc):
     return None
 
 
+# container extensions always routed to the FFmpeg adapter tier
+_FF_EXTS = (".mp4", ".m4v", ".mov", ".mkv", ".webm", ".mpg", ".mpeg",
+            ".m2v", ".ts", ".wmv", ".flv", ".3gp", ".ogv", ".h264",
+            ".264", ".h265", ".265", ".hevc", ".ivf", ".asf", ".vob")
+
+# AVI payloads the from-scratch tier decodes itself
+_NATIVE_AVI_FCCS = ("MJPG", "JPEG", "MJPA", "HFYU", "FFV1", "I420",
+                    "IYUV", "YV12", "Y800", "GREY", "Y8", "RGBA", "RGB",
+                    "DIB", "", "\x00\x00\x00\x00")
+
+
 class VideoCapture:
     def __init__(self, source=None, apiPreference=0):
         self._frames = None
         self._files = None
+        self._ff = None
+        self._ff_frame = None
         self._pos = 0
         self._fps = 25.0
         self._size = (0, 0)
@@ -121,8 +141,25 @@ class VideoCapture:
         if source is not None:
             self.open(source)
 
+    def _open_ffmpeg(self, path):
+        from . import videoio_ffmpeg as _ffio
+        if not _ffio.available():
+            return False
+        rd = _ffio.FFmpegReader(path)
+        if not rd.ok:
+            return False
+        self._ff = rd
+        self._frames = None
+        self._files = None
+        self._fps = rd.fps
+        self._size = (rd.width, rd.height)
+        self._opened = True
+        return True
+
     def open(self, source, apiPreference=0):
         self._pos = 0
+        self._ff = None
+        self._ff_frame = None
         if isinstance(source, (int, np.integer)):
             return False  # no camera devices in this environment
         s = str(source)
@@ -134,11 +171,26 @@ class VideoCapture:
             self._y4m = True
             self._opened = self._frames is not None
             return self._opened
+        if s.lower().endswith(_FF_EXTS) and os.path.exists(s):
+            if self._open_ffmpeg(s):
+                return True
+            self._opened = False
+            return False
         if s.lower().endswith(".avi") and os.path.exists(s):
             with open(s, "rb") as f:
                 data = f.read()
-            (self._frames, self._fps, self._size,
-             self._fourcc, self._extradata) = _parse_avi(data)
+            try:
+                (self._frames, self._fps, self._size,
+                 self._fourcc, self._extradata) = _parse_avi(data)
+            except Exception:
+                return self._open_ffmpeg(s)
+            fcs = self._fourcc.decode("latin-1", "replace") \
+                .strip("\x00 ").upper()
+            if fcs not in _NATIVE_AVI_FCCS:
+                # compressed payload outside the from-scratch tier
+                # (XVID, H264-in-AVI, ...) -> adapter
+                if self._open_ffmpeg(s):
+                    return True
             self._files = None
             self._opened = True
             return True
@@ -169,6 +221,10 @@ class VideoCapture:
         return self._opened
 
     def grab(self):
+        if self._ff is not None:
+            ok, fr = self._ff.read()
+            self._ff_frame = fr if ok else None
+            return ok
         n = len(self._frames if self._frames is not None else self._files)
         if self._pos < n:
             self._pos += 1
@@ -176,6 +232,10 @@ class VideoCapture:
         return False
 
     def retrieve(self):
+        if self._ff is not None:
+            if self._ff_frame is None:
+                return False, None
+            return True, self._ff_frame
         pos = self._pos - 1
         if getattr(self, "_y4m", False):
             img = _y4m_to_bgr(self._frames[pos], self._size)
@@ -230,24 +290,40 @@ class VideoCapture:
         if prop == CAP_PROP_FPS:
             return self._fps
         if prop == CAP_PROP_FRAME_COUNT:
+            if self._ff is not None:
+                return float(self._ff.frame_count)
             return float(len(self._frames if self._frames is not None
                              else self._files or []))
         if prop == CAP_PROP_POS_FRAMES:
+            if self._ff is not None:
+                return float(self._ff.tell())
             return float(self._pos)
         if prop == CAP_PROP_FRAME_WIDTH:
             return float(self._size[0])
         if prop == CAP_PROP_FRAME_HEIGHT:
             return float(self._size[1])
+        if prop == CAP_PROP_FOURCC:
+            if self._ff is not None:
+                return float(self._ff.fourcc)
+            fc = getattr(self, "_fourcc", b"")
+            if fc:
+                return float(struct.unpack("<I", fc[:4].ljust(4, b"\x00"))[0])
         return 0.0
 
     def set(self, prop, value):
         if prop == CAP_PROP_POS_FRAMES:
+            if self._ff is not None:
+                return self._ff.seek(int(value))
             self._pos = int(value)
             return True
         return False
 
     def release(self):
         self._opened = False
+        if self._ff is not None:
+            self._ff.close()
+            self._ff = None
+            self._ff_frame = None
 
 
 class VideoWriter:
@@ -270,13 +346,34 @@ class VideoWriter:
         self._y4m = self._path.lower().endswith(".y4m")
         self._frames = []
         self._count = 0
+        self._ffw = None
         fc = b"MJPG"
+        fourcc_int = 0
         if isinstance(fourcc, (int, np.integer)) and fourcc > 0:
+            fourcc_int = int(fourcc)
             fc = bytes([fourcc & 0xFF, (fourcc >> 8) & 0xFF,
                         (fourcc >> 16) & 0xFF, (fourcc >> 24) & 0xFF])
         self._fcc = fc.decode("latin-1").upper()
-        if self._fcc not in ("MJPG", "I420", "IYUV", "YV12", "Y800",
-                            "RGBA", "HFYU", "FFV1"):
+        native = self._fcc in ("MJPG", "I420", "IYUV", "YV12", "Y800",
+                               "RGBA", "HFYU", "FFV1")
+        ext = os.path.splitext(self._path)[1].lower()
+        if not self._seq and not self._y4m \
+                and (ext != ".avi" or not native):
+            # non-AVI container, or a payload outside the from-scratch
+            # tier (mp4v/avc1/XVID/VP90/...) -> FFmpeg adapter
+            from . import videoio_ffmpeg as _ffio
+            if _ffio.available():
+                w, h = self._size
+                wr = _ffio.FFmpegWriter(self._path, fourcc_int,
+                                        self._fps, w, h)
+                if wr.ok:
+                    self._ffw = wr
+                    self._opened = True
+                    return True
+            if ext != ".avi":
+                self._opened = False
+                return False
+        if not native:
             self._fcc = "MJPG"
         self._opened = True
         return True
@@ -285,6 +382,9 @@ class VideoWriter:
         return self._opened
 
     def write(self, frame):
+        if getattr(self, "_ffw", None) is not None:
+            self._ffw.write(np.asarray(frame))
+            return
         if self._seq:
             imwrite(self._path % self._count, np.asarray(frame))
             self._count += 1
@@ -340,6 +440,10 @@ class VideoWriter:
         if not self._opened:
             return
         self._opened = False
+        if getattr(self, "_ffw", None) is not None:
+            self._ffw.close()
+            self._ffw = None
+            return
         if self._seq or not self._frames:
             return
         if self._y4m:
