@@ -6,12 +6,10 @@ stsc/stsz/stco, pulls the codec extradata (e.g. the MPEG-4 VOL header)
 from esds DecoderSpecificInfo, and exposes (offset, size) per sample
 plus width/height/fps.
 
-NO video payload decoder lives here: an MPEG-4 Part 2 decoder needs
-the ISO 14496-2 VLC tables (MCBPC/CBPY/TCOEF), which are not available
-in this build environment and are not derivable from encoded output.
-Compressed video payloads are handled by codecs whose tables are
-in-band or spec-derivable (MJPEG-AVI, and HuffYUV — imgcodecs/jpeg.py,
-imgcodecs/huffyuv.py)."""
+The payload decoder lives in imgcodecs/mpeg4.py (from-scratch ISO
+14496-2 Simple-Profile I/P decoder, bit-exact vs the wheel); streams
+outside that subset (B-VOPs, MPEG quant, interlace, other codecs) fall
+back to the FFmpeg adapter tier (videoio_ffmpeg.py)."""
 
 from __future__ import annotations
 

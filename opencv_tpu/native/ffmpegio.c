@@ -370,3 +370,49 @@ int ocvt_ff_writer_close(void *h)
 }
 
 unsigned ocvt_ff_version(void) { return avformat_version(); }
+
+/* Raw yuv420p plane readout — plane-level oracle for the from-scratch
+ * MPEG-4 decoder (imgcodecs/mpeg4.py).  Returns 1 and fills y/u/v if
+ * the next decoded frame is 4:2:0 8-bit, else 0. */
+int ocvt_ff_reader_read_yuv420(void *h, uint8_t *yp, uint8_t *up,
+                               uint8_t *vp)
+{
+    FFReader *r = (FFReader *)h;
+    if (r->pending)
+        r->pending = 0;
+    else if (!reader_next_frame(r))
+        return 0;
+    r->next_idx += 1;
+    if (r->frame->format != AV_PIX_FMT_YUV420P
+        && r->frame->format != AV_PIX_FMT_YUVJ420P)
+        return 0;
+    int w = r->frame->width, hh = r->frame->height;
+    for (int i = 0; i < hh; i++)
+        memcpy(yp + (size_t)i * w, r->frame->data[0]
+               + (size_t)i * r->frame->linesize[0], w);
+    for (int i = 0; i < hh / 2; i++) {
+        memcpy(up + (size_t)i * (w / 2), r->frame->data[1]
+               + (size_t)i * r->frame->linesize[1], w / 2);
+        memcpy(vp + (size_t)i * (w / 2), r->frame->data[2]
+               + (size_t)i * r->frame->linesize[2], w / 2);
+    }
+    return 1;
+}
+
+/* yuv420p -> BGR24 through swscale, so a from-scratch YUV decode can
+ * produce the exact BGR bytes the FFmpeg-backend path produces. */
+int ocvt_sws_yuv420p_to_bgr(const uint8_t *yp, const uint8_t *up,
+                            const uint8_t *vp, int w, int h, uint8_t *bgr)
+{
+    struct SwsContext *sws = sws_getContext(
+        w, h, AV_PIX_FMT_YUV420P, w, h, AV_PIX_FMT_BGR24,
+        SWS_BICUBIC, NULL, NULL, NULL);
+    if (!sws) return 0;
+    const uint8_t *src[4] = { yp, up, vp, NULL };
+    int srcls[4] = { w, w / 2, w / 2, 0 };
+    uint8_t *dst[4] = { bgr, NULL, NULL, NULL };
+    int dstls[4] = { w * 3, 0, 0, 0 };
+    sws_scale(sws, src, srcls, 0, h, dst, dstls);
+    sws_freeContext(sws);
+    return 1;
+}

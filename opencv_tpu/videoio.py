@@ -128,6 +128,97 @@ _NATIVE_AVI_FCCS = ("MJPG", "JPEG", "MJPA", "HFYU", "FFV1", "I420",
                     "DIB", "", "\x00\x00\x00\x00")
 
 
+class _NativeMp4Reader:
+    """MP4 + mp4v through the from-scratch stack: Mp4Demuxer (container)
+    + Mpeg4Decoder (ISO 14496-2 SP payload, imgcodecs/mpeg4.py).  BGR
+    conversion goes through the same swscale step the FFmpeg tier uses
+    (bit-exact vs the wheel at 8-aligned widths), with the in-house
+    I420 cvtColor as the last-resort fallback."""
+
+    def __init__(self, path):
+        from .imgcodecs.mp4 import Mp4Demuxer
+        from .imgcodecs.mpeg4 import Mpeg4Decoder
+        with open(path, "rb") as f:
+            self._data = f.read()
+        d = Mp4Demuxer(self._data)
+        if not d.samples or not d.width:
+            raise ValueError("no decodable mp4v track")
+        self._demux = d
+        self._dec = Mpeg4Decoder(d.extradata, d.width, d.height)  # may raise
+        self.width, self.height = d.width, d.height
+        self.fps = d.fps
+        self.frame_count = len(d.samples)
+        self.fourcc = struct.unpack("<I", b"mp4v")[0]
+        self._pos = 0
+
+    def _to_bgr(self, i420):
+        w, h = self.width, self.height
+        flat = np.ascontiguousarray(i420).reshape(-1)
+        y = np.ascontiguousarray(flat[:h * w].reshape(h, w))
+        cn = (h // 2) * (w // 2)
+        u = np.ascontiguousarray(flat[h * w:h * w + cn]
+                                 .reshape(h // 2, w // 2))
+        v = np.ascontiguousarray(flat[h * w + cn:].reshape(h // 2, w // 2))
+        try:
+            from . import videoio_ffmpeg as _ffio
+            lib = _ffio._get_lib()
+        except Exception:
+            lib = None
+        if lib is not None:
+            import ctypes
+            if not hasattr(lib, "_sws_sig"):
+                lib.ocvt_sws_yuv420p_to_bgr.restype = ctypes.c_int
+                lib.ocvt_sws_yuv420p_to_bgr.argtypes = \
+                    [ctypes.c_void_p] * 3 + [ctypes.c_int] * 2 \
+                    + [ctypes.c_void_p]
+                lib._sws_sig = True
+            bgr = np.empty((h, w, 3), np.uint8)
+            if lib.ocvt_sws_yuv420p_to_bgr(
+                    y.ctypes.data_as(ctypes.c_void_p),
+                    u.ctypes.data_as(ctypes.c_void_p),
+                    v.ctypes.data_as(ctypes.c_void_p), w, h,
+                    bgr.ctypes.data_as(ctypes.c_void_p)):
+                return bgr
+        from .ops.color import cvtColor
+        from . import constants as K
+        return np.asarray(cvtColor(i420, K.COLOR_YUV2BGR_I420))
+
+    def read(self):
+        if self._pos >= len(self._demux.samples):
+            return False, None
+        off, sz = self._demux.samples[self._pos]
+        i420 = self._dec.decode(self._data[off:off + sz])
+        self._pos += 1
+        if i420 is None:
+            return False, None
+        return True, self._to_bgr(i420)
+
+    def grab(self):
+        # decode is still required (P-frames chain off every sample)
+        ok, _ = self.read()
+        return ok
+
+    def seek(self, frame_idx):
+        frame_idx = int(frame_idx)
+        if frame_idx < self._pos:
+            # restart from the first sample (keyframe) and roll forward
+            from .imgcodecs.mpeg4 import Mpeg4Decoder
+            self._dec = Mpeg4Decoder(self._demux.extradata,
+                                     self.width, self.height)
+            self._pos = 0
+        while self._pos < frame_idx:
+            off, sz = self._demux.samples[self._pos]
+            self._dec.decode(self._data[off:off + sz])
+            self._pos += 1
+        return True
+
+    def tell(self):
+        return self._pos
+
+    def close(self):
+        pass
+
+
 class VideoCapture:
     def __init__(self, source=None, apiPreference=0):
         self._frames = None
@@ -148,6 +239,7 @@ class VideoCapture:
         rd = _ffio.FFmpegReader(path)
         if not rd.ok:
             return False
+        self._path_for_ff = path
         self._ff = rd
         self._frames = None
         self._files = None
@@ -172,6 +264,20 @@ class VideoCapture:
             self._opened = self._frames is not None
             return self._opened
         if s.lower().endswith(_FF_EXTS) and os.path.exists(s):
+            if s.lower().endswith((".mp4", ".m4v", ".mov")) \
+                    and os.environ.get("OPENCV_TPU_MP4_NATIVE", "1") != "0":
+                try:
+                    rd = _NativeMp4Reader(s)
+                except Exception:
+                    rd = None   # not mp4v / outside SP subset -> adapter
+                if rd is not None:
+                    self._path_for_ff = s
+                    self._ff = rd
+                    self._frames = self._files = None
+                    self._fps = rd.fps
+                    self._size = (rd.width, rd.height)
+                    self._opened = True
+                    return True
             if self._open_ffmpeg(s):
                 return True
             self._opened = False
@@ -220,9 +326,34 @@ class VideoCapture:
     def isOpened(self):
         return self._opened
 
+    def _switch_to_adapter(self):
+        """Mid-stream failover: the native mp4v decoder hit a feature
+        outside its SP subset — reopen through the FFmpeg adapter and
+        roll forward to the same position."""
+        pos = self._ff.tell() if self._ff is not None else 0
+        path = getattr(self, "_path_for_ff", None)
+        if path is None:
+            return False
+        from . import videoio_ffmpeg as _ffio
+        if not _ffio.available():
+            return False
+        rd = _ffio.FFmpegReader(path)
+        if not rd.ok:
+            return False
+        rd.seek(pos)
+        self._ff = rd
+        return True
+
     def grab(self):
         if self._ff is not None:
-            ok, fr = self._ff.read()
+            try:
+                ok, fr = self._ff.read()
+            except Exception:
+                if isinstance(self._ff, _NativeMp4Reader) \
+                        and self._switch_to_adapter():
+                    ok, fr = self._ff.read()
+                else:
+                    ok, fr = False, None
             self._ff_frame = fr if ok else None
             return ok
         n = len(self._frames if self._frames is not None else self._files)

@@ -48,10 +48,19 @@ def test_read_wheel_compressed_bitexact(tmp_path, name, fcc):
     p = str(tmp_path / name)
     w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*fcc), 10, (64, 48))
     if not w.isOpened():
-        pytest.skip(f"wheel cannot encode {fcc}")
-    for f in frames:
-        w.write(f)
-    w.release()
+        # the wheel cannot ENCODE this codec (e.g. no H.264 encoder);
+        # generate with our adapter writer instead — both sides then
+        # DECODE the same file, which is the parity under test
+        from opencv_tpu.videoio_ffmpeg import FFmpegWriter
+        wr = FFmpegWriter(p, cv2.VideoWriter_fourcc(*fcc), 10, 64, 48)
+        assert wr.ok
+        for f in frames:
+            wr.write(f)
+        wr.close()
+    else:
+        for f in frames:
+            w.write(f)
+        w.release()
 
     ours = tcv.VideoCapture(p)
     theirs = cv2.VideoCapture(p)
