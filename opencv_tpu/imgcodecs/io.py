@@ -444,7 +444,9 @@ def imdecode(buf, flags: int = IMREAD_COLOR):
         img = _sunras_decode(data)
     elif data[:2] == b"\xff\xd8":
         from .jpeg import jpeg_decode
-        img = jpeg_decode(data)
+        # the reference asks libjpeg for JCS_GRAYSCALE directly (the Y
+        # plane), which differs from BGR->GRAY of the color decode
+        img = jpeg_decode(data, grayscale=(flags == IMREAD_GRAYSCALE))
     elif data[:4] in (b"II*\x00", b"MM\x00*"):
         from .tiff import tiff_decode
         img = tiff_decode(data)

@@ -1,13 +1,17 @@
 """Baseline JPEG codec (imgcodecs/src/grfmt_jpeg.cpp's role, built from
 the JPEG spec rather than libjpeg).
 
-TPU/host split: entropy coding (Huffman bitstreams) is host work, but
-all the numeric mass — 8x8 forward/inverse DCTs over every block,
-quantization, YCbCr conversion — runs as one batched matmul program
-(blocks, 8, 8) x (8, 8), which is exactly the MXU shape.
+TPU/host split: entropy coding (Huffman bitstreams) is host work
+(native C tier in hosttails.cpp, exact Python twin below).  DECODE
+reproduces libjpeg-turbo's deterministic integer pipeline (islow
+fixed-point IDCT, fancy upsampling, 16-bit YCbCr tables) vectorized
+over all blocks, so imdecode is bit-identical to the reference.
+ENCODE runs its numeric mass — 8x8 forward DCTs over every block —
+as one batched matmul program (blocks, 8, 8) x (8, 8), the MXU shape.
 
-Supports baseline sequential (SOF0), 8-bit, 1 or 3 components, 4:4:4
-and 4:2:0; encoder writes JFIF 4:2:0 with the Annex-K tables.
+Supports baseline sequential (SOF0) and progressive (SOF2), 8-bit,
+1 or 3 components, all integer sampling factors; encoder writes JFIF
+4:2:0 with the Annex-K tables.
 """
 
 from __future__ import annotations
@@ -95,6 +99,107 @@ def _dct_matrix():
 
 _DCTM = _dct_matrix()
 
+# ------------------------------------------------- integer decode pipeline
+#
+# The reference decodes through libjpeg-turbo (grfmt_jpeg.cpp), whose
+# default path is fully deterministic integer math: the 13-bit
+# fixed-point Loeffler IDCT ("islow"), triangular "fancy" chroma
+# upsampling, and 16-bit fixed-point YCbCr->BGR tables.  Reproducing
+# those (vectorized over all blocks) makes our decode bit-identical to
+# cv2.imdecode.  Constants are FIX(x) = round(x * 2^13) from the
+# published Loeffler-Ligtenberg-Moshovitz factorization.
+
+_CONST_BITS = 13
+_PASS1_BITS = 2
+
+
+def _descale(x, n):
+    return (x + (1 << (n - 1))) >> n
+
+
+def _islow_1d(c):
+    """One 8-point Loeffler fixed-point IDCT pass over a list of eight
+    equally-shaped int64 arrays; returns the eight outputs pre-descale."""
+    # even part
+    z2, z3 = c[2], c[6]
+    z1 = (z2 + z3) * 4433                       # FIX_0_541196100
+    t2 = z1 - z3 * 15137                        # FIX_1_847759065
+    t3 = z1 + z2 * 6270                         # FIX_0_765366865
+    z2, z3 = c[0], c[4]
+    t0 = (z2 + z3) << _CONST_BITS
+    t1 = (z2 - z3) << _CONST_BITS
+    e0, e3 = t0 + t3, t0 - t3
+    e1, e2 = t1 + t2, t1 - t2
+    # odd part
+    o0, o1, o2, o3 = c[7], c[5], c[3], c[1]
+    z1 = o0 + o3
+    z2 = o1 + o2
+    z3 = o0 + o2
+    z4 = o1 + o3
+    z5 = (z3 + z4) * 9633                       # FIX_1_175875602
+    o0 = o0 * 2446                              # FIX_0_298631336
+    o1 = o1 * 16819                             # FIX_2_053119869
+    o2 = o2 * 25172                             # FIX_3_072711026
+    o3 = o3 * 12299                             # FIX_1_501321110
+    z1 = z1 * -7373                             # FIX_0_899976223
+    z2 = z2 * -20995                            # FIX_2_562915447
+    z3 = z3 * -16069 + z5                       # FIX_1_961570560
+    z4 = z4 * -3196 + z5                        # FIX_0_390180644
+    o0 = o0 + z1 + z3
+    o1 = o1 + z2 + z4
+    o2 = o2 + z2 + z3
+    o3 = o3 + z1 + z4
+    return [e0 + o3, e1 + o2, e2 + o1, e3 + o0,
+            e3 - o0, e2 - o1, e1 - o2, e0 - o3]
+
+
+def _idct_islow(blocks):
+    """jpeg_idct_islow over (N, 8, 8) dequantized natural-order
+    coefficients -> (N, 8, 8) uint8 samples (level-shifted, wrapped
+    range-limit exactly as libjpeg's post-IDCT table)."""
+    x = blocks.astype(np.int64)
+    ws = _islow_1d([x[:, k, :] for k in range(8)])      # column pass
+    ws = [_descale(w, _CONST_BITS - _PASS1_BITS) for w in ws]
+    ws = np.stack(ws, axis=1)                            # (N, 8, 8)
+    out = _islow_1d([ws[:, :, k] for k in range(8)])     # row pass
+    out = [_descale(o, _CONST_BITS + _PASS1_BITS + 3) for o in out]
+    v = np.stack(out, axis=2) & 1023
+    v = np.where(v >= 512, v - 1024, v)
+    return np.clip(v + 128, 0, 255).astype(np.uint8)
+
+
+def _h2v1_fancy(p):
+    """libjpeg h2v1_fancy_upsample: 3/4-1/4 triangular filter, edge
+    replicated (the endpoint formulas collapse to the pad)."""
+    t = np.pad(p.astype(np.int32), ((0, 0), (1, 1)), mode="edge")
+    out = np.empty((p.shape[0], p.shape[1] * 2), np.int32)
+    out[:, 0::2] = (3 * t[:, 1:-1] + t[:, :-2] + 1) >> 2
+    out[:, 1::2] = (3 * t[:, 1:-1] + t[:, 2:] + 2) >> 2
+    return out
+
+
+def _h2v2_fancy(p):
+    """libjpeg h2v2_fancy_upsample: vertical 3:1 column sums then the
+    horizontal triangular pass with 8/7 bias."""
+    rows, cw = p.shape
+    pv = np.pad(p.astype(np.int32), ((1, 1), (0, 0)), mode="edge")
+    cs = np.empty((rows * 2, cw), np.int32)
+    cs[0::2] = 3 * pv[1:-1] + pv[:-2]
+    cs[1::2] = 3 * pv[1:-1] + pv[2:]
+    t = np.pad(cs, ((0, 0), (1, 1)), mode="edge")
+    out = np.empty((rows * 2, cw * 2), np.int32)
+    out[:, 0::2] = (3 * t[:, 1:-1] + t[:, :-2] + 8) >> 4
+    out[:, 1::2] = (3 * t[:, 1:-1] + t[:, 2:] + 7) >> 4
+    return out
+
+
+# 16-bit fixed-point YCbCr->BGR tables (jdcolor.c build_ycc_rgb_table)
+_I256 = np.arange(256, dtype=np.int64) - 128
+_CR_R = ((91881 * _I256 + 32768) >> 16).astype(np.int32)    # FIX(1.40200)
+_CB_B = ((116130 * _I256 + 32768) >> 16).astype(np.int32)   # FIX(1.77200)
+_CR_G = (-46802 * _I256).astype(np.int32)                   # FIX(0.71414)
+_CB_G = (-22554 * _I256 + 32768).astype(np.int32)           # FIX(0.34414)
+
 
 class _DecTable(dict):
     """(length, code) -> symbol map; carries the raw (bits, values) spec
@@ -167,7 +272,7 @@ def _extend(v, t):
     return v - (1 << t) + 1 if t > 0 and v < (1 << (t - 1)) else v
 
 
-def jpeg_decode(buf):
+def jpeg_decode(buf, grayscale=False):
     data = np.frombuffer(np.asarray(bytearray(buf), np.uint8), np.uint8)
     data = bytes(data.tobytes())
     assert data[0:2] == b"\xff\xd8", "not a JPEG"
@@ -238,7 +343,8 @@ def jpeg_decode(buf):
             pos += seglen
             if not frame.get("progressive"):
                 return _decode_scan(data, pos, frame, scomp, qt,
-                                    huff_dc, huff_ac, restart_interval)
+                                    huff_dc, huff_ac, restart_interval,
+                                    grayscale)
             # progressive: this scan covers the spectral band ss..se
             # with successive approximation ah -> al (ITU T.81 G.2)
             ss, se, ah_al = seg[1 + 2 * ns:4 + 2 * ns]
@@ -254,11 +360,12 @@ def jpeg_decode(buf):
         pos += seglen
     if frame is not None and frame.get("progressive") and \
             prog_coeff is not None:
-        return _finish_decode(frame, prog_coeff, qt)
+        return _finish_decode(frame, prog_coeff, qt, grayscale)
     raise ValueError("no scan found")
 
 
-def _decode_scan(data, pos, frame, scomp, qt, huff_dc, huff_ac, dri):
+def _decode_scan(data, pos, frame, scomp, qt, huff_dc, huff_ac,
+                 dri, grayscale=False):
     H, W = frame["H"], frame["W"]
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
@@ -285,7 +392,7 @@ def _decode_scan(data, pos, frame, scomp, qt, huff_dc, huff_ac, dri):
         order, [td for _, td, _ in scomp], [ta for _, _, ta in scomp],
         mcux, mcuy, dri, dc_raw, ac_raw, comp_dims)
     if res is not None:
-        return _finish_decode(frame, res, qt)
+        return _finish_decode(frame, res, qt, grayscale)
 
     rd = _BitReader(data[pos:])
     coeff = []
@@ -334,56 +441,55 @@ def _decode_scan(data, pos, frame, scomp, qt, huff_dc, huff_ac, dri):
                         coeff[ci][my * c["v"] + v, mx * c["h"] + h] = blk
             nmcu += 1
 
-    return _finish_decode(frame, coeff, qt)
+    return _finish_decode(frame, coeff, qt, grayscale)
 
 
-def _finish_decode(frame, coeff, qt):
-    """Dequantize + IDCT (batched on device) + fancy upsample + YCbCr
-    conversion — shared by the baseline and progressive paths."""
+def _finish_decode(frame, coeff, qt, grayscale=False):
+    """Dequantize + islow IDCT + fancy upsample + fixed-point YCbCr
+    conversion — shared by the baseline and progressive paths.
+    Bit-identical to libjpeg-turbo's default decode
+    (grfmt_jpeg.cpp's backend); `grayscale` mirrors JCS_GRAYSCALE
+    output (the Y plane, chroma never touched)."""
     H, W = frame["H"], frame["W"]
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     planes = []
     for ci, c in enumerate(comps):
+        if grayscale and ci > 0:
+            break
         q = qt[c["tq"]]
         zz = np.zeros((coeff[ci].shape[0], coeff[ci].shape[1], 64),
-                      np.int32)
-        zz[..., _ZIGZAG] = coeff[ci] * q[None, None, :]
-        blocks = jnp.asarray(zz.reshape(-1, 8, 8), jnp.float32)
-        Cm = jnp.asarray(_DCTM, jnp.float32)
-        pix = Cm.T @ blocks @ Cm + 128.0
+                      np.int64)
+        zz[..., _ZIGZAG] = coeff[ci].astype(np.int64) * q[None, None, :]
         bh, bw = coeff[ci].shape[:2]
-        plane = np.asarray(pix).reshape(bh, bw, 8, 8).transpose(
+        pix = _idct_islow(zz.reshape(-1, 8, 8))
+        plane = pix.reshape(bh, bw, 8, 8).transpose(
             0, 2, 1, 3).reshape(bh * 8, bw * 8)
-        # upsample to full size with libjpeg's "fancy" triangular
-        # filter (3/4-1/4 weights, edges replicated)
+        # libjpeg upsamples the component at its true (downsampled)
+        # size with edge replication at the image border, not at the
+        # block-padded border — crop first
+        cw = -(-W * c["h"] // hmax)
+        ch = -(-H * c["v"] // vmax)
+        plane = plane[:ch, :cw]
         sy = vmax // c["v"]
         sx = hmax // c["h"]
-        if sx == 2:
-            pl = np.pad(plane, ((0, 0), (1, 1)), mode="edge")
-            left = (3 * pl[:, 1:-1] + pl[:, :-2]) / 4.0
-            right = (3 * pl[:, 1:-1] + pl[:, 2:]) / 4.0
-            plane = np.empty((plane.shape[0], plane.shape[1] * 2))
-            plane[:, 0::2] = left
-            plane[:, 1::2] = right
-        if sy == 2:
-            pl = np.pad(plane, ((1, 1), (0, 0)), mode="edge")
-            top = (3 * pl[1:-1] + pl[:-2]) / 4.0
-            bot = (3 * pl[1:-1] + pl[2:]) / 4.0
-            plane = np.empty((plane.shape[0] * 2, plane.shape[1]))
-            plane[0::2] = top
-            plane[1::2] = bot
-        planes.append(plane[:H, :W])
+        if sx == 2 and sy == 1:
+            plane = _h2v1_fancy(plane)
+        elif sx == 2 and sy == 2:
+            plane = _h2v2_fancy(plane)
+        elif sx != 1 or sy != 1:
+            # all other ratios use int_upsample (pixel replication)
+            plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
+        planes.append(plane[:H, :W].astype(np.int32))
 
     if len(planes) == 1:
-        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return planes[0].astype(np.uint8)
     Y, Cb, Cr = planes
-    r = Y + 1.402 * (Cr - 128)
-    g = Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128)
-    b = Y + 1.772 * (Cb - 128)
-    return np.clip(np.rint(np.stack([b, g, r], -1)), 0,
-                   255).astype(np.uint8)
+    r = np.clip(Y + _CR_R[Cr], 0, 255)
+    g = np.clip(Y + ((_CB_G[Cb] + _CR_G[Cr]) >> 16), 0, 255)
+    b = np.clip(Y + _CB_B[Cb], 0, 255)
+    return np.stack([b, g, r], -1).astype(np.uint8)
 
 
 # ------------------------------------------------------------------ encode

@@ -80,8 +80,7 @@ def test_jpeg_cross_codec():
     ok, buf2 = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 95])
     ours = tcv.imdecode(buf2, tcv.IMREAD_COLOR)
     ref = cv2.imdecode(buf2, cv2.IMREAD_COLOR)
-    d = np.abs(ref.astype(int) - ours.astype(int))
-    assert d.max() <= 3 and d.mean() < 1.0
+    assert np.array_equal(np.asarray(ours), ref)  # bit-exact decode
     # grayscale + odd size roundtrip through files
     import tempfile, os
     g = img[:61, :93, 0]
@@ -90,7 +89,7 @@ def test_jpeg_cross_codec():
     back_cv = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     back_us = tcv.imread(path, tcv.IMREAD_GRAYSCALE)
     assert cv2.PSNR(g, back_cv) > 35
-    assert np.abs(back_cv.astype(int) - back_us.astype(int)).max() <= 3
+    assert np.array_equal(back_cv, np.asarray(back_us))  # bit-exact
 
 
 def test_videoio_mjpeg_avi_cross():
@@ -296,10 +295,7 @@ def test_progressive_jpeg_decode_vs_cv2():
         ref = cv2.imdecode(buf, cv2.IMREAD_COLOR)
         ours = np.asarray(tcv.imdecode(buf, tcv.IMREAD_COLOR))
         assert ours.shape == ref.shape
-        d = np.abs(ours.astype(int) - ref.astype(int))
-        # decoder-to-decoder differences stay within a few levels
-        assert d.mean() < 1.5, d.mean()
-        assert np.percentile(d, 99) <= 6, np.percentile(d, 99)
+        assert np.array_equal(ours, ref)  # bit-exact decode
 
 
 def test_progressive_jpeg_noninterleaved_dc_scan():
@@ -391,10 +387,7 @@ def test_progressive_jpeg_grayscale():
     assert okr
     ref = cv2.imdecode(buf, cv2.IMREAD_GRAYSCALE)
     ours = np.asarray(tcv.imdecode(buf, tcv.IMREAD_GRAYSCALE))
-    if ours.ndim == 3:
-        ours = ours[:, :, 0]
-    d = np.abs(ours.astype(int) - ref.astype(int))
-    assert d.mean() < 1.5, d.mean()
+    assert np.array_equal(ours, ref)  # bit-exact decode
 
 
 def test_hdr_cross_codec():
@@ -500,3 +493,38 @@ def test_exr_piz_roundtrip():
     assert np.array_equal(a, b)
     raw = rng.integers(0, 5000, 4096).astype(np.uint16)
     assert np.array_equal(_huf_uncompress(_huf_compress(raw), 4096), raw)
+
+
+def test_jpeg_decode_bit_exact_matrix():
+    """Decode is bit-identical to the wheel (libjpeg-turbo's integer
+    islow IDCT + fancy upsampling + fixed-point YCbCr) across quality,
+    sampling factor, restart markers, color/grayscale reads, odd sizes
+    (grfmt_jpeg.cpp decode parity)."""
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, (37, 53, 3), np.uint8),
+            cv2.GaussianBlur(
+                rng.integers(0, 256, (96, 130, 3), np.uint8), (0, 0), 2)]
+    samps = [None, cv2.IMWRITE_JPEG_SAMPLING_FACTOR_444,
+             cv2.IMWRITE_JPEG_SAMPLING_FACTOR_422,
+             cv2.IMWRITE_JPEG_SAMPLING_FACTOR_411]
+    for img in imgs:
+        for q in (30, 90, 100):
+            for samp in samps:
+                flags = [cv2.IMWRITE_JPEG_QUALITY, q]
+                if samp is not None:
+                    flags += [cv2.IMWRITE_JPEG_SAMPLING_FACTOR, samp]
+                ok, buf = cv2.imencode(".jpg", img, flags)
+                assert ok
+                for rf, cf in ((tcv.IMREAD_COLOR, cv2.IMREAD_COLOR),
+                               (tcv.IMREAD_GRAYSCALE,
+                                cv2.IMREAD_GRAYSCALE)):
+                    ref = cv2.imdecode(buf, cf)
+                    ours = np.asarray(tcv.imdecode(buf, rf))
+                    assert np.array_equal(ours, ref), (q, samp, cf)
+    # restart markers
+    ok, buf = cv2.imencode(".jpg", imgs[1],
+                           [cv2.IMWRITE_JPEG_RST_INTERVAL, 3])
+    assert ok
+    assert np.array_equal(
+        np.asarray(tcv.imdecode(buf, tcv.IMREAD_COLOR)),
+        cv2.imdecode(buf, cv2.IMREAD_COLOR))
