@@ -514,12 +514,15 @@ def imencode(ext: str, img, params=None):
         from .jpeg import jpeg_encode
         from .. import constants as K
         quality = 95
+        sampling = 0x221111  # libjpeg default 4:2:0
         if params:
             p = list(params)
             for i in range(0, len(p) - 1, 2):
-                if p[i] == 1:  # IMWRITE_JPEG_QUALITY
+                if p[i] == 1:   # IMWRITE_JPEG_QUALITY
                     quality = int(p[i + 1])
-        data = bytes(jpeg_encode(img, quality))
+                elif p[i] == 7:  # IMWRITE_JPEG_SAMPLING_FACTOR
+                    sampling = int(p[i + 1])
+        data = bytes(jpeg_encode(img, quality, sampling))
     elif ext in (".tif", ".tiff"):
         from .tiff import tiff_encode
         data = tiff_encode(img)

@@ -2,16 +2,17 @@
 the JPEG spec rather than libjpeg).
 
 TPU/host split: entropy coding (Huffman bitstreams) is host work
-(native C tier in hosttails.cpp, exact Python twin below).  DECODE
-reproduces libjpeg-turbo's deterministic integer pipeline (islow
-fixed-point IDCT, fancy upsampling, 16-bit YCbCr tables) vectorized
-over all blocks, so imdecode is bit-identical to the reference.
-ENCODE runs its numeric mass — 8x8 forward DCTs over every block —
-as one batched matmul program (blocks, 8, 8) x (8, 8), the MXU shape.
+(native C tier in hosttails.cpp, exact Python twin below); the block
+numerics are libjpeg's deterministic integer pipelines vectorized over
+all blocks at once.  DECODE (islow fixed-point IDCT, fancy upsampling,
+16-bit YCbCr tables) is bit-identical to cv2.imdecode; ENCODE (islow
+forward DCT, biased box downsampling, dummy-block MCU padding,
+Annex-K tables) emits byte-identical files to cv2.imencode for the
+same quality/sampling parameters.
 
-Supports baseline sequential (SOF0) and progressive (SOF2), 8-bit,
-1 or 3 components, all integer sampling factors; encoder writes JFIF
-4:2:0 with the Annex-K tables.
+Supports baseline sequential (SOF0) and progressive (SOF2) decode,
+8-bit, 1 or 3 components, all integer sampling factors; encoder
+writes baseline JFIF at 4:4:4/4:2:2/4:2:0/4:4:0/4:1:1.
 """
 
 from __future__ import annotations
@@ -19,7 +20,6 @@ from __future__ import annotations
 import struct
 
 import numpy as np
-import jax.numpy as jnp
 
 __all__ = ["jpeg_decode", "jpeg_encode"]
 
@@ -88,16 +88,6 @@ _HT_AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
 
-
-def _dct_matrix():
-    k = np.arange(8)
-    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
-    C *= np.sqrt(2.0 / 8.0)
-    C[0] *= 1.0 / np.sqrt(2.0)
-    return C  # (8, 8): X = C x C^T
-
-
-_DCTM = _dct_matrix()
 
 # ------------------------------------------------- integer decode pipeline
 #
@@ -199,6 +189,100 @@ _CR_R = ((91881 * _I256 + 32768) >> 16).astype(np.int32)    # FIX(1.40200)
 _CB_B = ((116130 * _I256 + 32768) >> 16).astype(np.int32)   # FIX(1.77200)
 _CR_G = (-46802 * _I256).astype(np.int32)                   # FIX(0.71414)
 _CB_G = (-22554 * _I256 + 32768).astype(np.int32)           # FIX(0.34414)
+
+
+# ------------------------------------------------- integer encode pipeline
+#
+# The same treatment for the encoder makes imencode('.jpg') emit the
+# exact bytes the wheel emits: fixed-point RGB->YCbCr (jccolor.c),
+# biased box downsampling (jcsample.c), the islow forward DCT
+# (jfdctint.c, outputs scaled x8), and round-half-away-from-zero
+# quantization (jcdctmgr.c).  Entropy coding of the resulting
+# coefficients with the Annex-K tables is unique, so byte-identity
+# follows.
+
+
+def _fdct_1d(c, pass2):
+    """One 8-point islow forward-DCT pass (jfdctint.c) over eight
+    equally-shaped int64 arrays."""
+    t0, t7 = c[0] + c[7], c[0] - c[7]
+    t1, t6 = c[1] + c[6], c[1] - c[6]
+    t2, t5 = c[2] + c[5], c[2] - c[5]
+    t3, t4 = c[3] + c[4], c[3] - c[4]
+    t10, t13 = t0 + t3, t0 - t3
+    t11, t12 = t1 + t2, t1 - t2
+    if pass2:
+        o0 = _descale(t10 + t11, _PASS1_BITS)
+        o4 = _descale(t10 - t11, _PASS1_BITS)
+        sh = _CONST_BITS + _PASS1_BITS
+    else:
+        o0 = (t10 + t11) << _PASS1_BITS
+        o4 = (t10 - t11) << _PASS1_BITS
+        sh = _CONST_BITS - _PASS1_BITS
+    z1 = (t12 + t13) * 4433                     # FIX_0_541196100
+    o2 = _descale(z1 + t13 * 6270, sh)          # FIX_0_765366865
+    o6 = _descale(z1 - t12 * 15137, sh)         # FIX_1_847759065
+    z1 = t4 + t7
+    z2 = t5 + t6
+    z3 = t4 + t6
+    z4 = t5 + t7
+    z5 = (z3 + z4) * 9633                       # FIX_1_175875602
+    t4 = t4 * 2446                              # FIX_0_298631336
+    t5 = t5 * 16819                             # FIX_2_053119869
+    t6 = t6 * 25172                             # FIX_3_072711026
+    t7 = t7 * 12299                             # FIX_1_501321110
+    z1 = z1 * -7373                             # FIX_0_899976223
+    z2 = z2 * -20995                            # FIX_2_562915447
+    z3 = z3 * -16069 + z5                       # FIX_1_961570560
+    z4 = z4 * -3196 + z5                        # FIX_0_390180644
+    o7 = _descale(t4 + z1 + z3, sh)
+    o5 = _descale(t5 + z2 + z4, sh)
+    o3 = _descale(t6 + z2 + z3, sh)
+    o1 = _descale(t7 + z1 + z4, sh)
+    return [o0, o1, o2, o3, o4, o5, o6, o7]
+
+
+def _fdct_islow(blocks):
+    """jpeg_fdct_islow over (N, 8, 8) level-shifted samples ->
+    (N, 8, 8) coefficients scaled x8."""
+    x = blocks.astype(np.int64)
+    ws = _fdct_1d([x[:, :, k] for k in range(8)], False)    # row pass
+    ws = np.stack(ws, axis=2)
+    out = _fdct_1d([ws[:, k, :] for k in range(8)], True)   # column pass
+    return np.stack(out, axis=1)
+
+
+def _quantize_blocks(coef, q):
+    """jcdctmgr.c quantize: divisor is quantval<<3 (fdct is scaled x8),
+    rounding half away from zero.  coef (N, 64) natural order."""
+    qv = q.astype(np.int64) << 3
+    mag = (np.abs(coef) + (qv >> 1)) // qv
+    return np.where(coef < 0, -mag, mag)
+
+
+def _down_h2v2(p):
+    """jcsample.c h2v2_downsample: 2x2 box with the 1/2 alternating
+    bias per output column."""
+    s = (p[0::2, 0::2].astype(np.int32) + p[0::2, 1::2]
+         + p[1::2, 0::2] + p[1::2, 1::2])
+    bias = 1 + (np.arange(s.shape[1], dtype=np.int32) & 1)
+    return (s + bias[None, :]) >> 2
+
+
+def _down_h2v1(p):
+    """jcsample.c h2v1_downsample: horizontal pairs, 0/1 alternating
+    bias."""
+    s = p[:, 0::2].astype(np.int32) + p[:, 1::2]
+    bias = np.arange(s.shape[1], dtype=np.int32) & 1
+    return (s + bias[None, :]) >> 1
+
+
+def _down_int(p, hexp, vexp):
+    """jcsample.c int_downsample: plain box average, round half up."""
+    n = hexp * vexp
+    s = p.reshape(p.shape[0] // vexp, vexp,
+                  p.shape[1] // hexp, hexp).astype(np.int32).sum((1, 3))
+    return (s + (n >> 1)) // n
 
 
 class _DecTable(dict):
@@ -548,7 +632,11 @@ def _quality_scale(q, base):
     return np.clip(t, 1, 255).astype(np.int32)
 
 
-def jpeg_encode(img, quality=95):
+def jpeg_encode(img, quality=95, sampling=0x221111):
+    """Byte-identical to the wheel's imencode('.jpg') for the same
+    quality/sampling (grfmt_jpeg.cpp over libjpeg with default
+    settings); `sampling` takes the IMWRITE_JPEG_SAMPLING_FACTOR_*
+    encodings (luma h in bits 20-23, luma v in bits 16-19)."""
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[..., None]
@@ -558,50 +646,74 @@ def jpeg_encode(img, quality=95):
     qy = _quality_scale(quality, _QY)
     qc = _quality_scale(quality, _QC)
 
-    f = img.astype(np.float64)
     if gray:
-        planes = [f[..., 0]]
         samp = [(1, 1)]
         qts = [0]
     else:
-        b, g, r = f[..., 0], f[..., 1], f[..., 2]
-        Y = 0.299 * r + 0.587 * g + 0.114 * b
-        Cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
-        Cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
-        # 4:2:0: chroma averaged over 2x2
-        H2 = (H + 1) // 2 * 2
-        W2 = (W + 1) // 2 * 2
-        pad = lambda p: np.pad(p, ((0, H2 - H), (0, W2 - W)), mode="edge")
-        Cb = pad(Cb).reshape(H2 // 2, 2, W2 // 2, 2).mean((1, 3))
-        Cr = pad(Cr).reshape(H2 // 2, 2, W2 // 2, 2).mean((1, 3))
-        planes = [Y, Cb, Cr]
-        samp = [(2, 2), (1, 1), (1, 1)]
+        lh = (sampling >> 20) & 15 or 2
+        lv = (sampling >> 16) & 15 or 2
+        samp = [(lh, lv), (1, 1), (1, 1)]
         qts = [0, 1, 1]
-
-    def to_blocks(p, bh, bw):
-        ph = bh * 8
-        pw = bw * 8
-        pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
-                    mode="edge")
-        return pp.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux = (W + 8 * hmax - 1) // (8 * hmax)
     mcuy = (H + 8 * vmax - 1) // (8 * vmax)
 
+    # full-res color conversion first (pointwise, so it commutes with
+    # the per-component edge expansion below)
+    if gray:
+        fullres = [np.ascontiguousarray(img[..., 0]).astype(np.int32)]
+    else:
+        px = img.astype(np.int64)
+        b, g, r = px[..., 0], px[..., 1], px[..., 2]
+        # jccolor.c rgb_ycc_start: FIX(x) = round(x * 2^16); Cb/Cr get
+        # ONE_HALF-1 so exact halves round down
+        Y = ((19595 * r + 38470 * g + 7471 * b + 32768) >> 16)
+        Cb = ((-11059 * r - 21709 * g + 32768 * b
+               + (128 << 16) + 32767) >> 16)
+        Cr = ((32768 * r - 27439 * g - 5329 * b
+               + (128 << 16) + 32767) >> 16)
+        fullres = [Y.astype(np.int32), Cb.astype(np.int32),
+                   Cr.astype(np.int32)]
+
     qcoef = []
-    for pi, p in enumerate(planes):
+    for pi, p in enumerate(fullres):
         h, v = samp[pi]
-        bh, bw = mcuy * v, mcux * h
-        blocks = to_blocks(p - 128.0, bh, bw)      # (bh, bw, 8, 8)
-        Bj = jnp.asarray(blocks.reshape(-1, 8, 8), jnp.float32)
-        Cm = jnp.asarray(_DCTM, jnp.float32)
-        F = Cm @ Bj @ Cm.T
+        hexp, vexp = hmax // h, vmax // v
+        # libjpeg edge-expands samples only to the component's
+        # width_in_blocks*8 x height_in_blocks*8 (jcsample.c
+        # expand_right_edge / jcprepct.c expand_bottom_edge) ...
+        dsw = -(-W * h // hmax)
+        dsh = -(-H * v // vmax)
+        wib = -(-dsw // 8)
+        hib = -(-dsh // 8)
+        p = np.pad(p, ((0, hib * 8 * vexp - H), (0, wib * 8 * hexp - W)),
+                   mode="edge")
+        if hexp == 2 and vexp == 2:
+            p = _down_h2v2(p)
+        elif hexp == 2 and vexp == 1:
+            p = _down_h2v1(p)
+        elif hexp != 1 or vexp != 1:
+            p = _down_int(p, hexp, vexp)
+        blocks = p.reshape(hib, 8, wib, 8).transpose(0, 2, 1, 3)
+        F = _fdct_islow(blocks.reshape(-1, 8, 8).astype(np.int64) - 128)
         q = qy if qts[pi] == 0 else qc       # natural (row-major) order
-        Fn = np.asarray(F).reshape(-1, 64)
-        qz = np.rint(Fn / q[None, :].astype(np.float64)).astype(np.int32)
-        qcoef.append(qz.reshape(bh, bw, 64)[..., _ZIGZAG])
+        qz = _quantize_blocks(F.reshape(-1, 64), q).astype(np.int32)
+        qz = qz.reshape(hib, wib, 64)[..., _ZIGZAG]
+        # ... MCU-padding blocks beyond that are DUMMY blocks: zero AC,
+        # DC copied from the previous block in MCU encode order
+        # (jccoefct.c compress_data)
+        bh, bw = mcuy * v, mcux * h
+        full = np.zeros((bh, bw, 64), np.int32)
+        full[:hib, :wib] = qz
+        for c in range(wib, bw):             # right-edge dummy columns
+            full[:hib, c, 0] = full[:hib, c - 1, 0]
+        for rrow in range(hib, bh):          # bottom dummy block rows
+            for mx in range(mcux):
+                full[rrow, mx * h:(mx + 1) * h, 0] = \
+                    full[rrow - 1, (mx + 1) * h - 1, 0]
+        qcoef.append(full)
 
     # native C++ entropy encoder; the Python loop below is the fallback
     from ..native import jpeg_encode_blocks as _native_encode
@@ -616,10 +728,10 @@ def jpeg_encode(img, quality=95):
     bw_ = _BitWriter()
     if ent is not None:
         bw_.out = bytearray(ent)
-    pred = [0] * len(planes)
+    pred = [0] * len(samp)
     for my in range(mcuy if ent is None else 0):
         for mx in range(mcux):
-            for pi in range(len(planes)):
+            for pi in range(len(samp)):
                 h, v = samp[pi]
                 tdc = dc_tabs[0 if qts[pi] == 0 else 1]
                 tac = ac_tabs[0 if qts[pi] == 0 else 1]

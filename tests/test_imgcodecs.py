@@ -528,3 +528,34 @@ def test_jpeg_decode_bit_exact_matrix():
     assert np.array_equal(
         np.asarray(tcv.imdecode(buf, tcv.IMREAD_COLOR)),
         cv2.imdecode(buf, cv2.IMREAD_COLOR))
+
+
+def test_jpeg_encode_byte_identical():
+    """imencode('.jpg') emits the exact bytes the wheel emits (same
+    fixed-point color conversion, biased downsampling, islow FDCT,
+    round-half-away quantization, dummy-block MCU padding, header
+    layout) across quality and sampling factor (grfmt_jpeg.cpp write
+    parity)."""
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 256, (37, 53, 3), np.uint8),
+            cv2.GaussianBlur(
+                rng.integers(0, 256, (64, 96, 3), np.uint8), (0, 0), 2),
+            rng.integers(0, 256, (61, 93), np.uint8)]
+    samps = [(0x221111, cv2.IMWRITE_JPEG_SAMPLING_FACTOR_420),
+             (0x211111, cv2.IMWRITE_JPEG_SAMPLING_FACTOR_422),
+             (0x111111, cv2.IMWRITE_JPEG_SAMPLING_FACTOR_444),
+             (0x411111, cv2.IMWRITE_JPEG_SAMPLING_FACTOR_411),
+             (0x121111, cv2.IMWRITE_JPEG_SAMPLING_FACTOR_440)]
+    for img in imgs:
+        for q in (1, 75, 95, 100):
+            for sv, cvs in samps:
+                if img.ndim == 2 and sv != 0x221111:
+                    continue
+                okr, ref = cv2.imencode(
+                    ".jpg", img,
+                    [cv2.IMWRITE_JPEG_QUALITY, q,
+                     cv2.IMWRITE_JPEG_SAMPLING_FACTOR, cvs])
+                assert okr
+                okm, mine = tcv.imencode(".jpg", img, [1, q, 7, sv])
+                assert okm
+                assert bytes(ref) == bytes(np.asarray(mine)), (q, sv)
