@@ -324,3 +324,22 @@ def jpeg_encode_blocks(qcoef, comp_h, comp_v, comp_tq, mcux, mcuy,
     if n < 0:
         return None
     return bytes(out[:n])
+
+
+def watershed(img: np.ndarray, markers: np.ndarray):
+    """Native marker-controlled watershed (cv::watershed semantics);
+    mutates `markers` in place.  Returns False if the native lib is
+    unavailable (caller falls back to the Python twin)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    if not getattr(lib, "_ws_sig", False):
+        lib.watershed_u8c3.restype = ctypes.c_int
+        lib.watershed_u8c3.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        lib._ws_sig = True
+    im = np.ascontiguousarray(img, np.uint8)
+    assert markers.flags.c_contiguous and markers.dtype == np.int32
+    H, W = markers.shape
+    lib.watershed_u8c3(im.ctypes.data, markers.ctypes.data, H, W)
+    return True

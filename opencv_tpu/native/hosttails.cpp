@@ -1635,3 +1635,99 @@ extern "C" uint32_t crc32_msb(const uint8_t *data, int64_t len,
     crc = (crc << 8) ^ tbl[((crc >> 24) ^ data[i]) & 0xFF];
   return crc;
 }
+
+/* ------------------------------------------------------------------------
+ * Marker-controlled watershed flood, matching cv::watershed semantics
+ * (imgproc/src/segmentation.cpp:88-325): 256 FIFO bucket queues keyed by
+ * the max-channel gradient, raster-order seeding with the MIN diff to any
+ * labeled 4-neighbor, L/R/T/B neighbor evaluation order, and an active
+ * bucket index that drops back whenever a cheaper pixel is queued.  The
+ * one-pixel image frame is forced to boundary (-1); unreachable zeros
+ * stay 0.  Own implementation (std::deque buckets, flat indexing). */
+#include <deque>
+
+extern "C" int watershed_u8c3(const uint8_t *img, int32_t *mask,
+                              int H, int W) {
+  const int IN_QUEUE = -2, WSHED = -1;
+  if (H < 1 || W < 1) return 0;
+  for (int j = 0; j < W; j++) {
+    mask[j] = WSHED;
+    mask[(int64_t)(H - 1) * W + j] = WSHED;
+  }
+  for (int i = 0; i < H; i++) {
+    mask[(int64_t)i * W] = WSHED;
+    mask[(int64_t)i * W + W - 1] = WSHED;
+  }
+  auto cdiff = [&](int64_t p, int64_t q) -> int {
+    int d0 = img[3 * p] - img[3 * q];
+    if (d0 < 0) d0 = -d0;
+    int d1 = img[3 * p + 1] - img[3 * q + 1];
+    if (d1 < 0) d1 = -d1;
+    int d2 = img[3 * p + 2] - img[3 * q + 2];
+    if (d2 < 0) d2 = -d2;
+    int d = d0 > d1 ? d0 : d1;
+    return d > d2 ? d : d2;
+  };
+  std::deque<int64_t> q[256];
+  for (int i = 1; i < H - 1; i++) {
+    for (int j = 1; j < W - 1; j++) {
+      int64_t p = (int64_t)i * W + j;
+      if (mask[p] < 0) mask[p] = 0;
+      if (mask[p] == 0 && (mask[p - 1] > 0 || mask[p + 1] > 0 ||
+                           mask[p - W] > 0 || mask[p + W] > 0)) {
+        int idx = 256, t;
+        if (mask[p - 1] > 0) idx = cdiff(p, p - 1);
+        if (mask[p + 1] > 0) { t = cdiff(p, p + 1); if (t < idx) idx = t; }
+        if (mask[p - W] > 0) { t = cdiff(p, p - W); if (t < idx) idx = t; }
+        if (mask[p + W] > 0) { t = cdiff(p, p + W); if (t < idx) idx = t; }
+        q[idx].push_back(p);
+        mask[p] = IN_QUEUE;
+      }
+    }
+  }
+  int active = 0;
+  while (active < 256 && q[active].empty()) active++;
+  if (active == 256) return 0;
+  for (;;) {
+    if (q[active].empty()) {
+      int i = active + 1;
+      while (i < 256 && q[i].empty()) i++;
+      if (i == 256) break;
+      active = i;
+    }
+    int64_t p = q[active].front();
+    q[active].pop_front();
+    int lab = 0, t;
+    t = mask[p - 1];
+    if (t > 0) lab = t;
+    t = mask[p + 1];
+    if (t > 0) { if (!lab) lab = t; else if (t != lab) lab = WSHED; }
+    t = mask[p - W];
+    if (t > 0) { if (!lab) lab = t; else if (t != lab) lab = WSHED; }
+    t = mask[p + W];
+    if (t > 0) { if (!lab) lab = t; else if (t != lab) lab = WSHED; }
+    mask[p] = lab;
+    if (lab == WSHED) continue;
+    if (mask[p - 1] == 0) {
+      t = cdiff(p, p - 1); q[t].push_back(p - 1);
+      if (t < active) active = t;
+      mask[p - 1] = IN_QUEUE;
+    }
+    if (mask[p + 1] == 0) {
+      t = cdiff(p, p + 1); q[t].push_back(p + 1);
+      if (t < active) active = t;
+      mask[p + 1] = IN_QUEUE;
+    }
+    if (mask[p - W] == 0) {
+      t = cdiff(p, p - W); q[t].push_back(p - W);
+      if (t < active) active = t;
+      mask[p - W] = IN_QUEUE;
+    }
+    if (mask[p + W] == 0) {
+      t = cdiff(p, p + W); q[t].push_back(p + W);
+      if (t < active) active = t;
+      mask[p + W] = IN_QUEUE;
+    }
+  }
+  return 0;
+}

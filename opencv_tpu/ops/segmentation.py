@@ -8,7 +8,6 @@ for watershed) runs on device.
 
 from __future__ import annotations
 
-import heapq
 from collections import deque
 
 import numpy as np
@@ -92,52 +91,80 @@ def floodFill(image, mask, seedPoint, newVal, loDiff=None, upDiff=None,
 
 
 def watershed(image, markers):
-    """Marker-controlled watershed (segmentation.cpp cvWatershed):
-    priority-flood on color gradient; boundaries get -1."""
-    img = np.asarray(image).astype(np.int32)
-    m = np.array(markers, np.int32)
-    H, W = m.shape
-    pq = []
-    counter = 0
-
-    def edge_cost(y1, x1, y2, x2):
-        return int(np.abs(img[y1, x1].astype(np.int64)
-                          - img[y2, x2].astype(np.int64)).max())
-
-    offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
-    state = m.copy()
-    for y in range(H):
-        for x in range(W):
-            if state[y, x] > 0:
-                for dy, dx in offs:
-                    ny, nx = y + dy, x + dx
-                    if 0 <= ny < H and 0 <= nx < W and state[ny, nx] == 0:
-                        heapq.heappush(pq, (edge_cost(y, x, ny, nx), counter,
-                                            ny, nx, state[y, x]))
-                        counter += 1
-    while pq:
-        cost, _, y, x, label = heapq.heappop(pq)
-        if state[y, x] != 0:
-            continue
-        # check neighbor labels: if multiple distinct → boundary
-        labs = set()
-        for dy, dx in offs:
-            ny, nx = y + dy, x + dx
-            if 0 <= ny < H and 0 <= nx < W and state[ny, nx] > 0:
-                labs.add(state[ny, nx])
-        if len(labs) > 1:
-            state[y, x] = -1
-            continue
-        state[y, x] = label
-        for dy, dx in offs:
-            ny, nx = y + dy, x + dx
-            if 0 <= ny < H and 0 <= nx < W and state[ny, nx] == 0:
-                heapq.heappush(pq, (edge_cost(y, x, ny, nx), counter,
-                                    ny, nx, label))
-                counter += 1
-    state[state == 0] = -1
-    markers[...] = state
+    """Marker-controlled watershed, bit-exact with cv::watershed
+    (segmentation.cpp:88-325): 256 FIFO bucket queues keyed by the
+    max-channel gradient, raster seeding at the MIN diff to a labeled
+    4-neighbor, left/right/top/bottom evaluation order, active bucket
+    dropping back on cheaper pushes; the one-pixel frame is forced to
+    -1 and unreachable zeros stay 0.  Native C tier with an exact
+    Python twin."""
+    img = np.ascontiguousarray(np.asarray(image), np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("watershed needs 8UC3 input")
+    out = np.ascontiguousarray(np.asarray(markers), np.int32)
+    from ..native import watershed as _native_ws
+    if not _native_ws(img, out):
+        _watershed_py(img, out)
+    markers[...] = out
     return markers
+
+
+def _watershed_py(img, m):
+    """Exact Python twin of the native watershed flood."""
+    from collections import deque
+    IN_QUEUE, WSHED = -2, -1
+    H, W = m.shape
+    m[0, :] = m[-1, :] = WSHED
+    m[:, 0] = m[:, -1] = WSHED
+    im = img.astype(np.int32)
+
+    def cdiff(y1, x1, y2, x2):
+        return int(np.abs(im[y1, x1] - im[y2, x2]).max())
+
+    q = [deque() for _ in range(256)]
+    inner = m[1:H - 1, 1:W - 1]
+    inner[inner < 0] = 0
+    for i in range(1, H - 1):
+        for j in range(1, W - 1):
+            if m[i, j] != 0:
+                continue
+            idx = 256
+            if m[i, j - 1] > 0:
+                idx = cdiff(i, j, i, j - 1)
+            if m[i, j + 1] > 0:
+                idx = min(idx, cdiff(i, j, i, j + 1))
+            if m[i - 1, j] > 0:
+                idx = min(idx, cdiff(i, j, i - 1, j))
+            if m[i + 1, j] > 0:
+                idx = min(idx, cdiff(i, j, i + 1, j))
+            if idx <= 255:
+                q[idx].append((i, j))
+                m[i, j] = IN_QUEUE
+    active = next((k for k in range(256) if q[k]), 256)
+    if active == 256:
+        return
+    while True:
+        if not q[active]:
+            active = next((k for k in range(active + 1, 256) if q[k]), 256)
+            if active == 256:
+                break
+        i, j = q[active].popleft()
+        lab = 0
+        for t in (m[i, j - 1], m[i, j + 1], m[i - 1, j], m[i + 1, j]):
+            if t > 0:
+                if lab == 0:
+                    lab = t
+                elif t != lab:
+                    lab = WSHED
+        m[i, j] = lab
+        if lab == WSHED:
+            continue
+        for ni, nj in ((i, j - 1), (i, j + 1), (i - 1, j), (i + 1, j)):
+            if m[ni, nj] == 0:
+                t = cdiff(i, j, ni, nj)
+                q[t].append((ni, nj))
+                active = min(active, t)
+                m[ni, nj] = IN_QUEUE
 
 
 def pyrMeanShiftFiltering(src, sp: float, sr: float, maxLevel: int = 1,

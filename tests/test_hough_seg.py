@@ -79,10 +79,26 @@ def test_watershed():
     cv2.watershed(img, rm)
     om = markers.copy()
     tcv.watershed(img, om)
-    # segment identity agreement on interior pixels (boundaries differ)
-    inner = (rm > 0) & (om > 0)
-    agree = (rm[inner] == om[inner]).mean()
-    assert agree > 0.9, f"agreement {agree}"
+    assert np.array_equal(om, rm)  # bit-exact
+
+
+def test_watershed_bit_exact_noise():
+    rng = np.random.default_rng(0)
+    img = cv2.GaussianBlur(
+        rng.integers(0, 256, (81, 97, 3), np.uint8), (0, 0), 2)
+    mk = np.zeros((81, 97), np.int32)
+    for lbl in range(1, 6):
+        mk[rng.integers(2, 79), rng.integers(2, 95)] = lbl
+    rm = mk.copy()
+    cv2.watershed(img, rm)
+    om = mk.copy()
+    tcv.watershed(img, om)
+    assert np.array_equal(om, rm)
+    # the pure-Python twin matches the native tier exactly
+    from opencv_tpu.ops.segmentation import _watershed_py
+    pm = np.ascontiguousarray(mk.copy(), np.int32)
+    _watershed_py(np.ascontiguousarray(img, np.uint8), pm)
+    assert np.array_equal(pm, rm)
 
 
 def test_pyr_mean_shift():
