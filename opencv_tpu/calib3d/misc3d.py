@@ -199,35 +199,39 @@ def getDefaultNewCameraMatrix(cameraMatrix, imgsize=None,
 
 
 def filterSpeckles(img, newVal, maxSpeckleSize: int, maxDiff):
-    """cv::filterSpeckles (stereosgbm.cpp): connected blobs of similar
-    disparity smaller than maxSpeckleSize are set to newVal."""
+    """cv::filterSpeckles (stereosgbm.cpp filterSpecklesImpl:2343):
+    4-connected blobs of chained-similar disparity with count <=
+    maxSpeckleSize are set to newVal.  Pixels already equal to newVal
+    are barriers — never labeled, never counted."""
     a = np.array(img, copy=True)
     H, W = a.shape[:2]
-    labels = np.full((H, W), -1, np.int32)
+    labels = np.zeros((H, W), np.int32)
+    md = int(maxDiff)
+    nv = newVal
     cur = 0
-    md = maxDiff
     for y0 in range(H):
         for x0 in range(W):
-            if labels[y0, x0] >= 0:
+            if a[y0, x0] == nv or labels[y0, x0]:
                 continue
+            cur += 1
             stack = [(y0, x0)]
             labels[y0, x0] = cur
             comp = []
             while stack:
                 y, x = stack.pop()
                 comp.append((y, x))
-                v = a[y, x]
-                for (yy, xx) in ((y - 1, x), (y + 1, x), (y, x - 1),
-                                 (y, x + 1)):
+                v = int(a[y, x])
+                for (yy, xx) in ((y + 1, x), (y - 1, x), (y, x + 1),
+                                 (y, x - 1)):
                     if 0 <= yy < H and 0 <= xx < W \
-                            and labels[yy, xx] < 0 \
-                            and abs(int(a[yy, xx]) - int(v)) <= md:
+                            and not labels[yy, xx] \
+                            and a[yy, xx] != nv \
+                            and abs(int(a[yy, xx]) - v) <= md:
                         labels[yy, xx] = cur
                         stack.append((yy, xx))
             if len(comp) <= maxSpeckleSize:
                 for (y, x) in comp:
-                    a[y, x] = newVal
-            cur += 1
+                    a[y, x] = nv
     return a
 
 

@@ -164,7 +164,10 @@ def _bt_prow(img, ftzero):
     cols = jnp.arange(W)
     border = (cols == 0) | (cols == W - 1)
     sob = jnp.where(border[None, :], ftzero, sob)
-    return sob, x
+    # the raw plane's border columns are preset to tab[0] = ftzero too
+    # (stereosgbm.cpp:195-196 covers ALL cn*2 channels)
+    raw = jnp.where(border[None, :], ftzero, x)
+    return sob, raw
 
 
 def _bt_cost_plane(p1, p2, minD, maxD):
@@ -302,7 +305,11 @@ def _sgbm(left, right, minD, maxD, sw2, P1, P2, ftzero, uniq, disp12,
     sp = gather(d0 + 1)
     s0 = gather(d0)
     denom2 = jnp.maximum(sm + sp - 2 * s0, 1)
-    frac = ((sm - sp) * 16 + denom2) // (denom2 * 2)
+    # C integer division truncates toward zero (stereosgbm.cpp:936);
+    # adjust the floor division on negative numerators
+    num = (sm - sp) * 16 + denom2
+    den = denom2 * 2
+    frac = num // den + jnp.where((num < 0) & (num % den != 0), 1, 0)
     dq = jnp.where((best > 0) & (best < D - 1), best * 16 + frac, best * 16)
 
     # LR consistency: disp2 = per-right-pixel min over x of (minS, d)
@@ -376,10 +383,24 @@ class StereoSGBM:
         P1 = self.P1 if self.P1 > 0 else 2
         P2 = max(self.P2 if self.P2 > 0 else 5, P1 + 1)
         ftzero = max(self.preFilterCap, 15) | 1
+        uniq = self.uniquenessRatio if self.uniquenessRatio >= 0 else 10
+        # SGBM clamps disp12MaxDiff<=0 to 1 (stereosgbm.cpp:499) —
+        # unlike StereoBM, the LR check is never disabled
+        disp12 = self.disp12MaxDiff if self.disp12MaxDiff > 0 else 1
         out = _sgbm(jnp.asarray(lx), jnp.asarray(rx),
                     self.minDisparity, self.minDisparity
                     + self.numDisparities, self.blockSize // 2,
                     int(P1), int(P2), int(ftzero),
-                    int(self.uniquenessRatio), int(self.disp12MaxDiff),
+                    int(uniq), int(disp12),
                     self.mode == self.MODE_HH)
-        return np.asarray(out)
+        out = np.asarray(out)
+        # the reference post-filters every SGBM result with a 3x3
+        # median, then speckle filtering (stereosgbm.cpp:2225-2229)
+        from ..ops.smooth import medianBlur
+        out = np.asarray(medianBlur(out, 3))
+        if self.speckleWindowSize > 0:
+            from .misc3d import filterSpeckles
+            out = filterSpeckles(out, (self.minDisparity - 1) * 16,
+                                 self.speckleWindowSize,
+                                 16 * self.speckleRange)
+        return out

@@ -182,13 +182,36 @@ def test_sgbm_matches_cv2():
                                      uniquenessRatio=10,
                                      mode=mode).compute(left, base)
         assert ours.dtype == np.int16 and ours.shape == ref.shape
-        inner = np.zeros(ref.shape, bool)
-        inner[8:-8, 24:-8] = True
-        m = (ref > 0) & (ours > 0) & inner
-        d = np.abs(ref[m].astype(int) - ours[m].astype(int))
-        assert (d == 0).mean() > 0.8, (mode, (d == 0).mean())
-        assert (d <= 16).mean() > 0.99
-        assert abs(np.median(ours[m]) / 16.0 - 6.0) < 0.2
+        assert np.array_equal(ours, ref), mode  # bit-exact
+
+
+def test_sgbm_bit_exact_params():
+    """SGBM is bit-exact vs the wheel across parameters: minDisparity
+    (incl. negative), numDisparities, blockSize, P1/P2, uniqueness,
+    disp12MaxDiff, speckle filtering (stereosgbm.cpp + the 3x3 median
+    and filterSpecklesImpl post-passes)."""
+    rng = np.random.default_rng(1)
+    base = (cv2.GaussianBlur(rng.random((90, 150)).astype(np.float32),
+                             (0, 0), 1.5) * 255).astype(np.uint8)
+    left = np.roll(base, 5, axis=1)
+    cfgs = [
+        dict(minDisparity=2, numDisparities=16, blockSize=7, P1=100,
+             P2=1000, uniquenessRatio=15, disp12MaxDiff=2),
+        dict(minDisparity=-4, numDisparities=32, blockSize=5, P1=200,
+             P2=800, uniquenessRatio=10),
+        dict(minDisparity=0, numDisparities=16, blockSize=5, P1=200,
+             P2=800, uniquenessRatio=10, speckleWindowSize=50,
+             speckleRange=2),
+    ]
+    for cfg in cfgs:
+        for mode in (0, 1):
+            cvmode = (cv2.STEREO_SGBM_MODE_HH if mode
+                      else cv2.STEREO_SGBM_MODE_SGBM)
+            ref = cv2.StereoSGBM_create(**cfg, mode=cvmode).compute(
+                left, base)
+            ours = tcv.StereoSGBM_create(**cfg, mode=mode).compute(
+                left, base)
+            assert np.array_equal(ours, ref), (cfg, mode)
 
 
 def _make_board(cols, rows, sq=30, angle=7, noise=8, seed=0):
