@@ -22,85 +22,181 @@ __all__ = ["StereoBM", "StereoBM_create", "StereoSGBM",
            "StereoSGBM_create"]
 
 
-def _box(x, k):
-    c = jnp.cumsum(jnp.cumsum(x, axis=0), axis=1)
-    c = jnp.pad(c, ((1, 0), (1, 0)))
-    H = x.shape[0] - k + 1
-    W = x.shape[1] - k + 1
+def _xsobel_prefilter(img, ftzero):
+    """prefilterXSobel (stereobm.cpp:210): x-Sobel over reflected rows,
+    clamped to [0, 2*ftzero].  Border columns get ftzero; when the
+    height is odd the unpaired last row is entirely ftzero (the
+    reference processes rows in pairs)."""
+    x = np.asarray(img, np.int32)
+    H, W = x.shape
+    out = np.full((H, W), ftzero, np.int32)
+    if H < 2 or W < 3:
+        return out
+    rows = np.arange(H)
+    up = np.abs(rows - 1)                       # reflect-101 top
+    dn = (H - 1) - np.abs(H - 2 - rows)         # reflect-101 bottom
+    d = np.zeros((H, W), np.int32)
+    d[:, 1:-1] = x[:, 2:] - x[:, :-2]
+    sob = d[up] + 2 * d + d[dn]
+    out[:, 1:-1] = np.clip(sob + ftzero, 0, 2 * ftzero)[:, 1:-1]
+    out[:, 0] = out[:, -1] = ftzero
+    if H % 2 == 1:
+        out[-1, :] = ftzero
+    return out
+
+
+def _norm_prefilter(img, winsize, ftzero):
+    """prefilterNorm (stereobm.cpp:128): response of the 5-point
+    Laplacian-ish kernel normalized by the local window mean, clamped
+    to [0, 2*ftzero]."""
+    x = np.asarray(img, np.int64)
+    H, W = x.shape
+    wsz2 = winsize // 2
+    scale_g = winsize * winsize // 8
+    scale_s = (1024 + scale_g) // (scale_g * 2)
+    scale_g *= scale_s
+    # replicate-border winsize x winsize window sum (the reference's
+    # running vsum/sum scheme)
+    p = np.pad(x, ((wsz2, wsz2), (wsz2, wsz2)), mode="edge")
+    c = np.cumsum(np.cumsum(p, 0), 1)
+    c = np.pad(c, ((1, 0), (1, 0)))
+    k = 2 * wsz2 + 1
+    s = c[k:k + H, k:k + W] - c[k:k + H, 0:W] - c[0:H, k:k + W] + c[0:H, 0:W]
+    prev = x[np.maximum(np.arange(H) - 1, 0)]
+    nxt = x[np.minimum(np.arange(H) + 1, H - 1)]
+    left = np.pad(x, ((0, 0), (1, 0)), mode="edge")[:, :-1]
+    right = np.pad(x, ((0, 0), (0, 1)), mode="edge")[:, 1:]
+    val = ((x * 4 + left + right + prev + nxt) * scale_g
+           - s * scale_s) >> 10
+    return np.clip(val + ftzero, 0, 2 * ftzero).astype(np.int32)
+
+
+def _box_hw(x, r):
+    """Replicate-border (2r+1)^2 box sum over leading two axes."""
+    pad = ((r, r), (r, r)) + ((0, 0),) * (x.ndim - 2)
+    p = jnp.pad(x, pad, mode="edge")
+    c = jnp.cumsum(jnp.cumsum(p, axis=0), axis=1)
+    c = jnp.pad(c, ((1, 0), (1, 0)) + ((0, 0),) * (x.ndim - 2))
+    k = 2 * r + 1
+    H, W = x.shape[:2]
     return (c[k:k + H, k:k + W] - c[k:k + H, 0:W]
             - c[0:H, k:k + W] + c[0:H, 0:W])
 
 
-@functools.partial(jax.jit, static_argnames=("ndisp", "block", "prefilter_cap",
-                                             "texture_thresh", "uniqueness"))
-def _stereo_bm(left, right, ndisp, block, prefilter_cap, texture_thresh,
-               uniqueness):
-    L = left.astype(jnp.float32)
-    R = right.astype(jnp.float32)
+@functools.partial(jax.jit, static_argnames=("ndisp", "wsz", "ftzero",
+                                             "tex_thresh", "uniq", "minD"))
+def _bm_core(L, R, ndisp, wsz, ftzero, tex_thresh, uniq, minD):
+    """findStereoCorrespondenceBM (stereobm.cpp:669) as one device
+    program over the full image: reversed-d SAD volume + replicate box,
+    first-min winner, texture/uniqueness checks, the mirrored-end
+    integer subpixel, and the valid-ROI blanking of the invoker."""
     H, W = L.shape
+    wsz2 = wsz // 2
+    lofs = max(ndisp - 1 + minD, 0)
+    rofs = -min(ndisp - 1 + minD, 0)
+    width1 = W - rofs - ndisp + 1
+    FILT = (minD - 1) * 16
 
-    # prefilter: clipped x-Sobel (prefilterXSobel)
-    def prefilter(img):
-        p = jnp.pad(img, 1, mode="edge")
-        d = (p[1:H + 1, 2:W + 2] - p[1:H + 1, 0:W]) * 2 \
-            + (p[0:H, 2:W + 2] - p[0:H, 0:W]) \
-            + (p[2:H + 2, 2:W + 2] - p[2:H + 2, 0:W])
-        return jnp.clip(d, -prefilter_cap, prefilter_cap) + prefilter_cap
+    ds = jnp.arange(ndisp)
+    # window columns extended by wsz2 each side, with the reference's
+    # ASYMMETRIC clamps: the left pointer clamps to width-1-lofs, the
+    # right BASE clamps to width-ndisp-rofs (stereobm.cpp:787-789) —
+    # these differ when minD != 0, so cost cannot just replicate-pad
+    wext = jnp.arange(-wsz2, width1 + wsz2)
+    lcol = lofs + jnp.clip(wext, -lofs, W - 1 - lofs)
+    rbase = rofs + jnp.clip(wext, -rofs, W - ndisp - rofs)
+    lv = L[:, lcol]                                       # (H, we)
+    cost = jnp.abs(lv[:, :, None] - R[:, rbase[:, None] + ds[None, :]])
 
-    Lf = prefilter(L)
-    Rf = prefilter(R)
+    def box_sep(x):
+        # horizontal: valid mode over the extended axis; vertical:
+        # replicate (hsad row indices are clamped in the reference)
+        k = 2 * wsz2 + 1
+        tail = ((0, 0),) * (x.ndim - 2)
+        ch = jnp.pad(jnp.cumsum(x, axis=1), ((0, 0), (1, 0)) + tail)
+        hh = ch[:, k:] - ch[:, :-k]                       # (H, width1, ...)
+        pv = jnp.pad(hh, ((wsz2, wsz2), (0, 0)) + tail, mode="edge")
+        cv_ = jnp.pad(jnp.cumsum(pv, axis=0), ((1, 0), (0, 0)) + tail)
+        return cv_[k:] - cv_[:-k]                         # (H, width1, ...)
 
-    r = block // 2
-    Lp = jnp.pad(Lf, r, mode="edge")
-    Rp = jnp.pad(Rf, r, mode="edge")
+    sad = box_sep(cost)
+    minsad = jnp.min(sad, -1)
+    mind = jnp.argmin(sad, -1)                            # first minimum
 
-    INF = jnp.float32(1e18)
-    best = jnp.full((H, W), INF)
-    best_d = jnp.zeros((H, W), jnp.int32)
-    second = jnp.full((H, W), INF)
+    # texture: window sum of |prefiltered L - ftzero|
+    texs = box_sep(jnp.abs(lv - ftzero))
+    tex_ok = texs >= tex_thresh
 
-    sads = []
-    for d in range(ndisp):
-        Rs = jnp.pad(Rp, ((0, 0), (d, 0)))[:, :Rp.shape[1]]
-        sad = _box(jnp.abs(Lp - Rs), block)
-        sads.append(sad)
-    sadstack = jnp.stack(sads)          # (D, H, W)
-    best_d = jnp.argmin(sadstack, axis=0)
-    best = jnp.min(sadstack, axis=0)
-    # uniqueness: second-best outside ±1 of the winner
-    dd = jnp.arange(ndisp)[:, None, None]
-    near = jnp.abs(dd - best_d[None]) <= 1
-    second = jnp.min(jnp.where(near, INF, sadstack), axis=0)
-    unique_ok = best * (100 + uniqueness) <= second * 100
+    if uniq > 0:
+        thresh = minsad + minsad * uniq // 100
+        far = jnp.abs(ds[None, None, :] - mind[..., None]) > 1
+        unique_ok = ~jnp.any(far & (sad <= thresh[..., None]), -1)
+    else:
+        unique_ok = jnp.ones_like(tex_ok)
 
-    # texture check: sum of |prefiltered - cap| over the window
-    tex = _box(jnp.abs(Lp - prefilter_cap), block)
-    tex_ok = tex >= texture_thresh
+    # subpixel: sad[-1] = sad[1], sad[ndisp] = sad[ndisp-2] mirror,
+    # then dispDescale with C truncating division
+    sadp = jnp.concatenate([sad[..., 1:2], sad,
+                            sad[..., ndisp - 2:ndisp - 1]], -1)
+    g = lambda i: jnp.take_along_axis(sadp, i[..., None], -1)[..., 0]
+    s0 = g(mind + 1)
+    p = g(mind + 2)
+    n = g(mind)
+    denom = p + n - 2 * s0 + jnp.abs(p - n)           # >= 0
+    num = (p - n) * 256
+    q = jnp.where(denom > 0,
+                  jnp.sign(num) * (jnp.abs(num) // jnp.maximum(denom, 1)),
+                  0)
+    val = ((ndisp - mind - 1 + minD) * 256 + q + 15) >> 4
 
-    # subpixel: parabola fit over (d-1, d, d+1)
-    d0 = jnp.clip(best_d, 1, ndisp - 2)
-    sm = jnp.take_along_axis(sadstack, (d0 - 1)[None], axis=0)[0]
-    s0 = jnp.take_along_axis(sadstack, d0[None], axis=0)[0]
-    sp = jnp.take_along_axis(sadstack, (d0 + 1)[None], axis=0)[0]
-    denom = jnp.maximum(sm + sp - 2 * s0, 1e-6)
-    frac = jnp.clip((sm - sp) / (2 * denom), -0.5, 0.5)
-    disp = best_d.astype(jnp.float32) + jnp.where(
-        (best_d >= 1) & (best_d <= ndisp - 2), frac, 0.0)
-
-    # invalidate: left strip (no search room), checks
-    xs = jnp.arange(W)[None, :]
-    valid = unique_ok & tex_ok & (xs >= ndisp + r)
-    out = jnp.where(valid, disp * 16.0, -16.0)
-    return out.astype(jnp.int16)
+    # valid-ROI blanking (FindStereoCorrespInvoker + getValidDisparityROI)
+    maxD = minD + ndisp - 1
+    x0 = max(0, maxD) + wsz2
+    x1 = W - wsz2
+    gx = lofs + jnp.arange(width1)
+    keep = (tex_ok & unique_ok
+            & (gx[None, :] >= x0) & (gx[None, :] < x1)
+            & (jnp.arange(H)[:, None] >= wsz2)
+            & (jnp.arange(H)[:, None] < H - wsz2))
+    vals = jnp.where(keep, val, FILT).astype(jnp.int16)
+    out = jnp.full((H, W), FILT, jnp.int16)
+    # for minD > 0 the x range extends past the image (the reference
+    # computes-then-blanks those columns); clip to what fits
+    nvis = min(width1, W - lofs)
+    out = jax.lax.dynamic_update_slice(out, vals[:, :nvis], (0, lofs))
+    # reproduce the reference's row-overflow artifact: its x loop for
+    # minD > 0 writes the last ROI row's rightmost (computed, un-ROI'd)
+    # values into row H-wsz2 columns [0, minD); that row is below the
+    # ROI and is never re-blanked (stereobm.cpp:780 dptr stride walk)
+    novf = lofs + width1 - W
+    if novf > 0 and wsz2 <= H - wsz2 - 1:
+        raw = jnp.where(tex_ok[H - wsz2 - 1] & unique_ok[H - wsz2 - 1],
+                        val[H - wsz2 - 1], FILT).astype(jnp.int16)
+        out = out.at[H - wsz2, 0:novf].set(raw[width1 - novf:width1])
+    return out
 
 
 class StereoBM:
+    """StereoBM (stereobm.cpp) — bit-exact vs the wheel: paired-row
+    XSobel / normalized-response prefilter, reversed-d SAD matching,
+    texture + uniqueness checks, integer subpixel, valid-ROI blanking,
+    optional speckle filtering."""
+
+    PREFILTER_NORMALIZED_RESPONSE = 0
+    PREFILTER_XSOBEL = 1
+
     def __init__(self, numDisparities=64, blockSize=21):
-        self.ndisp = numDisparities
+        self.ndisp = numDisparities if numDisparities > 0 else 64
         self.block = blockSize
+        self.minDisparity = 0
+        self.prefilter_type = self.PREFILTER_XSOBEL
+        self.prefilter_size = 9
         self.prefilter_cap = 31
         self.texture_threshold = 10
         self.uniqueness = 15
+        self.speckleWindowSize = 0
+        self.speckleRange = 0
+        self.disp12MaxDiff = -1
 
     @staticmethod
     def create(numDisparities=64, blockSize=21):
@@ -112,19 +208,67 @@ class StereoBM:
     def setBlockSize(self, b):
         self.block = b
 
+    def setMinDisparity(self, m):
+        self.minDisparity = m
+
+    def setPreFilterType(self, t):
+        self.prefilter_type = t
+
+    def setPreFilterSize(self, s):
+        self.prefilter_size = s
+
+    def setPreFilterCap(self, c):
+        self.prefilter_cap = c
+
     def setTextureThreshold(self, t):
         self.texture_threshold = t
 
     def setUniquenessRatio(self, u):
         self.uniqueness = u
 
+    def setSpeckleWindowSize(self, w):
+        self.speckleWindowSize = w
+
+    def setSpeckleRange(self, r):
+        self.speckleRange = r
+
+    def setDisp12MaxDiff(self, d):
+        self.disp12MaxDiff = d
+
+    def getNumDisparities(self):
+        return self.ndisp
+
+    def getBlockSize(self):
+        return self.block
+
+    def getMinDisparity(self):
+        return self.minDisparity
+
     def compute(self, left, right):
-        lx, _ = to_batched(left)
-        rx, _ = to_batched(right)
-        out = _stereo_bm(lx[0, :, :, 0], rx[0, :, :, 0], self.ndisp,
-                         self.block, self.prefilter_cap,
-                         self.texture_threshold, self.uniqueness)
-        return np.asarray(out)
+        lx = np.asarray(left)
+        rx = np.asarray(right)
+        if lx.ndim == 3:
+            lx = lx[..., 0]
+            rx = rx[..., 0]
+        if self.prefilter_type == self.PREFILTER_NORMALIZED_RESPONSE:
+            lp = _norm_prefilter(lx, self.prefilter_size,
+                                 self.prefilter_cap)
+            rp = _norm_prefilter(rx, self.prefilter_size,
+                                 self.prefilter_cap)
+        else:
+            lp = _xsobel_prefilter(lx, self.prefilter_cap)
+            rp = _xsobel_prefilter(rx, self.prefilter_cap)
+        out = np.asarray(_bm_core(
+            jnp.asarray(lp), jnp.asarray(rp), int(self.ndisp),
+            int(self.block), int(self.prefilter_cap),
+            int(self.texture_threshold), int(self.uniqueness),
+            int(self.minDisparity)))
+        if self.speckleRange >= 0 and self.speckleWindowSize > 0:
+            from .misc3d import filterSpeckles
+            out = filterSpeckles(out, (self.minDisparity - 1) * 16,
+                                 self.speckleWindowSize,
+                                 self.speckleRange)
+        return out
 
 
 def StereoBM_create(numDisparities=64, blockSize=21):

@@ -145,9 +145,39 @@ def test_stereo_bm():
     med = np.median(ours[valid]) / 16.0
     assert abs(med - disp_true) <= 1.0, f"median disparity {med}"
     if ref is not None:
-        both = (ours > 0) & (ref > 0)
-        agree = np.abs(ours[both].astype(int) - ref[both].astype(int)) <= 16
-        assert agree.mean() > 0.8, f"agreement {agree.mean()}"
+        assert np.array_equal(ours, ref)  # bit-exact
+
+
+def test_stereo_bm_bit_exact_params():
+    """StereoBM is bit-exact vs the wheel across prefilter types,
+    minDisparity (incl. negative), window sizes, texture/uniqueness,
+    and speckle filtering (stereobm.cpp parity incl. its asymmetric
+    window clamps and valid-ROI blanking)."""
+    rng = np.random.default_rng(2)
+    base = (cv2.GaussianBlur(rng.random((64, 160)).astype(np.float32),
+                             (0, 0), 1.5) * 255).astype(np.uint8)
+    left = np.roll(base, 8, axis=1)
+    cases = [
+        dict(nd=32, bs=9), dict(nd=32, bs=25),
+        dict(nd=32, bs=9, mindisp=4), dict(nd=32, bs=9, mindisp=-2),
+        dict(nd=32, bs=9, pftype=0, pfsize=21),
+        dict(nd=32, bs=9, speckle=(50, 16)),
+    ]
+    for c in cases:
+        r = cv2.StereoBM_create(c['nd'], c['bs'])
+        o = tcv.StereoBM_create(c['nd'], c['bs'])
+        for obj in (r, o):
+            if 'mindisp' in c:
+                obj.setMinDisparity(c['mindisp'])
+            if 'speckle' in c:
+                obj.setSpeckleWindowSize(c['speckle'][0])
+                obj.setSpeckleRange(c['speckle'][1])
+            if 'pftype' in c:
+                obj.setPreFilterType(c['pftype'])
+            if 'pfsize' in c:
+                obj.setPreFilterSize(c['pfsize'])
+        assert np.array_equal(o.compute(left, base),
+                              r.compute(left, base)), c
 
 
 def test_file_storage_roundtrip(tmp_path):
