@@ -100,11 +100,20 @@ def pyrDown(src, dstsize=None, borderType: int = K.BORDER_DEFAULT):
 
 def pyrUp(src, dstsize=None, borderType: int = K.BORDER_DEFAULT):
     x, meta = to_batched(src)
+    crop = None
     if dstsize is not None:
         dw, dh = dstsize
-        if (dw, dh) != (x.shape[2] * 2, x.shape[1] * 2):
+        W2, H2 = x.shape[2] * 2, x.shape[1] * 2
+        # cv::pyrUp allows dst = 2s or 2s-1 per axis; the odd sizes are
+        # exactly the even result cropped (verified vs the wheel)
+        if not (W2 - (dw % 2 == 1) <= dw <= W2
+                and H2 - (dh % 2 == 1) <= dh <= H2):
             raise NotImplementedError("non-default pyrUp dstsize")
+        if (dw, dh) != (W2, H2):
+            crop = (dh, dw)
     y = _pyr_up_nhwc(x, borderType)
+    if crop is not None:
+        y = y[:, :crop[0], :crop[1], :]
     return from_batched(y, meta)
 
 

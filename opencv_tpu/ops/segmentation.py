@@ -167,39 +167,133 @@ def _watershed_py(img, m):
                 m[ni, nj] = IN_QUEUE
 
 
+def _ms_level(src, sp, isr2, max_count, eps, proc):
+    """One pyramid level of the mean-shift iteration, vectorized over
+    all pixels with per-pixel activity masks (segmentation.cpp:441-543
+    semantics, incl. cvRound half-even means and the OLD-color stop
+    test).  `proc` selects which pixels are recomputed."""
+    H, W = src.shape[:2]
+    s = src.astype(np.int64)
+    yy0, xx0 = np.mgrid[0:H, 0:W]
+    x0 = xx0.astype(np.int64)
+    y0 = yy0.astype(np.int64)
+    c = s.copy()                                   # (H, W, 3)
+    active = proc.copy()
+    # window offsets: bounds are cvRound(x0 +- sp) clamped to the image
+    # (outside pixels are excluded, not replicated)
+    dmax = int(np.ceil(sp)) + 1
+    offs = np.arange(-dmax, dmax + 1)
+    for _ in range(max_count):
+        if not active.any():
+            break
+        minx = np.rint(x0 - sp).astype(np.int64)
+        maxx = np.rint(x0 + sp).astype(np.int64)
+        miny = np.rint(y0 - sp).astype(np.int64)
+        maxy = np.rint(y0 + sp).astype(np.int64)
+        np.clip(minx, 0, None, out=minx)
+        np.clip(miny, 0, None, out=miny)
+        np.clip(maxx, None, W - 1, out=maxx)
+        np.clip(maxy, None, H - 1, out=maxy)
+        s0 = np.zeros((H, W, 3), np.int64)
+        sx = np.zeros((H, W), np.int64)
+        sy = np.zeros((H, W), np.int64)
+        cnt = np.zeros((H, W), np.int64)
+        for dy in offs:
+            yy = y0 + dy
+            rowok = (yy >= miny) & (yy <= maxy)
+            if not rowok.any():
+                continue
+            yc = np.clip(yy, 0, H - 1)
+            for dx in offs:
+                xx = x0 + dx
+                sel = rowok & (xx >= minx) & (xx <= maxx) & active
+                if not sel.any():
+                    continue
+                xc = np.clip(xx, 0, W - 1)
+                t = s[yc, xc]                       # (H, W, 3)
+                dist = ((t - c) ** 2).sum(-1)
+                sel &= dist <= isr2
+                s0 += t * sel[..., None]
+                sx += xx * sel
+                sy += yy * sel
+                cnt += sel
+        nz = cnt > 0
+        live = active & nz
+        icnt = 1.0 / np.maximum(cnt, 1).astype(np.float64)
+        x1 = np.rint(sx * icnt).astype(np.int64)
+        y1 = np.rint(sy * icnt).astype(np.int64)
+        sm = np.rint(s0 * icnt[..., None]).astype(np.int64)
+        moved = np.abs(x1 - x0) + np.abs(y1 - y0)
+        cdist = ((sm - c) ** 2).sum(-1)
+        stop = ((x1 == x0) & (y1 == y0)) | (moved + cdist <= eps)
+        x0 = np.where(live, x1, x0)
+        y0 = np.where(live, y1, y0)
+        c = np.where(live[..., None], sm, c)
+        active = live & ~stop
+    return c.astype(np.uint8)
+
+
 def pyrMeanShiftFiltering(src, sp: float, sr: float, maxLevel: int = 1,
-                          termcrit=(3, 5, 1)):
-    """Mean-shift color smoothing (segmentation.cpp) — iterative joint
-    spatial/color mode seeking per pixel, vectorized over the image."""
-    img = np.asarray(src).astype(np.float64)
-    H, W = img.shape[:2]
-    iters = int(termcrit[1]) if len(termcrit) > 1 else 5
-    spi = int(sp)
-    ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
-    cx, cy = xs.copy(), ys.copy()
-    cv = img.copy()
-    pad = spi
-    for _ in range(iters):
-        acc_v = np.zeros_like(cv)
-        acc_x = np.zeros_like(cx)
-        acc_y = np.zeros_like(cy)
-        cnt = np.zeros((H, W))
-        for dy in range(-spi, spi + 1):
-            for dx in range(-spi, spi + 1):
-                qy = np.clip(np.rint(cy + dy).astype(int), 0, H - 1)
-                qx = np.clip(np.rint(cx + dx).astype(int), 0, W - 1)
-                v = img[qy, qx]
-                d = np.abs(v - cv).max(axis=-1) if img.ndim == 3 \
-                    else np.abs(v - cv)
-                m = d <= sr
-                mf = m.astype(np.float64)
-                acc_v += v * (mf[..., None] if img.ndim == 3 else mf)
-                acc_x += qx * mf
-                acc_y += qy * mf
-                cnt += mf
-        cnt = np.maximum(cnt, 1)
-        cv = acc_v / (cnt[..., None] if img.ndim == 3 else cnt)
-        cx = acc_x / cnt
-        cy = acc_y / cnt
-    out = np.clip(np.rint(cv), 0, 255).astype(np.uint8)
-    return out
+                          termcrit=(3, 5, 1.0)):
+    """cv::pyrMeanShiftFiltering (segmentation.cpp:333-546), bit-exact:
+    Gaussian pyramid, top-down processing where finer levels start from
+    pyrUp of the coarser result and only recompute pixels whose
+    coarse-level 8-neighborhood shows a color edge (>= max(sr^2,16)),
+    dilated 3x3; integer mean-shift with cvRound half-even means."""
+    src0 = np.asarray(src)
+    if src0.ndim != 3 or src0.shape[2] != 3 or src0.dtype != np.uint8:
+        raise ValueError("pyrMeanShiftFiltering needs 8UC3")
+    ttype, max_count, eps = (int(termcrit[0]), int(termcrit[1]),
+                             float(termcrit[2]))
+    if not ttype & 1:                               # TermCriteria::COUNT
+        max_count = 5
+    max_count = min(max(max_count, 1), 100)
+    if not ttype & 2:                               # TermCriteria::EPS
+        eps = 1.0
+    eps = max(eps, 0.0)
+    isr2 = int(np.rint(sr * sr))
+    isr22 = max(isr2, 16)
+
+    from .pyramids import pyrDown, pyrUp
+    src_pyr = [src0]
+    for level in range(1, maxLevel + 1):
+        prev = src_pyr[-1]
+        src_pyr.append(np.asarray(pyrDown(prev)))
+
+    dst = None
+    for level in range(maxLevel, -1, -1):
+        cur = src_pyr[level]
+        H, W = cur.shape[:2]
+        sp_l = max(sp / (1 << level), 1.0)
+        if level < maxLevel:
+            up = np.asarray(pyrUp(dst, dstsize=(W, H)))
+            # mask: coarse pixels with a color edge in the 8-neighbor
+            # sense get re-run at this level (mask[1+2i, 2j-1] pattern,
+            # then 3x3 dilation)
+            h1, w1 = dst.shape[:2]
+            m = np.zeros((H, W), np.uint8)
+            if h1 > 2 and w1 > 2:
+                d64 = dst.astype(np.int64)
+                ctr = d64[1:-1, 1:-1]
+                edge = np.zeros((h1 - 2, w1 - 2), bool)
+                for oy in (-1, 0, 1):
+                    for ox in (-1, 0, 1):
+                        if oy == 0 and ox == 0:
+                            continue
+                        nb = d64[1 + oy:h1 - 1 + oy, 1 + ox:w1 - 1 + ox]
+                        edge |= ((nb - ctr) ** 2).sum(-1) >= isr22
+                ii, jj = np.nonzero(edge)
+                m[1 + (ii + 1) * 2, (jj + 1) * 2 - 1] = 1
+            # dilate 3x3
+            mp = np.pad(m, 1)
+            md = np.zeros_like(m)
+            for oy in range(3):
+                for ox in range(3):
+                    md |= mp[oy:oy + H, ox:ox + W]
+            proc = md.astype(bool)
+            res = _ms_level(cur, sp_l, isr2, max_count, eps, proc)
+            dst = np.where(proc[..., None], res, up)
+        else:
+            proc = np.ones((H, W), bool)
+            dst = _ms_level(cur, sp_l, isr2, max_count, eps, proc)
+    return dst

@@ -102,13 +102,16 @@ def test_watershed_bit_exact_noise():
 
 
 def test_pyr_mean_shift():
+    """pyrMeanShiftFiltering is bit-exact vs the wheel across spatial
+    window, color radius, and pyramid depth (segmentation.cpp:333)."""
     rng = np.random.default_rng(1)
-    img = rng.integers(0, 256, (32, 32, 3), np.uint8)
-    img = cv2.GaussianBlur(img, (5, 5), 2)
-    out = tcv.pyrMeanShiftFiltering(img, 5, 20)
-    assert out.shape == img.shape
-    # smoothing reduces variance
-    assert out.std() <= img.std() + 1
+    for shape in [(32, 32), (33, 47)]:
+        img = cv2.GaussianBlur(
+            rng.integers(0, 256, shape + (3,), np.uint8), (5, 5), 2)
+        for sp, sr, ml in [(5, 20, 1), (2, 10, 0), (5, 20, 3)]:
+            ref = cv2.pyrMeanShiftFiltering(img, sp, sr, maxLevel=ml)
+            ours = tcv.pyrMeanShiftFiltering(img, sp, sr, maxLevel=ml)
+            assert np.array_equal(ours, ref), (shape, sp, sr, ml)
 
 
 def test_grabcut_matches_cv2():
