@@ -217,6 +217,13 @@ def demosaicing(src, code: int, dstCn: int = 0):
                             jnp.where(g_row_r, v2, h2)))
     G = jnp.where(is_g, c, p4)
     out = jnp.stack([B, G, R], axis=-1)
+    # the reference fills the one-pixel frame by copying the adjacent
+    # computed row/column (demosaicing.cpp border handling) — rows
+    # first, then columns (covers the corners)
+    out = out.at[:, 0].set(out[:, 1])
+    out = out.at[:, H - 1].set(out[:, H - 2])
+    out = out.at[:, :, 0].set(out[:, :, 1])
+    out = out.at[:, :, W - 1].set(out[:, :, W - 2])
     return from_batched(saturate_cast(out, x.dtype), meta)
 
 
@@ -228,5 +235,6 @@ def blendLinear(src1, src2, weights1, weights2):
     w1 = w1.astype(jnp.float32)
     w2 = w2.astype(jnp.float32)
     num = a.astype(jnp.float32) * w1 + b.astype(jnp.float32) * w2
-    out = num / jnp.maximum(w1 + w2, 1e-5)
+    # blend.cpp adds 1e-5f to the denominator (not a clamp)
+    out = num / (w1 + w2 + jnp.float32(1e-5))
     return from_batched(saturate_cast(out, a.dtype), meta)

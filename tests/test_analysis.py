@@ -236,10 +236,12 @@ def test_bilateral_color():
 def test_stack_blur():
     rng = np.random.default_rng(19)
     img = rand_img(rng, 40, 40, 1)
-    ref = cv2.stackBlur(img, (5, 5))
-    ours = np.asarray(tcv.stackBlur(img, (5, 5)))
-    # triangle weights in float vs the reference's per-axis mul/shr tables
-    assert_near(ours, ref, atol=2)
+    # bit-exact incl. the wheel's SIMD/scalar rounding splits, the
+    # (len-1)/2 radius clamp, and the big-kernel stack recurrence
+    for ks in [(5, 5), (21, 21), (13, 3), (101, 101), (1, 9)]:
+        ref = cv2.stackBlur(img, ks)
+        ours = np.asarray(tcv.stackBlur(img, ks))
+        assert np.array_equal(ours, ref), ks
 
 
 # ------------------------------------------------------ moments / cc / dist

@@ -302,10 +302,10 @@ def test_yuv_encode(code, cn):
                                   "COLOR_BayerRG2BGR", "COLOR_BayerGB2RGB"])
 def test_cvtcolor_bayer_routing(code):
     """cvtColor routes Bayer codes to the demosaicing engine
-    (color.cpp's demosaicing cases); interior bit-exact vs cv2, the
-    2px border follows the documented demosaicing edge convention."""
+    (color.cpp's demosaicing cases); bit-exact vs cv2 incl. the
+    border row/column copy convention."""
     rng = np.random.default_rng(5)
     raw = rng.integers(0, 256, (64, 80), np.uint8)
     ours = np.asarray(tcv.cvtColor(raw, getattr(tcv, code)))
     ref = cv2.cvtColor(raw, getattr(cv2, code))
-    assert_exact(ours[2:-2, 2:-2], ref[2:-2, 2:-2], code)
+    assert_exact(ours, ref, code)
