@@ -515,14 +515,28 @@ def imencode(ext: str, img, params=None):
         from .. import constants as K
         quality = 95
         sampling = 0x221111  # libjpeg default 4:2:0
+        optimize = 0
+        rst = 0
+        luma_q = -1
+        chroma_q = -1
         if params:
             p = list(params)
             for i in range(0, len(p) - 1, 2):
                 if p[i] == 1:   # IMWRITE_JPEG_QUALITY
                     quality = int(p[i + 1])
+                elif p[i] == 3:  # IMWRITE_JPEG_OPTIMIZE
+                    optimize = int(p[i + 1])
+                elif p[i] == 4:  # IMWRITE_JPEG_RST_INTERVAL
+                    rst = min(max(int(p[i + 1]), 0), 65535)
+                elif p[i] == 5:  # IMWRITE_JPEG_LUMA_QUALITY
+                    luma_q = int(p[i + 1])
+                elif p[i] == 6:  # IMWRITE_JPEG_CHROMA_QUALITY
+                    chroma_q = int(p[i + 1])
                 elif p[i] == 7:  # IMWRITE_JPEG_SAMPLING_FACTOR
                     sampling = int(p[i + 1])
-        data = bytes(jpeg_encode(img, quality, sampling))
+        data = bytes(jpeg_encode(img, quality, sampling, optimize=optimize,
+                                 rst_interval=rst, luma_quality=luma_q,
+                                 chroma_quality=chroma_q))
     elif ext in (".tif", ".tiff"):
         from .tiff import tiff_encode
         data = tiff_encode(img)

@@ -599,7 +599,10 @@ class _BitWriter:
         if self.n:
             pad = 8 - self.n
             self.acc = (self.acc << pad) | ((1 << pad) - 1)
-            self.out.append(self.acc & 0xFF)
+            b = self.acc & 0xFF
+            self.out.append(b)
+            if b == 0xFF:          # 1-padding can form FF: stuff it
+                self.out.append(0x00)
             self.n = 0
             self.acc = 0
 
@@ -632,19 +635,157 @@ def _quality_scale(q, base):
     return np.clip(t, 1, 255).astype(np.int32)
 
 
-def jpeg_encode(img, quality=95, sampling=0x221111):
+def _gen_optimal_table(freq):
+    """libjpeg jpeg_gen_optimal_table (jchuff.c): merge-based optimal
+    code lengths over 257 symbols (256 reserved), the <= tie rule that
+    picks the LARGEST index among minimum frequencies, the >16-bit
+    length adjustment, and value-ordered symbol listing."""
+    freq = list(freq) + [1]                       # reserved slot 256
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1, v = -1, 10 ** 9
+        for i in range(257):
+            if freq[i] and freq[i] <= v:
+                v = freq[i]
+                c1 = i
+        c2, v = -1, 10 ** 9
+        for i in range(257):
+            if freq[i] and freq[i] <= v and i != c1:
+                v = freq[i]
+                c2 = i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    for i in range(32, 16, -1):                   # limit to 16 bits
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1                                  # drop the reserved slot
+    vals = []
+    for length in range(1, 33):
+        for sym in range(256):
+            if codesize[sym] == length:
+                vals.append(sym)
+    return bits[1:17], vals
+
+
+def _entropy_pass(qcoef, samp, qts, mcux, mcuy, rst, dc_tabs=None,
+                  ac_tabs=None, bw_=None, dc_freq=None, ac_freq=None):
+    """One pass over the MCU stream: emits bits (when bw_ given) or
+    tallies symbol frequencies (when freq arrays given), with restart
+    markers/DC resets every `rst` MCUs."""
+    pred = [0] * len(samp)
+    nmcu = 0
+    rstn = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if rst and nmcu and nmcu % rst == 0:
+                if bw_ is not None:
+                    bw_.flush()
+                    bw_.out += bytes([0xFF, 0xD0 + (rstn & 7)])
+                rstn += 1
+                pred = [0] * len(samp)
+            nmcu += 1
+            for pi in range(len(samp)):
+                h, v = samp[pi]
+                ti = 0 if qts[pi] == 0 else 1
+                for dv in range(v):
+                    for dh in range(h):
+                        blk = qcoef[pi][my * v + dv, mx * h + dh]
+                        diff = int(blk[0]) - pred[pi]
+                        pred[pi] = int(blk[0])
+                        t, bitsv = _magnitude(diff)
+                        if bw_ is not None:
+                            code, ln = dc_tabs[ti][t]
+                            bw_.write(code, ln)
+                            if t:
+                                bw_.write(bitsv, t)
+                        else:
+                            dc_freq[ti][t] += 1
+                        run = 0
+                        last_nz = np.nonzero(blk[1:])[0]
+                        last = last_nz[-1] + 1 if len(last_nz) else 0
+                        for k in range(1, last + 1):
+                            val = int(blk[k])
+                            if val == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                if bw_ is not None:
+                                    code, ln = ac_tabs[ti][0xF0]
+                                    bw_.write(code, ln)
+                                else:
+                                    ac_freq[ti][0xF0] += 1
+                                run -= 16
+                            t, bitsv = _magnitude(val)
+                            if bw_ is not None:
+                                code, ln = ac_tabs[ti][(run << 4) | t]
+                                bw_.write(code, ln)
+                                bw_.write(bitsv, t)
+                            else:
+                                ac_freq[ti][(run << 4) | t] += 1
+                            run = 0
+                        if last < 63:
+                            if bw_ is not None:
+                                code, ln = ac_tabs[ti][0x00]
+                                bw_.write(code, ln)
+                            else:
+                                ac_freq[ti][0x00] += 1
+
+
+def jpeg_encode(img, quality=95, sampling=0x221111, optimize=0,
+                rst_interval=0, luma_quality=-1, chroma_quality=-1):
     """Byte-identical to the wheel's imencode('.jpg') for the same
-    quality/sampling (grfmt_jpeg.cpp over libjpeg with default
-    settings); `sampling` takes the IMWRITE_JPEG_SAMPLING_FACTOR_*
-    encodings (luma h in bits 20-23, luma v in bits 16-19)."""
+    parameters (grfmt_jpeg.cpp over libjpeg): quality, sampling factor
+    (IMWRITE_JPEG_SAMPLING_FACTOR_* encodings), Huffman optimization,
+    restart intervals, and separate luma/chroma quality (which forces
+    4:4:4 when they differ, as the reference does)."""
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[..., None]
     H, W, C = img.shape
     gray = C == 1
 
-    qy = _quality_scale(quality, _QY)
-    qc = _quality_scale(quality, _QC)
+    # grfmt_jpeg.cpp:726-745: LUMA_QUALITY also sets the overall
+    # quality; CHROMA alone is ignored; differing luma/chroma forces
+    # 4:4:4 (jpeg_default_qtables path)
+    force_111 = False
+    if luma_quality >= 0:
+        luma_quality = min(max(luma_quality, 0), 100)
+        quality = luma_quality
+        if chroma_quality < 0:
+            chroma_quality = luma_quality
+    if luma_quality >= 0 and chroma_quality >= 0:
+        chroma_quality = min(max(chroma_quality, 0), 100)
+        qy = _quality_scale(luma_quality, _QY)
+        qc = _quality_scale(chroma_quality, _QC)
+        force_111 = luma_quality != chroma_quality
+    else:
+        qy = _quality_scale(quality, _QY)
+        qc = _quality_scale(quality, _QC)
 
     if gray:
         samp = [(1, 1)]
@@ -652,6 +793,8 @@ def jpeg_encode(img, quality=95, sampling=0x221111):
     else:
         lh = (sampling >> 20) & 15 or 2
         lv = (sampling >> 16) & 15 or 2
+        if force_111:
+            lh = lv = 1
         samp = [(lh, lv), (1, 1), (1, 1)]
         qts = [0, 1, 1]
 
@@ -715,56 +858,37 @@ def jpeg_encode(img, quality=95, sampling=0x221111):
                     full[rrow - 1, (mx + 1) * h - 1, 0]
         qcoef.append(full)
 
-    # native C++ entropy encoder; the Python loop below is the fallback
-    from ..native import jpeg_encode_blocks as _native_encode
-    ent = _native_encode(qcoef, [s[0] for s in samp],
-                         [s[1] for s in samp], qts, mcux, mcuy,
-                         [_HT_DC_LUM, _HT_DC_CHR],
-                         [_HT_AC_LUM, _HT_AC_CHR])
+    # Huffman tables: Annex-K standard, or per-image optimal
+    if optimize:
+        ntab = 1 if gray else 2
+        dc_freq = [[0] * 256 for _ in range(ntab)]
+        ac_freq = [[0] * 256 for _ in range(ntab)]
+        _entropy_pass(qcoef, samp, qts, mcux, mcuy, rst_interval,
+                      dc_freq=dc_freq, ac_freq=ac_freq)
+        dc_spec = [_gen_optimal_table(f) for f in dc_freq]
+        ac_spec = [_gen_optimal_table(f) for f in ac_freq]
+    else:
+        dc_spec = [_HT_DC_LUM, _HT_DC_CHR]
+        ac_spec = [_HT_AC_LUM, _HT_AC_CHR]
 
-    dc_tabs = [_encode_table(*_HT_DC_LUM), _encode_table(*_HT_DC_CHR)]
-    ac_tabs = [_encode_table(*_HT_AC_LUM), _encode_table(*_HT_AC_CHR)]
+    # native C++ entropy encoder (no restart support); the Python pass
+    # is the exact twin
+    ent = None
+    if not rst_interval:
+        from ..native import jpeg_encode_blocks as _native_encode
+        ent = _native_encode(qcoef, [s[0] for s in samp],
+                             [s[1] for s in samp], qts, mcux, mcuy,
+                             [dc_spec[0], dc_spec[-1]],
+                             [ac_spec[0], ac_spec[-1]])
 
     bw_ = _BitWriter()
     if ent is not None:
         bw_.out = bytearray(ent)
-    pred = [0] * len(samp)
-    for my in range(mcuy if ent is None else 0):
-        for mx in range(mcux):
-            for pi in range(len(samp)):
-                h, v = samp[pi]
-                tdc = dc_tabs[0 if qts[pi] == 0 else 1]
-                tac = ac_tabs[0 if qts[pi] == 0 else 1]
-                for dv in range(v):
-                    for dh in range(h):
-                        blk = qcoef[pi][my * v + dv, mx * h + dh]
-                        diff = int(blk[0]) - pred[pi]
-                        pred[pi] = int(blk[0])
-                        t, bitsv = _magnitude(diff)
-                        code, ln = tdc[t]
-                        bw_.write(code, ln)
-                        if t:
-                            bw_.write(bitsv, t)
-                        run = 0
-                        last_nz = np.nonzero(blk[1:])[0]
-                        last = last_nz[-1] + 1 if len(last_nz) else 0
-                        for k in range(1, last + 1):
-                            val = int(blk[k])
-                            if val == 0:
-                                run += 1
-                                continue
-                            while run >= 16:
-                                code, ln = tac[0xF0]
-                                bw_.write(code, ln)
-                                run -= 16
-                            t, bitsv = _magnitude(val)
-                            code, ln = tac[(run << 4) | t]
-                            bw_.write(code, ln)
-                            bw_.write(bitsv, t)
-                            run = 0
-                        if last < 63:
-                            code, ln = tac[0x00]
-                            bw_.write(code, ln)
+    else:
+        dc_tabs = [_encode_table(*s) for s in dc_spec]
+        ac_tabs = [_encode_table(*s) for s in ac_spec]
+        _entropy_pass(qcoef, samp, qts, mcux, mcuy, rst_interval,
+                      dc_tabs=dc_tabs, ac_tabs=ac_tabs, bw_=bw_)
     bw_.flush()
 
     # assemble the file
@@ -780,12 +904,14 @@ def jpeg_encode(img, quality=95, sampling=0x221111):
     for ci in range(nc):
         h, v = samp[ci]
         out += bytes([ci + 1, (h << 4) | v, qts[ci]])
-    tabs = [_HT_DC_LUM, _HT_AC_LUM] if gray else \
-        [_HT_DC_LUM, _HT_AC_LUM, _HT_DC_CHR, _HT_AC_CHR]
+    tabs = [dc_spec[0], ac_spec[0]] if gray else \
+        [dc_spec[0], ac_spec[0], dc_spec[-1], ac_spec[-1]]
     classes = [0x00, 0x10] if gray else [0x00, 0x10, 0x01, 0x11]
     for (bits, vals), cls in zip(tabs, classes):
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
             + bytes([cls]) + bytes(bits) + bytes(vals)
+    if rst_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, rst_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for ci in range(nc):
         td_ta = 0x00 if qts[ci] == 0 else 0x11
